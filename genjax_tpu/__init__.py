@@ -1,0 +1,100 @@
+"""genjax_tpu — a TPU-native probabilistic programming framework with
+programmable inference.
+
+A ground-up implementation of the Gen paradigm (generative functions + the
+GFI: simulate / assess / generate / project / edit) designed for TPU
+hardware: traces and choice maps are flat pytrees-of-arrays whose leading
+batch axis shards over a ``jax.sharding.Mesh``; inference (SIR/SMC, MCMC/HMC,
+programmable VI via ADEV) runs vectorized per chip and scales across chips
+with XLA collectives.
+
+Capability parity target: ``genjax`` (MIT Probabilistic Computing Project),
+reference at ``/root/reference`` — see each module's docstring for the
+file:line parity map.
+"""
+
+from . import core
+from .checkify_ import do_checkify
+from .core import (
+    Const,
+    Closure,
+    Diff,
+    FlagOp,
+    NoChange,
+    Pytree,
+    UnknownChange,
+)
+from .core.handlers import AddressReuse, GenJAXError, MissingAddress
+from .dists import *  # noqa: F401,F403
+from .dists import __all__ as _dists_all
+from .dists.distribution import (
+    Distribution,
+    DistributionTrace,
+    ExactDensity,
+    exact_density,
+)
+from .generative import (
+    C,
+    ChoiceMap,
+    ChoiceMapBuilder,
+    DiffAnnotate,
+    EditRequest,
+    EmptyRequest,
+    GenerativeFunction,
+    GenerativeFunctionClosure,
+    IndexRequest,
+    Mask,
+    NotSupportedEditRequest,
+    PrimitiveEditRequest,
+    Regenerate,
+    S,
+    Selection,
+    SelectionBuilder,
+    Trace,
+    Update,
+)
+from .lang import StaticGenerativeFunction, StaticRequest, StaticTrace, gen
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "AddressReuse",
+    "C",
+    "ChoiceMap",
+    "ChoiceMapBuilder",
+    "Closure",
+    "Const",
+    "Diff",
+    "DiffAnnotate",
+    "Distribution",
+    "DistributionTrace",
+    "EditRequest",
+    "EmptyRequest",
+    "ExactDensity",
+    "FlagOp",
+    "GenJAXError",
+    "GenerativeFunction",
+    "GenerativeFunctionClosure",
+    "IndexRequest",
+    "Mask",
+    "MissingAddress",
+    "NoChange",
+    "NotSupportedEditRequest",
+    "PrimitiveEditRequest",
+    "Pytree",
+    "Regenerate",
+    "S",
+    "Selection",
+    "SelectionBuilder",
+    "StaticGenerativeFunction",
+    "StaticRequest",
+    "StaticTrace",
+    "Trace",
+    "UnknownChange",
+    "Update",
+    "core",
+    "do_checkify",
+    "exact_density",
+    "gen",
+    *_dists_all,
+]

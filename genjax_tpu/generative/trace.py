@@ -1,0 +1,93 @@
+"""The ``Trace`` abstract base: a record of one execution of a generative
+function.
+
+Parity: reference ``/root/reference/src/genjax/_src/core/generative/
+generative_function.py`` — ``Trace`` :72, score spec :92-136,
+``edit/update/project`` :153-194, ``get_subtrace/get_inner_trace`` :196-222.
+
+Invariant: ``get_score()`` is an estimate of ``log 1 / P(choices | args)``
+(exactly the log-density for exact-density generative functions). All fields
+are pytree leaves, so a vmapped/sharded trace is just a trace whose leaves
+carry a leading chain/particle axis.
+"""
+
+from __future__ import annotations
+
+import abc
+from typing import Any
+
+from ..core.diff import Diff
+from ..core.pytree import Pytree
+from ..core.typing_ import PRNGKey
+from .concepts import Arguments, EditRequest, Retdiff, Score, Update, Weight
+
+
+class Trace(Pytree):
+    @abc.abstractmethod
+    def get_args(self) -> Arguments:
+        ...
+
+    @abc.abstractmethod
+    def get_retval(self) -> Any:
+        ...
+
+    @abc.abstractmethod
+    def get_score(self) -> Score:
+        ...
+
+    @abc.abstractmethod
+    def get_choices(self) -> Any:
+        """The addressed random choices as a ChoiceMap."""
+
+    @abc.abstractmethod
+    def get_gen_fn(self) -> Any:
+        ...
+
+    # ----- derived -----
+
+    def get_sample(self) -> Any:
+        return self.get_choices()
+
+    def edit(
+        self,
+        key: PRNGKey,
+        request: EditRequest,
+        argdiffs: Any = None,
+    ) -> tuple["Trace", Weight, Retdiff, EditRequest]:
+        if argdiffs is None:
+            argdiffs = Diff.tree_diff_no_change(self.get_args())
+        return request.edit(key, self, argdiffs)
+
+    def update(
+        self,
+        key: PRNGKey,
+        constraint: Any,
+        argdiffs: Any = None,
+    ) -> tuple["Trace", Weight, Retdiff, Any]:
+        """Constraint-driven edit; returns the backward request's constraint
+        (the *discard*) as the final element, mirroring Gen's update."""
+        if argdiffs is None:
+            argdiffs = Diff.tree_diff_no_change(self.get_args())
+        new_tr, w, retdiff, bwd = Update(constraint).edit(key, self, argdiffs)
+        discard = bwd.constraint if isinstance(bwd, Update) else bwd
+        return new_tr, w, retdiff, discard
+
+    def project(self, key: PRNGKey, selection: Any) -> Weight:
+        gen_fn = self.get_gen_fn()
+        return gen_fn.project(key, self, selection)
+
+    def get_subtrace(self, *addresses) -> "Trace":
+        tr: Trace = self
+        for addr in addresses:
+            components = addr if isinstance(addr, tuple) else (addr,)
+            for comp in components:
+                tr = tr.get_inner_trace(comp)
+        return tr
+
+    def get_inner_trace(self, address: Any) -> "Trace":
+        raise NotImplementedError(
+            f"{type(self).__name__} has no subtraces (not a compound trace)."
+        )
+
+    def __getitem__(self, addr):
+        return self.get_choices()[addr]

@@ -1,0 +1,363 @@
+"""The ``@gen`` static modeling language.
+
+Parity: reference ``/root/reference/src/genjax/_src/generative_functions/
+static.py`` (1062 LoC) — the ``trace`` intrinsic :175, handlers
+``SimulateHandler`` :254 (fresh keys by ``fold_in`` counter :260-263),
+``AssessHandler`` :298 (raises ``MissingAddress`` :147), ``GenerateHandler``
+:341, ``UpdateHandler`` :407, ``StaticEditRequestHandler`` :512 (per-address
+sub-requests via ``StaticRequest`` :130), ``RegenerateRequestHandler`` :616,
+``StaticGenerativeFunction`` :726 (edit routing :948-981), ``StaticTrace``
+:81 (score = sum of subscores :102), ``gen`` decorator :1044, method support
+:757, ``partial_apply`` :1011, ``AddressReuse`` :139.
+
+TPU-native redesign: instead of staging the model to a Jaxpr and
+re-interpreting ``trace_p`` equations, each GFI method executes the Python
+body under a handler installed on a dynamic handler stack
+(``genjax_tpu.core.handlers``). Under ``jit`` this produces the identical XLA
+program with less trace-time overhead, and models may use arbitrary Python
+data structure without pytree flattening constraints.
+"""
+
+from __future__ import annotations
+
+import functools
+import inspect
+from typing import Any, Callable
+
+import jax.numpy as jnp
+import jax.random as jr
+
+from ..core.diff import Diff
+from ..core.handlers import (
+    AddressReuse,
+    MissingAddress,
+    TraceHandler,
+    handle,
+)
+from ..core.pytree import Closure, Pytree
+from ..core.typing_ import PRNGKey
+from ..generative.choice_map import ChoiceMap, StaticChm
+from ..generative.concepts import (
+    EditRequest,
+    EmptyRequest,
+    NotSupportedEditRequest,
+    Regenerate,
+    Retdiff,
+    Update,
+    Weight,
+)
+from ..generative.gfi import GenerativeFunction
+from ..generative.selection import Selection
+from ..generative.trace import Trace
+
+
+@Pytree.dataclass
+class StaticRequest(EditRequest):
+    """Heterogeneous per-address edit requests for a static model
+    (reference static.py:130)."""
+
+    subrequests: tuple
+    addresses: tuple = Pytree.static()
+
+    @staticmethod
+    def d(mapping: dict) -> "StaticRequest":
+        return StaticRequest(tuple(mapping.values()), tuple(mapping.keys()))
+
+    def get(self, addr) -> EditRequest:
+        try:
+            i = self.addresses.index(addr)
+        except ValueError:
+            return EmptyRequest()
+        return self.subrequests[i]
+
+    def edit(self, key, tr, argdiffs):
+        gen_fn = tr.get_gen_fn()
+        return gen_fn.edit(key, tr, self, argdiffs)
+
+
+@Pytree.dataclass
+class StaticTrace(Trace):
+    gen_fn: "StaticGenerativeFunction"
+    args: tuple
+    retval: Any
+    subtraces: tuple
+    addresses: tuple = Pytree.static()
+
+    def get_args(self) -> tuple:
+        return self.args
+
+    def get_retval(self) -> Any:
+        return self.retval
+
+    def get_gen_fn(self) -> "StaticGenerativeFunction":
+        return self.gen_fn
+
+    def get_score(self):
+        total = jnp.asarray(0.0)
+        for tr in self.subtraces:
+            total = total + tr.get_score()
+        return total
+
+    def get_choices(self) -> ChoiceMap:
+        acc = ChoiceMap.empty()
+        for addr, tr in zip(self.addresses, self.subtraces):
+            path = addr if isinstance(addr, tuple) else (addr,)
+            acc |= tr.get_choices().extend(*path)
+        return acc
+
+    def get_inner_trace(self, address) -> Trace:
+        try:
+            i = self.addresses.index(address)
+        except ValueError as e:
+            raise MissingAddress(f"No subtrace at address {address!r}") from e
+        return self.subtraces[i]
+
+
+# ----------------------------------------------------------------------
+# handlers
+# ----------------------------------------------------------------------
+
+
+class StaticHandler(TraceHandler):
+    """Base: key management by fold_in counter + address-reuse detection."""
+
+    def __init__(self, key: PRNGKey | None):
+        self.key = key
+        self.count = 0
+        self.addresses: list = []
+        self.subtraces: list[Trace] = []
+
+    def visit(self, addr) -> None:
+        if addr in self.addresses:
+            raise AddressReuse(f"Address {addr!r} was traced twice.")
+        self.addresses.append(addr)
+
+    def fresh_key(self) -> PRNGKey:
+        k = jr.fold_in(self.key, self.count)
+        self.count += 1
+        return k
+
+    def record(self, tr: Trace) -> Any:
+        self.subtraces.append(tr)
+        return tr.get_retval()
+
+
+class SimulateHandler(StaticHandler):
+    def handle_trace(self, addr, gen_fn, args):
+        self.visit(addr)
+        return self.record(gen_fn.simulate(self.fresh_key(), args))
+
+
+class AssessHandler(StaticHandler):
+    def __init__(self, chm: ChoiceMap):
+        super().__init__(None)
+        self.chm = chm
+        self.score = jnp.asarray(0.0)
+
+    def handle_trace(self, addr, gen_fn, args):
+        self.visit(addr)
+        path = addr if isinstance(addr, tuple) else (addr,)
+        submap = self.chm.get_submap(*path)
+        if submap.static_is_empty():
+            raise MissingAddress(f"assess: no constraint at address {addr!r}")
+        score, retval = gen_fn.assess(submap, args)
+        self.score = self.score + score
+        return retval
+
+
+class GenerateHandler(StaticHandler):
+    def __init__(self, key: PRNGKey, constraint: ChoiceMap):
+        super().__init__(key)
+        self.constraint = constraint
+        self.weight = jnp.asarray(0.0)
+
+    def handle_trace(self, addr, gen_fn, args):
+        self.visit(addr)
+        path = addr if isinstance(addr, tuple) else (addr,)
+        submap = self.constraint.get_submap(*path)
+        tr, w = gen_fn.generate(self.fresh_key(), submap, args)
+        self.weight = self.weight + w
+        return self.record(tr)
+
+
+class EditHandler(StaticHandler):
+    """Shared machinery for Update / Regenerate / StaticRequest edits: re-runs
+    the body, editing each old subtrace with a per-address sub-request."""
+
+    def __init__(self, key: PRNGKey, prev: StaticTrace):
+        super().__init__(key)
+        self.prev = prev
+        self.weight = jnp.asarray(0.0)
+        self.bwd: dict = {}
+
+    def subrequest(self, addr) -> EditRequest:
+        raise NotImplementedError
+
+    def handle_trace(self, addr, gen_fn, args):
+        self.visit(addr)
+        sub_tr = self.prev.get_inner_trace(addr)
+        argdiffs = Diff.tree_diff_unknown_change(args)
+        request = self.subrequest(addr)
+        new_tr, w, _retdiff, bwd = request.edit(self.fresh_key(), sub_tr, argdiffs)
+        self.weight = self.weight + w
+        self.bwd[addr] = bwd
+        return self.record(new_tr)
+
+
+class UpdateHandler(EditHandler):
+    def __init__(self, key, prev, constraint: ChoiceMap):
+        super().__init__(key, prev)
+        self.constraint = constraint
+
+    def subrequest(self, addr) -> EditRequest:
+        path = addr if isinstance(addr, tuple) else (addr,)
+        return Update(self.constraint.get_submap(*path))
+
+    def bwd_request(self) -> Update:
+        acc = ChoiceMap.empty()
+        for addr, req in self.bwd.items():
+            if isinstance(req, Update) and not req.constraint.static_is_empty():
+                path = addr if isinstance(addr, tuple) else (addr,)
+                acc |= req.constraint.extend(*path)
+        return Update(acc)
+
+
+class RegenerateHandler(EditHandler):
+    def __init__(self, key, prev, selection: Selection):
+        super().__init__(key, prev)
+        self.selection = selection
+
+    def subrequest(self, addr) -> EditRequest:
+        path = addr if isinstance(addr, tuple) else (addr,)
+        subsel = self.selection
+        for comp in path:
+            subsel = subsel.get_subselection(comp)
+        return Regenerate(subsel)
+
+    def bwd_request(self) -> EditRequest:
+        # Per-address backward requests (Updates carrying the old values), so
+        # applying the backward request restores the original trace and
+        # cancels the forward weight exactly.
+        return StaticRequest.d(self.bwd)
+
+
+class StaticRequestHandler(EditHandler):
+    def __init__(self, key, prev, request: StaticRequest):
+        super().__init__(key, prev)
+        self.request = request
+
+    def subrequest(self, addr) -> EditRequest:
+        return self.request.get(addr)
+
+    def bwd_request(self) -> StaticRequest:
+        return StaticRequest.d(self.bwd)
+
+
+# ----------------------------------------------------------------------
+# the generative function
+# ----------------------------------------------------------------------
+
+
+@Pytree.dataclass
+class StaticGenerativeFunction(GenerativeFunction):
+    """A generative function constructed from a Python body containing
+    addressed calls (``gen_fn(args) @ "addr"``)."""
+
+    source: Closure
+
+    def run(self, handler: StaticHandler, args: tuple):
+        with handle(handler):
+            retval = self.source(*args)
+        return retval
+
+    # ----- GFI -----
+
+    def simulate(self, key: PRNGKey, args: tuple) -> StaticTrace:
+        h = SimulateHandler(key)
+        retval = self.run(h, args)
+        return StaticTrace(self, args, retval, tuple(h.subtraces), tuple(h.addresses))
+
+    def assess(self, chm: ChoiceMap, args: tuple):
+        h = AssessHandler(chm)
+        retval = self.run(h, args)
+        return h.score, retval
+
+    def generate(self, key: PRNGKey, constraint: ChoiceMap, args: tuple):
+        h = GenerateHandler(key, constraint)
+        retval = self.run(h, args)
+        tr = StaticTrace(self, args, retval, tuple(h.subtraces), tuple(h.addresses))
+        return tr, h.weight
+
+    def project(self, key: PRNGKey, trace: StaticTrace, selection: Selection) -> Weight:
+        total = jnp.asarray(0.0)
+        for i, (addr, sub_tr) in enumerate(
+            zip(trace.addresses, trace.subtraces)
+        ):
+            path = addr if isinstance(addr, tuple) else (addr,)
+            subsel = selection
+            for comp in path:
+                subsel = subsel.get_subselection(comp)
+            total = total + sub_tr.project(jr.fold_in(key, i), subsel)
+        return total
+
+    def edit(
+        self,
+        key: PRNGKey,
+        trace: StaticTrace,
+        request: EditRequest,
+        argdiffs: Any,
+    ) -> tuple[StaticTrace, Weight, Retdiff, EditRequest]:
+        primals = Diff.tree_primal(argdiffs)
+        if isinstance(request, Update):
+            h: EditHandler = UpdateHandler(key, trace, request.constraint)
+        elif isinstance(request, Regenerate):
+            h = RegenerateHandler(key, trace, request.selection)
+        elif isinstance(request, StaticRequest):
+            h = StaticRequestHandler(key, trace, request)
+        else:
+            raise NotSupportedEditRequest(
+                f"StaticGenerativeFunction cannot serve {type(request).__name__}."
+            )
+        retval = self.run(h, primals)
+        new_tr = StaticTrace(
+            self, primals, retval, tuple(h.subtraces), tuple(h.addresses)
+        )
+        retdiff = Diff.tree_diff_unknown_change(retval)
+        return new_tr, h.weight, retdiff, h.bwd_request()
+
+    # ----- ergonomics -----
+
+    def partial_apply(self, *args) -> "StaticGenerativeFunction":
+        """Pre-apply leading arguments (reference static.py:1011)."""
+        inner = self.source
+        return StaticGenerativeFunction(
+            Closure((*inner.dyn_args, *args), inner.fn)
+        )
+
+    def handle_kwargs(self) -> "StaticGenerativeFunction":
+        inner = self.source
+
+        def kw_source(args, kwargs):
+            return inner(*args, **kwargs)
+
+        return StaticGenerativeFunction(Closure((), kw_source))
+
+    def inline(self, *args):
+        """Splice this function's body into an enclosing ``@gen`` body,
+        without introducing a new address level."""
+        return self.source(*args)
+
+    def __get__(self, instance, _owner):
+        if instance is None:
+            return self
+        return self.partial_apply(instance)
+
+
+def gen(fn: Callable) -> StaticGenerativeFunction:
+    """Decorator: a Python function with addressed calls becomes a
+    ``StaticGenerativeFunction`` (reference static.py:1044)."""
+    if isinstance(fn, Closure):
+        closure = fn
+    else:
+        closure = Closure((), fn)
+    return StaticGenerativeFunction(closure)
