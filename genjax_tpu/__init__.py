@@ -54,6 +54,27 @@ from .generative import (
     Update,
 )
 from .lang import StaticGenerativeFunction, StaticRequest, StaticTrace, gen
+from .combinators import (
+    MaskCombinator,
+    ScanCombinator,
+    SwitchCombinator,
+    VmapCombinator,
+    accumulate,
+    contramap,
+    dimap,
+    iterate,
+    iterate_final,
+    masked_iterate,
+    masked_iterate_final,
+    mix,
+    or_else,
+    repeat,
+    scan,
+    switch,
+    vmap,
+)
+from .combinators import map as map_  # avoid shadowing builtins in * imports
+from .combinators.mask_comb import mask as mask_combinator
 
 __version__ = "0.1.0"
 
@@ -92,6 +113,25 @@ __all__ = [
     "Trace",
     "UnknownChange",
     "Update",
+    "MaskCombinator",
+    "ScanCombinator",
+    "SwitchCombinator",
+    "VmapCombinator",
+    "accumulate",
+    "contramap",
+    "dimap",
+    "iterate",
+    "iterate_final",
+    "map_",
+    "mask_combinator",
+    "masked_iterate",
+    "masked_iterate_final",
+    "mix",
+    "or_else",
+    "repeat",
+    "scan",
+    "switch",
+    "vmap",
     "core",
     "do_checkify",
     "exact_density",

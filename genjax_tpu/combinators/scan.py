@@ -1,0 +1,465 @@
+"""``Scan`` combinator: sequential structure compiled to ``jax.lax.scan``.
+
+Parity: reference ``/root/reference/src/genjax/_src/generative_functions/
+combinators/scan.py`` (1150 LoC) — ``ScanTrace`` :56, ``simulate`` :200,
+``generate`` :237, ``project`` :296, ``assess`` :638, ``edit_update`` :509,
+``edit_regenerate`` :418, ``edit_index`` :325 (O(1) single-slice update with
+next-slice weight fixup), decorators ``scan`` :672, ``accumulate`` :791,
+``reduce`` :854, ``iterate`` :916, ``iterate_final`` :980, ``masked_iterate``
+:1101, ``masked_iterate_final`` :1050, ``prepend_initial_acc`` :762.
+
+TPU-first notes: the whole sequence runs inside a single XLA while-loop
+(``lax.scan``), the stacked inner trace is contiguous in HBM (time axis in
+front), and ``edit_index`` costs two dynamic slices + two dynamic-update
+slices per leaf regardless of sequence length.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import jax.tree_util as jtu
+from jax import lax
+
+from ..core.diff import Diff
+from ..core.pytree import Pytree
+from ..core.typing_ import PRNGKey
+from ..generative.choice_map import ChoiceMap, IndexedChm
+from ..generative.concepts import (
+    EditRequest,
+    IndexRequest,
+    NotSupportedEditRequest,
+    Regenerate,
+    Retdiff,
+    Update,
+    Weight,
+)
+from ..generative.gfi import GenerativeFunction
+from ..generative.mask import Mask
+from ..generative.selection import Selection
+from ..generative.trace import Trace
+
+
+@Pytree.dataclass
+class ScanTrace(Trace):
+    """Trace of a scanned kernel: one inner trace pytree with the time axis
+    leading every leaf (reference scan.py:56)."""
+
+    gen_fn: "ScanCombinator"
+    inner: Trace
+    args: tuple
+    retval: Any  # (final_carry, stacked_ys)
+    length: int = Pytree.static()
+
+    def get_args(self) -> tuple:
+        return self.args
+
+    def get_retval(self) -> Any:
+        return self.retval
+
+    def get_gen_fn(self) -> "ScanCombinator":
+        return self.gen_fn
+
+    def get_score(self):
+        return jnp.sum(jax.vmap(lambda tr: tr.get_score())(self.inner))
+
+    def get_choices(self) -> ChoiceMap:
+        return IndexedChm.build(self.inner.get_choices(), None)
+
+    def get_inner_trace(self, address) -> Trace:
+        return jtu.tree_map(lambda v: v[address], self.inner)
+
+
+@Pytree.dataclass
+class ScanCombinator(GenerativeFunction):
+    """Lift a kernel ``(carry, x) -> (carry, y)`` to
+    ``(carry, [x]) -> (carry, [y])`` via ``jax.lax.scan``
+    (reference scan.py:110)."""
+
+    gen_fn: GenerativeFunction
+    length: int | None = Pytree.static(default=None)
+
+    def _static_length(self, xs) -> int:
+        if xs is not None:
+            for leaf in jtu.tree_leaves(xs):
+                return jnp.shape(leaf)[0]
+        if self.length is None:
+            raise ValueError(
+                "scan: no `n` given and the scanned input is None — the "
+                "sequence length cannot be inferred."
+            )
+        return self.length
+
+    # ------------------------------------------------------------------
+    # GFI
+    # ------------------------------------------------------------------
+
+    def simulate(self, key: PRNGKey, args: tuple) -> ScanTrace:
+        init, xs = args
+        n = self._static_length(xs)
+
+        def step(c, inp):
+            t, x = inp
+            tr = self.gen_fn.simulate(jr.fold_in(key, t), (c, x))
+            c_new, y = tr.get_retval()
+            return c_new, (tr, y)
+
+        c_final, (inner, ys) = lax.scan(step, init, (jnp.arange(n), xs), length=n)
+        return ScanTrace(self, inner, args, (c_final, ys), n)
+
+    def generate(self, key: PRNGKey, constraint: ChoiceMap, args: tuple):
+        init, xs = args
+        n = self._static_length(xs)
+
+        def step(c, inp):
+            t, x = inp
+            submap = constraint.get_submap(t)
+            tr, w = self.gen_fn.generate(jr.fold_in(key, t), submap, (c, x))
+            c_new, y = tr.get_retval()
+            return c_new, (tr, y, w)
+
+        c_final, (inner, ys, ws) = lax.scan(step, init, (jnp.arange(n), xs), length=n)
+        return ScanTrace(self, inner, args, (c_final, ys), n), jnp.sum(ws)
+
+    def assess(self, chm: ChoiceMap, args: tuple):
+        init, xs = args
+        n = self._static_length(xs)
+
+        def step(c, inp):
+            t, x = inp
+            score, (c_new, y) = self.gen_fn.assess(chm.get_submap(t), (c, x))
+            return c_new, (score, y)
+
+        c_final, (scores, ys) = lax.scan(step, init, (jnp.arange(n), xs), length=n)
+        return jnp.sum(scores), (c_final, ys)
+
+    def project(self, key: PRNGKey, trace: ScanTrace, selection: Selection) -> Weight:
+        n = trace.length
+
+        def step(_, inp):
+            t, sub_tr = inp
+            w = self.gen_fn.project(
+                jr.fold_in(key, t), sub_tr, selection.get_subselection(t)
+            )
+            return None, w
+
+        _, ws = lax.scan(step, None, (jnp.arange(n), trace.inner), length=n)
+        return jnp.sum(ws)
+
+    # ------------------------------------------------------------------
+    # edits
+    # ------------------------------------------------------------------
+
+    def edit(
+        self,
+        key: PRNGKey,
+        trace: ScanTrace,
+        request: EditRequest,
+        argdiffs: Any,
+    ) -> tuple[ScanTrace, Weight, Retdiff, EditRequest]:
+        if isinstance(request, Update):
+            return self._edit_dense(
+                key, trace, argdiffs,
+                lambda t: Update(request.constraint.get_submap(t)),
+            )
+        if isinstance(request, Regenerate):
+            return self._edit_dense(
+                key, trace, argdiffs,
+                lambda t: Regenerate(request.selection.get_subselection(t)),
+            )
+        if isinstance(request, IndexRequest):
+            return self._edit_index(
+                key, trace, request.index, request.request, argdiffs
+            )
+        raise NotSupportedEditRequest(
+            f"ScanCombinator cannot serve {type(request).__name__}."
+        )
+
+    def _edit_dense(self, key, trace: ScanTrace, argdiffs, subrequest_at):
+        """O(T) full re-walk serving Update/Regenerate: each step edits the
+        old slice trace under the (possibly changed) carry
+        (reference edit_update scan.py:509 / edit_regenerate :418)."""
+        primals = Diff.tree_primal(argdiffs)
+        init, xs = primals
+        n = trace.length
+
+        def step(c, inp):
+            t, x, sub_tr = inp
+            sub_argdiffs = Diff.tree_diff_unknown_change((c, x))
+            new_tr, w, _rd, bwd = subrequest_at(t).edit(
+                jr.fold_in(key, t), sub_tr, sub_argdiffs
+            )
+            bwd_chm = bwd.constraint if isinstance(bwd, Update) else ChoiceMap.empty()
+            c_new, y = new_tr.get_retval()
+            return c_new, (new_tr, y, w, bwd_chm)
+
+        c_final, (inner, ys, ws, bwd_chms) = lax.scan(
+            step, init, (jnp.arange(n), xs, trace.inner), length=n
+        )
+        new_tr = ScanTrace(self, inner, primals, (c_final, ys), n)
+        retdiff = Diff.tree_diff_unknown_change((c_final, ys))
+        return new_tr, jnp.sum(ws), retdiff, Update(IndexedChm.build(bwd_chms, None))
+
+    def _edit_index(self, key, trace: ScanTrace, idx, request: EditRequest, argdiffs):
+        """O(1) single-timestep edit (reference edit_index scan.py:325).
+
+        Edits slice ``idx``, then re-scores slice ``idx+1`` under the new
+        carry (an empty Update) to fix its weight. The carry flowing out of
+        slice ``idx+1`` must be unchanged — i.e. the kernel's carry must not
+        depend on the edited choices beyond one step.
+        """
+        if not Diff.static_check_no_change(argdiffs):
+            raise NotSupportedEditRequest(
+                "IndexRequest into Scan requires unchanged arguments."
+            )
+        n = trace.length
+        idx = jnp.asarray(idx)
+        old_carry_out, old_ys = trace.get_retval()
+
+        slice_tr = jtu.tree_map(lambda v: v[idx], trace.inner)
+        new_slice, w, retdiff, bwd = request.edit(
+            key, slice_tr, Diff.tree_diff_no_change(slice_tr.get_args())
+        )
+        carry_rd, y_rd = retdiff
+
+        # Fix up the following slice's score under the changed carry.
+        nxt = jnp.clip(idx + 1, 0, n - 1)
+        next_slice = jtu.tree_map(lambda v: v[nxt], trace.inner)
+        (_c, next_x) = next_slice.get_args()
+        next_new, next_w, next_rd, _ = Update(ChoiceMap.empty()).edit(
+            jr.fold_in(key, 1), next_slice, (carry_rd, Diff.no_change(next_x))
+        )
+        # The carry flowing out of slice idx+1 must equal the old one — the
+        # edit's locality assumption. Checked at runtime under
+        # `do_checkify()` (the reference asserts this statically via its
+        # incremental interpreter; our handler-based edits are conservative
+        # about retdiffs, so the check is a value check).
+        from ..checkify_ import optional_check
+
+        def _carry_check():
+            import jax.experimental.checkify as cf
+
+            old_next_carry, _ = next_slice.get_retval()
+            new_next_carry = Diff.tree_primal(next_rd[0])
+            same = jnp.all(
+                jnp.asarray([
+                    jnp.all(jnp.isclose(jnp.asarray(a), jnp.asarray(b)))
+                    for a, b in zip(
+                        jtu.tree_leaves(old_next_carry),
+                        jtu.tree_leaves(new_next_carry),
+                    )
+                ])
+            )
+            cf.check(
+                jnp.logical_or(~has_next, same),
+                "IndexRequest into Scan: the carry changed beyond one step.",
+            )
+
+        has_next = idx + 1 < n
+        optional_check(_carry_check)
+
+        new_inner = jtu.tree_map(
+            lambda v, s: v.at[idx].set(s), trace.inner, new_slice
+        )
+        new_inner = jtu.tree_map(
+            lambda v, s: v.at[nxt].set(jnp.where(has_next, s, v[nxt])),
+            new_inner,
+            next_new,
+        )
+
+        # Retval: ys gets the edited slice's y at position idx; the final
+        # carry changes only if idx was the last step.
+        new_y = Diff.tree_primal(y_rd)
+        t_axis = jnp.arange(n)
+
+        def splice(old, new):
+            pred = (t_axis == idx).reshape((n,) + (1,) * (jnp.ndim(old) - 1))
+            return jnp.where(pred, new, old)
+
+        new_ys = jtu.tree_map(splice, old_ys, new_y)
+        new_carry_out = jtu.tree_map(
+            lambda old, new: jnp.where(idx == n - 1, new, old),
+            old_carry_out,
+            Diff.tree_primal(carry_rd),
+        )
+        new_tr = ScanTrace(
+            self, new_inner, trace.args, (new_carry_out, new_ys), n
+        )
+        weight = w + jnp.where(has_next, next_w, 0.0)
+        retdiff_out = (
+            Diff.unknown_change(new_carry_out),
+            Diff.unknown_change(new_ys),
+        )
+        return new_tr, weight, retdiff_out, IndexRequest(idx, bwd)
+
+
+# ----------------------------------------------------------------------
+# decorators (reference scan.py:672-1150)
+# ----------------------------------------------------------------------
+
+
+def scan(*, n: int | None = None):
+    """``(c, a) -> (c, b)`` kernel ⇒ ``(c, [a]) -> (c, [b])``
+    (reference scan.py:672)."""
+
+    def decorator(gen_fn: GenerativeFunction) -> ScanCombinator:
+        return ScanCombinator(gen_fn, length=n)
+
+    return decorator
+
+
+def prepend_initial_acc(args, ret):
+    """Prepend the initial accumulator to the stacked accumulator outputs
+    (reference scan.py:762)."""
+    init_acc = args[0]
+    accs = ret
+
+    def cat(init, rest):
+        return jnp.concatenate([jnp.asarray(init)[None], rest], axis=0)
+
+    return jtu.tree_map(cat, init_acc, accs)
+
+
+def accumulate():
+    """``(c, a) -> c`` kernel ⇒ ``(c, [a]) -> [c]`` (all intermediate
+    accumulations, initial included — like ``itertools.accumulate``;
+    reference scan.py:791)."""
+
+    def decorator(gen_fn: GenerativeFunction):
+        return (
+            gen_fn.map(lambda c: (c, c), info="accumulate: dup carry")
+            .scan()
+            .dimap(
+                pre=lambda *args: args,
+                post=lambda args, ret: prepend_initial_acc(args, ret[1]),
+                info="accumulate: prepend initial",
+            )
+        )
+
+    return decorator
+
+
+def reduce():
+    """``(c, a) -> c`` kernel ⇒ ``(c, [a]) -> c`` (final accumulation only —
+    like ``functools.reduce``; reference scan.py:854)."""
+
+    def decorator(gen_fn: GenerativeFunction):
+        return (
+            gen_fn.map(lambda c: (c, None), info="reduce: carry only")
+            .scan()
+            .map(lambda ret: ret[0], info="reduce: final carry")
+        )
+
+    return decorator
+
+
+def iterate(*, n: int):
+    """``a -> a`` kernel ⇒ ``a -> [a]`` — n applications, all n+1 states
+    (reference scan.py:916)."""
+
+    def decorator(gen_fn: GenerativeFunction):
+        return (
+            gen_fn.dimap(
+                pre=lambda c, _x: (c,),
+                post=lambda _args, c: (c, c),
+                info="iterate: ignore scan input",
+            )
+            .scan(n=n)
+            .dimap(
+                pre=lambda c: (c, None),
+                post=lambda args, ret: prepend_initial_acc(args, ret[1]),
+                info="iterate: prepend initial",
+            )
+        )
+
+    return decorator
+
+
+def iterate_final(*, n: int):
+    """``a -> a`` kernel ⇒ ``a -> a`` — n applications, final state only
+    (reference scan.py:980)."""
+
+    def decorator(gen_fn: GenerativeFunction):
+        return (
+            gen_fn.dimap(
+                pre=lambda c, _x: (c,),
+                post=lambda _args, c: (c, None),
+                info="iterate_final: ignore scan input",
+            )
+            .scan(n=n)
+            .dimap(
+                pre=lambda c: (c, None),
+                post=lambda _args, ret: ret[0],
+                info="iterate_final: final carry",
+            )
+        )
+
+    return decorator
+
+
+def masked_iterate():
+    """``a -> a`` kernel ⇒ ``(a, [flag]) -> [a]``: dynamic-length iteration
+    inside fixed shapes — step t applies the kernel only where ``flag[t]``
+    (reference scan.py:1101)."""
+
+    def decorator(gen_fn: GenerativeFunction):
+        from .mask_comb import MaskCombinator
+
+        masked = MaskCombinator(
+            gen_fn.dimap(
+                pre=lambda c: (c,),
+                post=lambda _args, c: c,
+                info="masked_iterate: kernel",
+            )
+        )
+
+        def step_pre(c, flag):
+            return (flag, c)
+
+        def step_post(args, masked_ret):
+            (c, _flag) = args
+            new_c = masked_ret.unmask(default=c)
+            return (new_c, new_c)
+
+        step = masked.dimap(pre=step_pre, post=step_post, info="masked_iterate: step")
+        return step.scan().dimap(
+            pre=lambda *args: args,
+            post=lambda args, ret: prepend_initial_acc(args, ret[1]),
+            info="masked_iterate: prepend initial",
+        )
+
+    return decorator
+
+
+def masked_iterate_final():
+    """``a -> a`` kernel ⇒ ``(a, [flag]) -> a``: dynamic-length iteration,
+    final state only (reference scan.py:1050)."""
+
+    def decorator(gen_fn: GenerativeFunction):
+        from .mask_comb import MaskCombinator
+
+        masked = MaskCombinator(
+            gen_fn.dimap(
+                pre=lambda c: (c,),
+                post=lambda _args, c: c,
+                info="masked_iterate_final: kernel",
+            )
+        )
+
+        def step_pre(c, flag):
+            return (flag, c)
+
+        def step_post(args, masked_ret):
+            (c, _flag) = args
+            new_c = masked_ret.unmask(default=c)
+            return (new_c, None)
+
+        step = masked.dimap(
+            pre=step_pre, post=step_post, info="masked_iterate_final: step"
+        )
+        return step.scan().map(lambda ret: ret[0], info="masked_iterate_final: final")
+
+    return decorator

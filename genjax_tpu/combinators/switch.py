@@ -1,0 +1,189 @@
+"""``Switch`` combinator: runtime branch selection over N generative
+functions with different address spaces ("existence uncertainty").
+
+Parity: reference ``/root/reference/src/genjax/_src/generative_functions/
+combinators/switch.py`` (354 LoC) — ``SwitchTrace`` :52 (choices =
+``ChoiceMap.switch`` of branch choices :74-77), ``simulate`` :161, ``assess``
+:178, ``generate`` :191 via ``multi_switch`` + ``tree_choose``, ``edit``
+:257, decorator ``switch`` :311.
+
+Call convention: ``switch_fn.simulate(key, (idx, args_1, ..., args_n))`` where
+``args_i`` is the argument tuple of branch ``i``. A concrete ``idx`` compiles
+only the selected branch; a traced ``idx`` lowers to ``lax.switch``.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+
+from ..core.diff import Diff, NoChange
+from ..core.pytree import Pytree
+from ..core.staging import multi_switch, tree_choose
+from ..core.typing_ import PRNGKey
+from ..generative.choice_map import ChoiceMap
+from ..generative.concepts import (
+    EditRequest,
+    NotSupportedEditRequest,
+    Retdiff,
+    Update,
+    Weight,
+)
+from ..generative.gfi import GenerativeFunction
+from ..generative.selection import Selection
+from ..generative.trace import Trace
+
+
+@Pytree.dataclass
+class SwitchTrace(Trace):
+    """Holds one subtrace per branch; only the selected branch's subtrace
+    carries real data (the rest are zero-filled placeholders)."""
+
+    gen_fn: "SwitchCombinator"
+    args: tuple
+    subtraces: tuple
+    retval: Any
+    score: Any
+
+    def get_args(self) -> tuple:
+        return self.args
+
+    def get_retval(self) -> Any:
+        return self.retval
+
+    def get_score(self):
+        return self.score
+
+    def get_gen_fn(self) -> "SwitchCombinator":
+        return self.gen_fn
+
+    def get_choices(self) -> ChoiceMap:
+        idx = self.args[0]
+        return ChoiceMap.switch(idx, [tr.get_choices() for tr in self.subtraces])
+
+    def get_inner_trace(self, address) -> Trace:
+        idx = self.args[0]
+        if isinstance(idx, int):
+            return self.subtraces[idx]
+        raise NotImplementedError(
+            "get_inner_trace on a Switch with a traced index; slice the "
+            "subtraces field directly."
+        )
+
+
+@Pytree.dataclass
+class SwitchCombinator(GenerativeFunction):
+    branches: tuple
+
+    def _split(self, args: tuple):
+        idx, branch_args = args[0], args[1:]
+        assert len(branch_args) == len(self.branches), (
+            f"switch: got {len(branch_args)} branch argument tuples for "
+            f"{len(self.branches)} branches."
+        )
+        return idx, branch_args
+
+    # ------------------------------------------------------------------
+    # GFI
+    # ------------------------------------------------------------------
+
+    def simulate(self, key: PRNGKey, args: tuple) -> SwitchTrace:
+        idx, branch_args = self._split(args)
+        fs = [f.simulate for f in self.branches]
+        ops = [(key, a) for a in branch_args]
+        subtraces = multi_switch(idx, fs, ops)
+        retval, score = tree_choose(
+            idx, [(tr.get_retval(), tr.get_score()) for tr in subtraces]
+        )
+        return SwitchTrace(self, args, tuple(subtraces), retval, score)
+
+    def assess(self, chm: ChoiceMap, args: tuple):
+        idx, branch_args = self._split(args)
+        fs = [f.assess for f in self.branches]
+        ops = [(chm, a) for a in branch_args]
+        return tree_choose(idx, multi_switch(idx, fs, ops))
+
+    def generate(self, key: PRNGKey, constraint: ChoiceMap, args: tuple):
+        idx, branch_args = self._split(args)
+        fs = [f.generate for f in self.branches]
+        ops = [(key, constraint, a) for a in branch_args]
+        rets = multi_switch(idx, fs, ops)
+        subtraces = tuple(t for t, _w in rets)
+        retval, score, weight = tree_choose(
+            idx,
+            [(tr.get_retval(), tr.get_score(), w) for tr, w in rets],
+        )
+        return SwitchTrace(self, args, subtraces, retval, score), weight
+
+    def project(self, key: PRNGKey, trace: SwitchTrace, selection: Selection) -> Weight:
+        idx = trace.args[0]
+        fs = [f.project for f in self.branches]
+        ops = [(key, tr, selection) for tr in trace.subtraces]
+        ws = multi_switch(idx, fs, ops)
+        return tree_choose(idx, ws)
+
+    # ------------------------------------------------------------------
+    # edit
+    # ------------------------------------------------------------------
+
+    def edit(
+        self,
+        key: PRNGKey,
+        trace: SwitchTrace,
+        request: EditRequest,
+        argdiffs: Any,
+    ) -> tuple[SwitchTrace, Weight, Retdiff, EditRequest]:
+        if not isinstance(request, Update):
+            raise NotSupportedEditRequest(
+                f"SwitchCombinator cannot serve {type(request).__name__}."
+            )
+        idx_diff, branch_argdiffs = argdiffs[0], argdiffs[1:]
+        primals = Diff.tree_primal(argdiffs)
+        new_idx = primals[0]
+        idx_unchanged = Diff.tree_tangent(idx_diff) is NoChange
+
+        if idx_unchanged:
+            fs = [f.edit for f in self.branches]
+            ops = [
+                (key, tr, request, ad)
+                for tr, ad in zip(trace.subtraces, branch_argdiffs)
+            ]
+        else:
+            # Changed index: the old subtrace for the newly selected branch is
+            # a zero-filled placeholder — simulate a fresh trace for the
+            # branch, then apply the constraint-edit to it
+            # (reference switch.py:230-255).
+            def make_fresh_edit(f):
+                def fresh_edit(key, req, ad):
+                    p = Diff.tree_primal(ad)
+                    new_trace = f.simulate(key, p)
+                    return f.edit(key, new_trace, req, Diff.tree_diff_no_change(p))
+
+                return fresh_edit
+
+            fs = [make_fresh_edit(f) for f in self.branches]
+            ops = [(key, request, ad) for ad in branch_argdiffs]
+
+        rets = multi_switch(new_idx, fs, ops)
+        subtraces = tuple(t[0] for t in rets)
+        score, weight, retval = tree_choose(
+            new_idx,
+            [(tr.get_score(), w, Diff.tree_primal(rd)) for tr, w, rd, _ in rets],
+        )
+        if not idx_unchanged:
+            weight = weight + score - trace.get_score()
+
+        bwd_chms = [
+            b.constraint if isinstance(b, Update) else ChoiceMap.empty()
+            for _, _, _, b in rets
+        ]
+        bwd = Update(ChoiceMap.switch(new_idx, bwd_chms))
+        new_tr = SwitchTrace(self, primals, subtraces, retval, score)
+        return new_tr, weight, Diff.tree_diff_unknown_change(retval), bwd
+
+
+def switch(*branches: GenerativeFunction) -> SwitchCombinator:
+    """Build a ``SwitchCombinator`` over ``branches`` (reference
+    switch.py:311)."""
+    return SwitchCombinator(tuple(branches))

@@ -52,7 +52,10 @@ def _shape(kwargs):
 
 
 def _bshape(sample_shape, *params):
-    return jnp.broadcast_shapes(tuple(sample_shape), *(jnp.shape(p) for p in params))
+    """Broadcast a sample shape with parameter shapes. Each ``param`` may be
+    an array-like (its ``jnp.shape`` is used) or an explicit shape tuple."""
+    shapes = [p if isinstance(p, tuple) else jnp.shape(p) for p in params]
+    return jnp.broadcast_shapes(tuple(sample_shape), *shapes)
 
 
 # ----------------------------------------------------------------------

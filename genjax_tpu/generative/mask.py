@@ -29,6 +29,9 @@ R = TypeVar("R")
 def _check_flag_prefix(value: Any, flag: Flag) -> None:
     if FlagOp.is_concrete(flag):
         return
+    if not isinstance(flag, jnp.ndarray) and not hasattr(flag, "aval"):
+        # non-array flag carrier (e.g. a Diff-annotated flag in retdiffs)
+        return
     fshape = jnp.shape(flag)
     if fshape == ():
         return
