@@ -75,6 +75,20 @@ from .combinators import (
 )
 from .combinators import map as map_  # avoid shadowing builtins in * imports
 from .combinators.mask_comb import mask as mask_combinator
+from . import inference
+from .inference import (
+    Algorithm,
+    ChangeTarget,
+    Importance,
+    ImportanceK,
+    Marginal,
+    ParticleCollection,
+    SMCAlgorithm,
+    Target,
+    marginal,
+)
+from .inference.requests import HMC, Rejuvenate, SafeHMC, mh_accept
+from .inference.mcmc import mh, run_chain, run_chains
 
 __version__ = "0.1.0"
 
@@ -113,6 +127,23 @@ __all__ = [
     "Trace",
     "UnknownChange",
     "Update",
+    "Algorithm",
+    "ChangeTarget",
+    "HMC",
+    "Importance",
+    "ImportanceK",
+    "Marginal",
+    "ParticleCollection",
+    "Rejuvenate",
+    "SMCAlgorithm",
+    "SafeHMC",
+    "Target",
+    "inference",
+    "marginal",
+    "mh",
+    "mh_accept",
+    "run_chain",
+    "run_chains",
     "MaskCombinator",
     "ScanCombinator",
     "SwitchCombinator",

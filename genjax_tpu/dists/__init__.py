@@ -1,5 +1,6 @@
 from .catalog import *  # noqa: F401,F403
 from .catalog import __all__ as _catalog_all
+from .discrete_hmm import DiscreteHMM, DiscreteHMMConfiguration
 from .distribution import (
     Distribution,
     DistributionTrace,
@@ -8,6 +9,8 @@ from .distribution import (
 )
 
 __all__ = [
+    "DiscreteHMM",
+    "DiscreteHMMConfiguration",
     "Distribution",
     "DistributionTrace",
     "ExactDensity",

@@ -1,0 +1,30 @@
+"""Inference library: GenSP targets/algorithms, SMC, MCMC edit requests, VI.
+
+Parity: reference ``/root/reference/src/genjax/_src/inference/`` and the
+facade ``/root/reference/src/genjax/inference/__init__.py``.
+"""
+
+from . import mcmc, requests, smc
+from .sp import Algorithm, Marginal, SampleDistribution, Target, marginal
+from .mcmc import MHChainResult, mh, run_chain, run_chains
+from .smc import ChangeTarget, Importance, ImportanceK, ParticleCollection, SMCAlgorithm
+
+__all__ = [
+    "Algorithm",
+    "ChangeTarget",
+    "Importance",
+    "ImportanceK",
+    "Marginal",
+    "ParticleCollection",
+    "SMCAlgorithm",
+    "SampleDistribution",
+    "Target",
+    "MHChainResult",
+    "marginal",
+    "mh",
+    "mcmc",
+    "requests",
+    "run_chain",
+    "run_chains",
+    "smc",
+]

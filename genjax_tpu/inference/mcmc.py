@@ -1,0 +1,113 @@
+"""MCMC drivers: Metropolis–Hastings over edit requests, and chain runners.
+
+The reference provides MCMC *moves* (HMC/Rejuvenate edit requests,
+Regenerate) but no driver — its tests hand-roll accept loops
+(/root/reference/tests/inference/test_requests.py:129-140). This module is
+the framework-level driver the reference lacks, built TPU-first: a chain is
+a ``lax.scan`` of edits, and many chains are a vmapped batch whose leading
+axis shards over a device mesh (see ``genjax_tpu.parallel``).
+
+Weight conventions (why ``mh`` treats Regenerate specially): a
+``Regenerate`` edit returns the *joint*-density ratio as its weight
+(reference distribution.py:258-271 convention, round-trip cancellable),
+while the MH log-acceptance for a regenerate-from-prior move is the
+*likelihood* ratio. ``mh`` subtracts the selected choices' score change
+(via ``project``) to convert: α = w − [proj_new(sel) − proj_old(sel)].
+``HMC``/``Rejuvenate`` already return α as their weight.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import jax.tree_util as jtu
+from jax import lax
+
+from ..core.pytree import Pytree
+from ..core.typing_ import PRNGKey
+from ..generative.concepts import EditRequest, Regenerate
+from ..generative.selection import Selection
+from ..generative.trace import Trace
+
+
+def _accept_step(key: PRNGKey, trace: Trace, new_trace: Trace, alpha):
+    log_u = jnp.log(jr.uniform(key))
+    accept = log_u < alpha
+    out = jtu.tree_map(
+        lambda new, old: jnp.where(accept, new, old), new_trace, trace
+    )
+    return out, accept
+
+
+def mh(
+    key: PRNGKey,
+    trace: Trace,
+    request: EditRequest | Selection,
+) -> tuple[Trace, Any]:
+    """One Metropolis–Hastings step driven by an edit request (or a
+    ``Selection``, shorthand for ``Regenerate(selection)``). Returns
+    ``(trace, accepted)``."""
+    if isinstance(request, Selection):
+        request = Regenerate(request)
+    k_edit, k_proj_new, k_proj_old, k_acc = jr.split(key, 4)
+    new_trace, w, _rd, _bwd = trace.edit(k_edit, request)
+    if isinstance(request, Regenerate):
+        sel = request.selection
+        w = w - (
+            new_trace.project(k_proj_new, sel) - trace.project(k_proj_old, sel)
+        )
+    return _accept_step(k_acc, trace, new_trace, w)
+
+
+@Pytree.dataclass
+class MHChainResult(Pytree):
+    """Final trace(s) plus per-step diagnostics."""
+
+    trace: Trace
+    accept_rate: Any
+    history: Any  # pytree of recorded values per step (or None)
+
+
+def run_chain(
+    key: PRNGKey,
+    trace: Trace,
+    request: EditRequest | Selection,
+    n_steps: int,
+    *,
+    record: Callable[[Trace], Any] | None = None,
+) -> MHChainResult:
+    """Run ``n_steps`` of MH in a single ``lax.scan`` (one XLA while-loop:
+    no per-step dispatch, fully fusable)."""
+
+    def step(tr, k):
+        tr, accepted = mh(k, tr, request)
+        out = record(tr) if record is not None else None
+        return tr, (jnp.asarray(accepted, jnp.float32), out)
+
+    final, (accepts, history) = lax.scan(
+        step, trace, jr.split(key, n_steps), length=n_steps
+    )
+    return MHChainResult(final, jnp.mean(accepts), history)
+
+
+def run_chains(
+    key: PRNGKey,
+    make_trace: Callable[[PRNGKey], Trace],
+    request: EditRequest | Selection,
+    n_steps: int,
+    n_chains: int,
+    *,
+    record: Callable[[Trace], Any] | None = None,
+) -> MHChainResult:
+    """Many independent MH chains as one vmapped program — the TPU-native
+    shape (chain axis leading every leaf; shard it for multi-chip)."""
+
+    def one(k):
+        k_init, k_run = jr.split(k)
+        tr = make_trace(k_init)
+        return run_chain(k_run, tr, request, n_steps, record=record)
+
+    return jax.vmap(one)(jr.split(key, n_chains))

@@ -1,0 +1,11 @@
+"""MCMC moves as edit requests.
+
+Parity: reference ``/root/reference/src/genjax/_src/inference/requests/``
+— ``HMC`` (hmc.py:139), ``SafeHMC`` (hmc.py:214), ``Rejuvenate``
+(rejuvenate.py:45).
+"""
+
+from .hmc import HMC, SafeHMC, mh_accept, selection_gradient
+from .rejuvenate import Rejuvenate
+
+__all__ = ["HMC", "Rejuvenate", "SafeHMC", "mh_accept", "selection_gradient"]
