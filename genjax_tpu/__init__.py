@@ -75,6 +75,7 @@ from .combinators import (
 )
 from .combinators import map as map_  # avoid shadowing builtins in * imports
 from .combinators.mask_comb import mask as mask_combinator
+from . import adev
 from . import inference
 from .inference import (
     Algorithm,
@@ -89,6 +90,7 @@ from .inference import (
 )
 from .inference.requests import HMC, Rejuvenate, SafeHMC, mh_accept
 from .inference.mcmc import mh, run_chain, run_chains
+from .inference import vi
 
 __version__ = "0.1.0"
 
@@ -138,7 +140,9 @@ __all__ = [
     "SMCAlgorithm",
     "SafeHMC",
     "Target",
+    "adev",
     "inference",
+    "vi",
     "marginal",
     "mh",
     "mh_accept",

@@ -117,7 +117,13 @@ class Marginal(SampleDistribution):
         tr = self.gen_fn.simulate(sim_key, args)
         choices = tr.get_choices()
         latent_choices = choices.filter(selection)
-        weight = tr.project(proj_key, ~selection)
+        # Unbiased density-sampler weight (Lew 2023, Defn 3.2): the density
+        # estimate of the latent sample is the full score minus the internal
+        # proposal density of the marginalized-out choices. (The reference,
+        # sp.py:233, returns only `project(~selection)` — zero when the
+        # selection is `All` — which drops the guide-entropy term from every
+        # ELBO gradient; corrected here.)
+        weight = tr.get_score() - tr.project(proj_key, ~selection)
         algorithm = self._algorithm()
         if algorithm is None:
             return weight, latent_choices

@@ -1,0 +1,229 @@
+"""ADEV gradient-estimator exactness tests.
+
+Modeled on reference /root/reference/tests/adev/test_adev.py — JVP/grad
+estimates compared to closed-form derivatives across parameter sweeps
+(SURVEY.md §4 style 4; de-facto baseline rel. err ≤ 1e-4 for exact
+strategies).
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from genjax_tpu.adev import (
+    Dual,
+    add_cost,
+    baseline,
+    beta_implicit,
+    categorical_enum_parallel,
+    expectation,
+    flip_enum,
+    flip_enum_parallel,
+    flip_mvd,
+    flip_reinforce,
+    mv_normal_diag_reparam,
+    normal_reinforce,
+    normal_reparam,
+)
+
+KEY = jax.random.key(314159)
+
+
+class TestExactStrategies:
+    """Enumeration strategies are exactly correct (zero variance)."""
+
+    def test_flip_enum_branch_loss(self):
+        @expectation
+        def loss(p):
+            b = flip_enum(p)
+            return jax.lax.cond(b, lambda: 7.0, lambda: 3.0)
+
+        # E = 3 + 4p, dE/dp = 4 exactly, for any p
+        for p in [0.1, 0.3, 0.7, 0.9]:
+            (grad,) = loss.grad_estimate(KEY, (p,))
+            assert grad == pytest.approx(4.0, rel=1e-5)
+            est = loss.estimate(KEY, (p,))
+            assert est == pytest.approx(3.0 + 4.0 * p, rel=1e-5)
+
+    def test_flip_enum_jvp(self):
+        @expectation
+        def loss(p):
+            b = flip_enum(p)
+            return jax.lax.cond(b, lambda: 1.0, lambda: 0.0)
+
+        dual = loss.jvp_estimate(KEY, (Dual(0.4, 1.0),))
+        assert dual.primal == pytest.approx(0.4, rel=1e-5)
+        assert dual.tangent == pytest.approx(1.0, rel=1e-5)
+
+    def test_flip_enum_parallel(self):
+        @expectation
+        def loss(p):
+            b = flip_enum_parallel(p)
+            return jax.lax.cond(b, lambda: 5.0, lambda: 1.0)
+
+        (grad,) = loss.grad_estimate(KEY, (0.25,))
+        assert grad == pytest.approx(4.0, rel=1e-5)
+
+    def test_categorical_enum(self):
+        @expectation
+        def loss(logits):
+            i = categorical_enum_parallel(logits)
+            return jnp.asarray(i, jnp.float32) ** 2
+
+        (grad,) = loss.grad_estimate(KEY, (jnp.zeros(3),))
+        # E = sum softmax(l) i^2; at zeros p=1/3, E=5/3
+        # dE/dl_j = p_j (j^2 - E)
+        expected = (jnp.array([0.0, 1.0, 4.0]) - 5.0 / 3.0) / 3.0
+        assert jnp.allclose(grad, expected, atol=1e-5)
+
+    def test_composition_of_enum_and_reparam_in_cond(self):
+        @expectation
+        def loss(p):
+            b = flip_enum(p)
+            return jax.lax.cond(
+                b,
+                lambda: normal_reparam(2.0, 0.01),
+                lambda: normal_reparam(-1.0, 0.01),
+            )
+
+        grads = jax.vmap(lambda k: loss.grad_estimate(k, (0.5,))[0])(
+            jax.random.split(KEY, 200)
+        )
+        # E = 2p - (1-p), dE/dp = 3
+        assert jnp.mean(grads) == pytest.approx(3.0, abs=0.05)
+
+
+class TestMonteCarloStrategies:
+    def test_normal_reparam_quadratic(self):
+        @expectation
+        def loss(mu):
+            x = normal_reparam(mu, 1.0)
+            return (x - 2.0) ** 2
+
+        # dE/dmu = 2(mu - 2)
+        grads = jax.vmap(lambda k: loss.grad_estimate(k, (0.5,))[0])(
+            jax.random.split(KEY, 5000)
+        )
+        assert jnp.mean(grads) == pytest.approx(-3.0, abs=0.1)
+
+    def test_normal_reinforce_matches_reparam(self):
+        @expectation
+        def loss(mu):
+            x = normal_reinforce(mu, 1.0)
+            return (x - 2.0) ** 2
+
+        grads = jax.vmap(lambda k: loss.grad_estimate(k, (0.5,))[0])(
+            jax.random.split(KEY, 30000)
+        )
+        assert jnp.mean(grads) == pytest.approx(-3.0, abs=0.15)
+
+    def test_flip_reinforce(self):
+        @expectation
+        def loss(p):
+            b = flip_reinforce(p)
+            return jnp.asarray(b, jnp.float32) * 10.0
+
+        grads = jax.vmap(lambda k: loss.grad_estimate(k, (0.4,))[0])(
+            jax.random.split(KEY, 30000)
+        )
+        assert jnp.mean(grads) == pytest.approx(10.0, abs=0.3)
+
+    def test_flip_mvd(self):
+        @expectation
+        def loss(p):
+            b = flip_mvd(p)
+            return jax.lax.cond(b, lambda: 4.0, lambda: 1.0)
+
+        grads = jax.vmap(lambda k: loss.grad_estimate(k, (0.3,))[0])(
+            jax.random.split(KEY, 2000)
+        )
+        assert jnp.mean(grads) == pytest.approx(3.0, abs=0.1)
+
+    def test_mv_normal_diag_reparam(self):
+        @expectation
+        def loss(params):
+            mu, sig = params
+            x = mv_normal_diag_reparam(mu, sig)
+            return jnp.sum(x**2)
+
+        grads = jax.vmap(
+            lambda k: loss.grad_estimate(k, ((jnp.ones(3), jnp.ones(3)),))
+        )(jax.random.split(KEY, 5000))
+        (mu_grads, sig_grads) = grads[0]
+        # dE/dmu = 2mu = 2; dE/dsig = 2sig = 2
+        assert jnp.allclose(jnp.mean(mu_grads, 0), 2.0, atol=0.15)
+        assert jnp.allclose(jnp.mean(sig_grads, 0), 2.0, atol=0.15)
+
+    def test_beta_implicit(self):
+        @expectation
+        def loss(ab):
+            a, b = ab
+            return beta_implicit(a, b)
+
+        grads = jax.vmap(lambda k: loss.grad_estimate(k, ((2.0, 2.0),)))(
+            jax.random.split(KEY, 5000)
+        )
+        (da, db) = grads[0]
+        # E[Beta(a, b)] = a/(a+b): d/da = 1/8, d/db = -1/8 at (2, 2)
+        assert jnp.mean(da) == pytest.approx(0.125, abs=0.02)
+        assert jnp.mean(db) == pytest.approx(-0.125, abs=0.02)
+
+    def test_baseline_reduces_variance(self):
+        @expectation
+        def plain(p):
+            b = flip_reinforce(p)
+            return jnp.asarray(b, jnp.float32) + 10.0
+
+        @expectation
+        def with_baseline(p):
+            b = baseline(flip_reinforce)(10.5, p)
+            return jnp.asarray(b, jnp.float32) + 10.0
+
+        keys = jax.random.split(KEY, 5000)
+        g_plain = jax.vmap(lambda k: plain.grad_estimate(k, (0.4,))[0])(keys)
+        g_base = jax.vmap(lambda k: with_baseline.grad_estimate(k, (0.4,))[0])(keys)
+        assert jnp.mean(g_plain) == pytest.approx(1.0, abs=0.4)
+        assert jnp.mean(g_base) == pytest.approx(1.0, abs=0.2)
+        assert jnp.var(g_base) < jnp.var(g_plain)
+
+    def test_add_cost(self):
+        @expectation
+        def loss(mu):
+            x = normal_reparam(mu, 1.0)
+            add_cost(3.0 * mu)
+            return x
+
+        grads = jax.vmap(lambda k: loss.grad_estimate(k, (1.0,))[0])(
+            jax.random.split(KEY, 1000)
+        )
+        # E = mu + 3mu -> 4
+        assert jnp.mean(grads) == pytest.approx(4.0, abs=0.1)
+
+
+class TestJAXIntegration:
+    def test_jit_grad_estimate(self):
+        @expectation
+        def loss(mu):
+            x = normal_reparam(mu, 1.0)
+            return x * x
+
+        f = jax.jit(lambda k, mu: loss.grad_estimate(k, (mu,))[0])
+        grads = jax.vmap(lambda k: f(k, 1.0))(jax.random.split(KEY, 3000))
+        assert jnp.mean(grads) == pytest.approx(2.0, abs=0.1)
+
+    def test_grad_through_parameter_transform(self):
+        """Duals propagate through deterministic prologue code."""
+
+        @expectation
+        def loss(theta):
+            mu = jnp.tanh(theta)
+            x = normal_reparam(mu, 1.0)
+            return x
+
+        # E = tanh(theta); d/dtheta = 1 - tanh^2
+        theta = 0.7
+        grads = jax.vmap(lambda k: loss.grad_estimate(k, (theta,))[0])(
+            jax.random.split(KEY, 100)
+        )
+        expected = 1.0 - jnp.tanh(theta) ** 2
+        assert jnp.mean(grads) == pytest.approx(expected, abs=1e-4)
