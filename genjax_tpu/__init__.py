@@ -77,6 +77,7 @@ from .combinators import map as map_  # avoid shadowing builtins in * imports
 from .combinators.mask_comb import mask as mask_combinator
 from . import adev
 from . import inference
+from . import parallel
 from .inference import (
     Algorithm,
     ChangeTarget,
@@ -142,6 +143,7 @@ __all__ = [
     "Target",
     "adev",
     "inference",
+    "parallel",
     "vi",
     "marginal",
     "mh",

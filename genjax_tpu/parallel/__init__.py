@@ -1,0 +1,38 @@
+"""TPU scale-out runtime: device meshes, sharded particle/chain batches,
+collective resampling, multi-chip SMC and MCMC drivers.
+
+This layer has **no reference counterpart** — the reference is single-process
+``jax.vmap`` only (SURVEY.md §2 parallelism inventory: no pmap/pjit/
+shard_map/collectives anywhere in its source). It is the accelerator-scale
+execution story required by BASELINE.json's north star: chains/particles
+sharded over ICI with XLA collectives for log-weight normalization,
+systematic resampling, and cross-chain adaptation.
+"""
+
+from .mesh import make_mesh, shard_batch, host_local_mesh
+from .mcmc import run_chains_sharded, warmup_adapt_step_size
+from .resampling import (
+    collective_resample,
+    effective_sample_size,
+    multinomial_indices,
+    residual_indices,
+    stratified_indices,
+    systematic_indices,
+)
+from .smc import SSMParticleFilter, sharded_importance
+
+__all__ = [
+    "SSMParticleFilter",
+    "collective_resample",
+    "effective_sample_size",
+    "host_local_mesh",
+    "make_mesh",
+    "multinomial_indices",
+    "residual_indices",
+    "run_chains_sharded",
+    "shard_batch",
+    "sharded_importance",
+    "stratified_indices",
+    "systematic_indices",
+    "warmup_adapt_step_size",
+]

@@ -1,0 +1,155 @@
+"""Sharded MCMC: chain batches over a device mesh with cross-chain
+step-size adaptation.
+
+No reference counterpart. Chains are embarrassingly parallel — the chain
+axis shards with one ``NamedSharding`` and XLA partitions the vmapped
+``lax.scan`` program; cross-chain statistics (mean accept rate for dual
+averaging) compile to ICI ``psum`` automatically because they are reductions
+over the sharded axis.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.pytree import Pytree
+from ..core.typing_ import PRNGKey
+from ..generative.concepts import EditRequest
+from ..generative.selection import Selection
+from ..inference.mcmc import MHChainResult, mh
+
+
+def run_chains_sharded(
+    key: PRNGKey,
+    make_trace: Callable[[PRNGKey], Any],
+    request: EditRequest | Selection,
+    n_steps: int,
+    n_chains: int,
+    mesh: Mesh,
+    *,
+    axis: str = "batch",
+    record: Callable[[Any], Any] | None = None,
+) -> MHChainResult:
+    """``inference.mcmc.run_chains`` with the chain axis sharded over
+    ``mesh`` — same program, multi-chip execution."""
+    keys = jr.split(key, n_chains)
+    keys = jax.device_put(keys, NamedSharding(mesh, P(axis)))
+
+    @jax.jit
+    def run(keys):
+        def one(k):
+            k_init, k_run = jr.split(k)
+            tr = make_trace(k_init)
+
+            def step(tr, kk):
+                tr, acc = mh(kk, tr, request)
+                out = record(tr) if record is not None else None
+                return tr, (jnp.asarray(acc, jnp.float32), out)
+
+            tr, (accs, hist) = lax.scan(step, tr, jr.split(k_run, n_steps))
+            return MHChainResult(tr, jnp.mean(accs), hist)
+
+        return jax.vmap(one)(keys)
+
+    return run(keys)
+
+
+@Pytree.dataclass
+class StepSizeAdaptState(Pytree):
+    """Dual-averaging state (Nesterov 2009 / Hoffman & Gelman 2014 §3.2)."""
+
+    log_eps: Any
+    log_eps_bar: Any
+    h_bar: Any
+    step: Any
+    mu: Any  # shrinkage point: log(10 * eps0), fixed
+
+    @staticmethod
+    def init(eps0: float):
+        return StepSizeAdaptState(
+            jnp.log(eps0),
+            jnp.asarray(0.0),
+            jnp.asarray(0.0),
+            jnp.asarray(0),
+            jnp.log(10.0 * eps0),
+        )
+
+
+def dual_averaging_update(
+    state: StepSizeAdaptState,
+    accept_rate,
+    *,
+    target_accept: float = 0.8,
+    t0: float = 10.0,
+    gamma: float = 0.05,
+    kappa: float = 0.75,
+) -> StepSizeAdaptState:
+    step = state.step + 1
+    eta = 1.0 / (step + t0)
+    h_bar = (1.0 - eta) * state.h_bar + eta * (target_accept - accept_rate)
+    log_eps = state.mu - jnp.sqrt(step.astype(jnp.float32)) / gamma * h_bar
+    w = step.astype(jnp.float32) ** (-kappa)
+    log_eps_bar = w * log_eps + (1.0 - w) * state.log_eps_bar
+    return StepSizeAdaptState(log_eps, log_eps_bar, h_bar, step, state.mu)
+
+
+def warmup_adapt_step_size(
+    key: PRNGKey,
+    traces: Any,
+    make_request: Callable[[Any], EditRequest],
+    n_warmup: int,
+    *,
+    eps0: float = 0.1,
+    target_accept: float = 0.8,
+) -> tuple[Any, Any]:
+    """Adapt a global HMC step size over a *batch* of chains by dual
+    averaging on the cross-chain mean accept probability.
+
+    ``traces`` is a vmapped/sharded batch of chain states;
+    ``make_request(eps)`` builds the HMC request at a step size. Under a
+    sharded chain axis the ``jnp.mean`` over chains compiles to an ICI
+    ``psum``. Returns ``(adapted_traces, eps)``.
+    """
+
+    def warm_step(carry, kk):
+        traces, adapt = carry
+        eps = jnp.exp(adapt.log_eps)
+
+        def one(k, tr):
+            new_tr, alpha, _, _ = tr.edit(k, make_request(eps))
+            accept_prob = jnp.minimum(1.0, jnp.exp(alpha))
+            log_u = jnp.log(jr.uniform(jr.fold_in(k, 1)))
+            accept = log_u < alpha
+            out = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(accept, new, old), new_tr, tr
+            )
+            return out, accept_prob
+
+        traces, accept_probs = jax.vmap(one)(
+            jr.split(kk, _leading_size(traces)), traces
+        )
+        mean_accept = jnp.mean(accept_probs)  # psum over sharded chain axis
+        adapt = dual_averaging_update(
+            adapt, mean_accept, target_accept=target_accept
+        )
+        return (traces, adapt), mean_accept
+
+    adapt0 = StepSizeAdaptState.init(eps0)
+    (traces, adapt), accept_hist = lax.scan(
+        warm_step, (traces, adapt0), jr.split(key, n_warmup)
+    )
+    return traces, jnp.exp(adapt.log_eps_bar)
+
+
+def _leading_size(tree) -> int:
+    import jax.tree_util as jtu
+
+    for leaf in jtu.tree_leaves(tree):
+        return leaf.shape[0]
+    raise ValueError("empty tree")

@@ -1,0 +1,54 @@
+"""Device-mesh construction and batch sharding helpers.
+
+The framework's layout convention makes sharding trivial: every trace,
+choice map, and particle collection is a pytree whose leaves carry the
+batch (chain/particle) axis in front. Sharding a computation is therefore
+one ``NamedSharding(mesh, P("batch"))`` on the leading axis — XLA inserts
+ICI collectives for any cross-batch reduction (means, logsumexp) on its
+own, and ``shard_map`` is reserved for algorithms that need explicit
+per-shard logic (collective resampling).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.tree_util as jtu
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: int | None = None, axis: str = "batch", devices=None
+) -> Mesh:
+    """A 1-D mesh over ``n_devices`` (default: all available) with a single
+    named axis for the chain/particle batch dimension."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def host_local_mesh(axis: str = "batch") -> Mesh:
+    """Mesh over this process's addressable devices only."""
+    return Mesh(np.asarray(jax.local_devices()), (axis,))
+
+
+def shard_batch(tree: Any, mesh: Mesh, axis: str = "batch") -> Any:
+    """Place ``tree`` with its leading axis sharded over ``mesh``'s ``axis``.
+    Scalar leaves (no leading batch dim) are replicated."""
+    batch_sharding = NamedSharding(mesh, P(axis))
+    replicated = NamedSharding(mesh, P())
+
+    def place(leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim >= 1:
+            return jax.device_put(leaf, batch_sharding)
+        return jax.device_put(leaf, replicated)
+
+    return jtu.tree_map(place, tree)
+
+
+def batch_spec(axis: str = "batch") -> P:
+    return P(axis)

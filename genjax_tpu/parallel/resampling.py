@@ -1,0 +1,173 @@
+"""Resampling kernels: single-device index generators and cross-shard
+collective resampling.
+
+TPU-first design notes:
+
+- Index generation (systematic/stratified/multinomial/residual) lowers to a
+  ``cumsum`` + ``searchsorted`` — a few fused VPU passes over the weight
+  vector, no host logic.
+- ``collective_resample`` runs inside ``shard_map`` over the particle axis.
+  Two modes trade exactness for interconnect traffic:
+
+  * ``"local"`` — each shard resamples its own slice; the shard's total
+    weight is retained as the (uniform) post-resampling weight of its
+    particles, so the global collection stays properly weighted. Traffic:
+    one scalar ``psum`` (for the normalizer). This is the
+    local-resampling variant of distributed particle filters.
+  * ``"all_gather"`` — exact global systematic resampling: log-weights are
+    all-gathered (K floats over ICI), every shard computes the global index
+    vector and gathers its slice of source particles from an all-gathered
+    particle buffer. Exact but O(K·particle_size) traffic; right when the
+    per-particle state is small.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import jax.tree_util as jtu
+from jax import lax
+from jax.scipy.special import logsumexp
+
+
+def _normalize(log_weights):
+    return log_weights - logsumexp(log_weights)
+
+
+def effective_sample_size(log_weights) -> Any:
+    """ESS = 1 / Σ ŵ² of the normalized weights."""
+    lw = _normalize(log_weights)
+    return jnp.exp(-logsumexp(2.0 * lw))
+
+
+def systematic_indices(key, log_weights, n: int | None = None):
+    """Systematic (low-variance) resampling: one uniform offset, ``n``
+    evenly spaced points inverted through the weight CDF."""
+    k = log_weights.shape[0]
+    n = k if n is None else n
+    w = jnp.exp(_normalize(log_weights))
+    cdf = jnp.cumsum(w)
+    u0 = jr.uniform(key)
+    us = (jnp.arange(n) + u0) / n
+    return jnp.clip(jnp.searchsorted(cdf, us), 0, k - 1)
+
+
+def stratified_indices(key, log_weights, n: int | None = None):
+    """Stratified resampling: one uniform per stratum."""
+    k = log_weights.shape[0]
+    n = k if n is None else n
+    w = jnp.exp(_normalize(log_weights))
+    cdf = jnp.cumsum(w)
+    us = (jnp.arange(n) + jr.uniform(key, (n,))) / n
+    return jnp.clip(jnp.searchsorted(cdf, us), 0, k - 1)
+
+
+def multinomial_indices(key, log_weights, n: int | None = None):
+    k = log_weights.shape[0]
+    n = k if n is None else n
+    return jr.categorical(key, _normalize(log_weights), shape=(n,))
+
+
+def residual_indices(key, log_weights, n: int | None = None):
+    """Residual resampling: deterministic copies for the integer parts of
+    n·ŵ, multinomial for the remainder. Fixed-shape encoding: compute
+    deterministic copy counts, fill the remainder multinomially."""
+    k = log_weights.shape[0]
+    n = k if n is None else n
+    w = jnp.exp(_normalize(log_weights))
+    counts = jnp.floor(n * w).astype(jnp.int32)
+    n_det = jnp.sum(counts)
+    resid = n * w - counts
+    resid_logits = jnp.log(jnp.maximum(resid, 1e-37))
+    # deterministic part: particle i occupies slots [offset_i, offset_i+c_i)
+    offsets = jnp.cumsum(counts) - counts
+    slots = jnp.arange(n)
+    det_idx = jnp.searchsorted(jnp.cumsum(counts), slots, side="right")
+    rand_idx = jr.categorical(key, resid_logits, shape=(n,))
+    return jnp.where(slots < n_det, jnp.clip(det_idx, 0, k - 1), rand_idx)
+
+
+_METHODS = {
+    "systematic": systematic_indices,
+    "stratified": stratified_indices,
+    "multinomial": multinomial_indices,
+    "residual": residual_indices,
+}
+
+
+def resample_indices(key, log_weights, n=None, method: str = "systematic"):
+    return _METHODS[method](key, log_weights, n)
+
+
+# ----------------------------------------------------------------------
+# collective (cross-shard) resampling — call inside shard_map
+# ----------------------------------------------------------------------
+
+
+def collective_log_normalizer(log_weights, axis_name: str):
+    """log Σ_global exp(lw) − log K_global, stably, with one pmax and one
+    psum over ICI."""
+    local_max = jnp.max(log_weights)
+    global_max = lax.pmax(local_max, axis_name)
+    local_sum = jnp.sum(jnp.exp(log_weights - global_max))
+    global_sum = lax.psum(local_sum, axis_name)
+    k_local = log_weights.shape[0]
+    k_global = k_local * lax.psum(1, axis_name)
+    return global_max + jnp.log(global_sum) - jnp.log(k_global)
+
+
+def collective_resample(
+    key,
+    particles: Any,
+    log_weights,
+    axis_name: str,
+    *,
+    method: str = "systematic",
+    mode: str = "local",
+):
+    """Resample a sharded particle collection inside ``shard_map``.
+
+    Returns ``(new_particles, new_log_weights, log_marginal_increment)``
+    where the increment is the global mean-weight normalizer (add it to a
+    running logZ estimate).
+    """
+    shard_idx = lax.axis_index(axis_name)
+    k_local = log_weights.shape[0]
+    log_z_inc = collective_log_normalizer(log_weights, axis_name)
+
+    if mode == "local":
+        # Per-shard resampling; the shard's mean weight is retained so the
+        # global collection remains properly weighted (scalar traffic only).
+        local_key = jr.fold_in(key, shard_idx)
+        idx = resample_indices(local_key, log_weights, k_local, method)
+        new_particles = jtu.tree_map(lambda v: v[idx], particles)
+        shard_log_mean_w = logsumexp(log_weights) - jnp.log(k_local)
+        new_log_weights = jnp.full(
+            (k_local,), shard_log_mean_w - log_z_inc
+        )
+        return new_particles, new_log_weights, log_z_inc
+
+    if mode == "all_gather":
+        # Exact global systematic resampling.
+        all_lw = lax.all_gather(log_weights, axis_name)  # (D, k_local)
+        flat_lw = all_lw.reshape(-1)
+        # Every shard computes the same global index vector from the shared
+        # key (pass `key` replicated — P() — into the shard_map).
+        all_idx = resample_indices(key, flat_lw, flat_lw.shape[0], method)
+        my_slice = lax.dynamic_slice_in_dim(
+            all_idx, shard_idx * k_local, k_local
+        )
+        all_particles = jtu.tree_map(
+            lambda v: lax.all_gather(v, axis_name).reshape(
+                (-1,) + v.shape[1:]
+            ),
+            particles,
+        )
+        new_particles = jtu.tree_map(lambda v: v[my_slice], all_particles)
+        new_log_weights = jnp.zeros((k_local,))
+        return new_particles, new_log_weights, log_z_inc
+
+    raise ValueError(f"Unknown collective resampling mode: {mode!r}")

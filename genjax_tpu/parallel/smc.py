@@ -1,0 +1,255 @@
+"""Sharded SMC drivers: sequential importance resampling over state-space
+models with particles sharded across a device mesh.
+
+No reference counterpart (the reference's SMC is single-shard ``vmap``,
+smc.py:298-315) — this is the BASELINE.json north-star driver: the particle
+axis shards over ICI; per-step weighting is embarrassingly parallel; ESS,
+log-normalizers, and resampling use XLA collectives inside one jitted
+``shard_map`` program.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import jax.tree_util as jtu
+from jax import lax
+from jax.scipy.special import logsumexp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.pytree import Pytree
+from ..core.typing_ import PRNGKey
+from ..generative.choice_map import ChoiceMap
+from ..generative.gfi import GenerativeFunction
+from ..inference.smc import ParticleCollection
+from .resampling import (
+    collective_resample,
+    effective_sample_size,
+    resample_indices,
+)
+
+
+@Pytree.dataclass
+class ParticleFilterResult(Pytree):
+    """Final carries/weights plus the log-marginal-likelihood estimate."""
+
+    carries: Any
+    log_weights: Any
+    log_marginal: Any
+    ess_history: Any
+
+
+@Pytree.dataclass
+class SSMParticleFilter(Pytree):
+    """Sequential importance resampling for a scanned kernel
+    ``(carry, x) -> (carry, y)`` whose per-step observations are constrained.
+
+    Per step ``t``: each particle extends via ``kernel.generate`` under the
+    observation submap at ``t``; weights accumulate; when ESS drops below
+    ``ess_threshold * K`` the collection resamples (adaptive, inside
+    ``lax.cond`` — fixed shapes, no host sync).
+    """
+
+    kernel: GenerativeFunction
+    n_particles: int = Pytree.static()
+    ess_threshold: float = Pytree.static(default=0.5)
+    method: str = Pytree.static(default="systematic")
+
+    # ------------------------------------------------------------------
+    # single-device (vmapped) driver
+    # ------------------------------------------------------------------
+
+    def run(
+        self,
+        key: PRNGKey,
+        init_carry: Any,
+        xs: Any,
+        constraint: ChoiceMap,
+    ) -> ParticleFilterResult:
+        k = self.n_particles
+        t_count = jtu.tree_leaves(xs)[0].shape[0] if xs is not None else None
+
+        def broadcast(c):
+            return jtu.tree_map(
+                lambda v: jnp.broadcast_to(jnp.asarray(v), (k,) + jnp.shape(v)),
+                c,
+            )
+
+        def step(state, inp):
+            carries, log_w, log_z = state
+            t, x = inp
+            step_key = jr.fold_in(key, t)
+
+            def extend(pkey, c):
+                submap = constraint.get_submap(t)
+                tr, w = self.kernel.generate(pkey, submap, (c, x))
+                c_new, _y = tr.get_retval()
+                return c_new, w
+
+            pkeys = jr.split(step_key, k)
+            carries, ws = jax.vmap(extend)(pkeys, carries)
+            log_w = log_w + ws
+
+            ess = effective_sample_size(log_w)
+
+            def do_resample(args):
+                carries, log_w, log_z = args
+                inc = logsumexp(log_w) - jnp.log(k)
+                idx = resample_indices(
+                    jr.fold_in(step_key, 0x5EED), log_w, k, self.method
+                )
+                carries = jtu.tree_map(lambda v: v[idx], carries)
+                return carries, jnp.zeros((k,)), log_z + inc
+
+            def skip(args):
+                return args
+
+            carries, log_w, log_z = lax.cond(
+                ess < self.ess_threshold * k,
+                do_resample,
+                skip,
+                (carries, log_w, log_z),
+            )
+            return (carries, log_w, log_z), ess
+
+        init = (broadcast(init_carry), jnp.zeros((k,)), jnp.asarray(0.0))
+        (carries, log_w, log_z), ess_hist = lax.scan(
+            step, init, (jnp.arange(t_count), xs)
+        )
+        log_marginal = log_z + logsumexp(log_w) - jnp.log(k)
+        return ParticleFilterResult(carries, log_w, log_marginal, ess_hist)
+
+    # ------------------------------------------------------------------
+    # sharded driver (shard_map over the particle axis)
+    # ------------------------------------------------------------------
+
+    def run_sharded(
+        self,
+        key: PRNGKey,
+        init_carry: Any,
+        xs: Any,
+        constraint: ChoiceMap,
+        mesh: Mesh,
+        *,
+        axis: str = "batch",
+        resample_mode: str = "local",
+    ) -> ParticleFilterResult:
+        """The multi-chip path: one jitted ``shard_map`` program; particles
+        stay resident on their chip; ESS/normalizer/resampling are ICI
+        collectives."""
+        n_shards = mesh.shape[axis]
+        assert self.n_particles % n_shards == 0, (
+            f"n_particles={self.n_particles} must divide over {n_shards} shards"
+        )
+        k_local = self.n_particles // n_shards
+        k = self.n_particles
+
+        def shard_program(key, init_carry, xs, constraint):
+            shard = lax.axis_index(axis)
+            t_count = jtu.tree_leaves(xs)[0].shape[0]
+
+            def broadcast(c):
+                return jtu.tree_map(
+                    lambda v: jnp.broadcast_to(
+                        jnp.asarray(v), (k_local,) + jnp.shape(v)
+                    ),
+                    c,
+                )
+
+            def step(state, inp):
+                carries, log_w, log_z = state
+                t, x = inp
+                step_key = jr.fold_in(key, t)
+
+                def extend(pkey, c):
+                    submap = constraint.get_submap(t)
+                    tr, w = self.kernel.generate(pkey, submap, (c, x))
+                    c_new, _y = tr.get_retval()
+                    return c_new, w
+
+                pkeys = jr.split(jr.fold_in(step_key, shard), k_local)
+                carries, ws = jax.vmap(extend)(pkeys, carries)
+                log_w = log_w + ws
+
+                # global ESS via collectives
+                g_max = lax.pmax(jnp.max(log_w), axis)
+                s1 = lax.psum(jnp.sum(jnp.exp(log_w - g_max)), axis)
+                s2 = lax.psum(jnp.sum(jnp.exp(2.0 * (log_w - g_max))), axis)
+                ess = s1 * s1 / s2
+
+                def do_resample(args):
+                    carries, log_w, log_z = args
+                    new_c, new_lw, inc = collective_resample(
+                        step_key,
+                        carries,
+                        log_w,
+                        axis,
+                        method=self.method,
+                        mode=resample_mode,
+                    )
+                    return new_c, new_lw, log_z + inc
+
+                carries, log_w, log_z = lax.cond(
+                    ess < self.ess_threshold * k,
+                    do_resample,
+                    lambda a: a,
+                    (carries, log_w, log_z),
+                )
+                return (carries, log_w, log_z), ess
+
+            init = (broadcast(init_carry), jnp.zeros((k_local,)), jnp.asarray(0.0))
+            (carries, log_w, log_z), ess_hist = lax.scan(
+                step, init, (jnp.arange(t_count), xs)
+            )
+            # final global normalizer
+            g_max = lax.pmax(jnp.max(log_w), axis)
+            total = lax.psum(jnp.sum(jnp.exp(log_w - g_max)), axis)
+            log_marginal = log_z + g_max + jnp.log(total) - jnp.log(k)
+            return carries, log_w, log_marginal, ess_hist
+
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+
+        program = shard_map(
+            shard_program,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P()),
+            out_specs=(P(axis), P(axis), P(), P()),
+            check_vma=False,
+        )
+        carries, log_w, log_marginal, ess_hist = jax.jit(program)(
+            key, init_carry, xs, constraint
+        )
+        return ParticleFilterResult(carries, log_w, log_marginal, ess_hist)
+
+
+def sharded_importance(
+    target_importance,
+    key: PRNGKey,
+    k_particles: int,
+    mesh: Mesh,
+    *,
+    axis: str = "batch",
+):
+    """Embarrassingly-parallel importance sampling over a mesh: the key batch
+    is sharded; XLA partitions the vmapped program and inserts the logsumexp
+    collectives for the final normalizer.
+
+    ``target_importance(key) -> (trace, log_weight)``.
+    """
+    keys = jr.split(key, k_particles)
+    keys = jax.device_put(keys, NamedSharding(mesh, P(axis)))
+
+    @jax.jit
+    def run(keys):
+        trs, ws = jax.vmap(target_importance)(keys)
+        log_z = logsumexp(ws) - jnp.log(k_particles)
+        return trs, ws, log_z
+
+    return run(keys)
