@@ -16,17 +16,18 @@ import time
 import jax
 import jax.numpy as jnp
 import jax.random as jr
+import numpy as np
 
 
 def main():
     import genjax_tpu as g
 
     n_chains = int(os.environ.get("BENCH_CHAINS", 65536))
-    n_steps = int(os.environ.get("BENCH_STEPS", 10))
+    n_steps = int(os.environ.get("BENCH_STEPS", 100))
     L = 5  # leapfrog steps per HMC transition
 
     N, D = 16, 8
-    X = jnp.asarray(jr.normal(jr.key(0), (N, D)), dtype=jnp.float32)
+    X = np.random.default_rng(0).normal(size=(N, D)).astype(np.float32)
 
     @g.gen
     def regression():
@@ -35,7 +36,7 @@ def main():
         y = g.mv_normal_diag(X @ w, 0.25 * jnp.ones(N)) @ "y"
         return y
 
-    y_obs = jnp.asarray(jr.normal(jr.key(1), (N,)), dtype=jnp.float32)
+    y_obs = np.random.default_rng(1).normal(size=(N,)).astype(np.float32)
     obs = g.C["y"].set(y_obs)
     req = g.HMC(g.S["w"] | g.S["tau"], 0.02, L=L)
 
@@ -62,17 +63,21 @@ def main():
 
     key = jr.key(7)
     traces = init(key)
-    jax.block_until_ready(traces)
 
-    # warm-up / compile
+    # warm-up / compile. NOTE: on the tunneled TPU backend
+    # `block_until_ready` does not actually block — a scalar readback is the
+    # only reliable synchronization, and the first readback pays a one-time
+    # warmup cost, so sync once before timing.
     traces, acc = sweep(jr.fold_in(key, 0), traces)
-    jax.block_until_ready(traces)
+    _ = float(acc)
 
     t0 = time.perf_counter()
-    reps = 3
+    reps = int(os.environ.get("BENCH_REPS", 50))
     for i in range(1, reps + 1):
         traces, acc = sweep(jr.fold_in(key, i), traces)
-    jax.block_until_ready(traces)
+    # each sweep consumes the previous sweep's traces, so reading the final
+    # accept rate forces the whole chain of reps
+    _ = float(acc)
     dt = time.perf_counter() - t0
 
     total_samples = n_chains * n_steps * reps
