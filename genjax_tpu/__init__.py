@@ -76,8 +76,11 @@ from .combinators import (
 from .combinators import map as map_  # avoid shadowing builtins in * imports
 from .combinators.mask_comb import mask as mask_combinator
 from . import adev
+from . import debug
 from . import inference
 from . import parallel
+from .debug import TimeTravelingDebugger, rec, tag, time_machine
+from .pretty import pretty
 from .inference import (
     Algorithm,
     ChangeTarget,
@@ -141,9 +144,15 @@ __all__ = [
     "SMCAlgorithm",
     "SafeHMC",
     "Target",
+    "TimeTravelingDebugger",
     "adev",
+    "debug",
     "inference",
     "parallel",
+    "pretty",
+    "rec",
+    "tag",
+    "time_machine",
     "vi",
     "marginal",
     "mh",
