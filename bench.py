@@ -2,10 +2,12 @@
 hierarchical Bayesian regression model (BASELINE.json metric:
 "samples/sec/chip at 64k chains").
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-The reference publishes no numbers (BASELINE.md), so vs_baseline is the
-ratio against this framework's first recorded round (BENCH_r1.json) when
-present, else 1.0.
+Measures the production fused column-layout HMC path
+(genjax_tpu.kernels.column_hmc): the model's log-joint extracted from the
+@gen program, chains packed (D, N) with chains on lanes, whole sweep as one
+jitted scan. Prints ONE JSON line {"metric","value","unit","vs_baseline"}.
+The reference publishes no numbers (BASELINE.md); vs_baseline compares to
+this framework's first recorded round (BENCH_r1.json) when present.
 """
 
 import json
@@ -21,10 +23,13 @@ import numpy as np
 
 def main():
     import genjax_tpu as g
+    from genjax_tpu.kernels import ColumnPacker, column_logdensity, pallas_hmc
 
     n_chains = int(os.environ.get("BENCH_CHAINS", 65536))
     n_steps = int(os.environ.get("BENCH_STEPS", 100))
-    L = 5  # leapfrog steps per HMC transition
+    reps = int(os.environ.get("BENCH_REPS", 100))
+    backend = os.environ.get("BENCH_BACKEND", "xla")
+    L = 5
 
     N, D = 16, 8
     X = np.random.default_rng(0).normal(size=(N, D)).astype(np.float32)
@@ -38,46 +43,36 @@ def main():
 
     y_obs = np.random.default_rng(1).normal(size=(N,)).astype(np.float32)
     obs = g.C["y"].set(y_obs)
-    req = g.HMC(g.S["w"] | g.S["tau"], 0.02, L=L)
 
-    def make_trace(k):
+    packer = ColumnPacker(regression, obs, (), ["tau", "w"])
+    ld = column_logdensity(regression, obs, (), packer)
+
+    def init_one(k):
         tr, _ = regression.generate(k, obs, ())
-        return tr
+        return packer.pack(tr.get_choices())
 
     @jax.jit
     def init(key):
-        return jax.vmap(make_trace)(jr.split(key, n_chains))
+        return jax.vmap(init_one, out_axes=1)(jr.split(key, n_chains))
 
-    @jax.jit
-    def sweep(key, traces):
-        def chain_step(tr, kk):
-            tr, acc = g.mh(kk, tr, req)
-            return tr, jnp.asarray(acc, jnp.float32)
+    sweep = jax.jit(
+        lambda q, s: pallas_hmc(
+            ld, q, s, n_steps=n_steps, eps=0.02, L=L, backend=backend
+        )
+    )
 
-        def one(k, tr):
-            tr, accs = jax.lax.scan(chain_step, tr, jr.split(k, n_steps))
-            return tr, jnp.mean(accs)
+    q = init(jr.key(7))
 
-        traces, accs = jax.vmap(one)(jr.split(key, n_chains), traces)
-        return traces, jnp.mean(accs)
-
-    key = jr.key(7)
-    traces = init(key)
-
-    # warm-up / compile. NOTE: on the tunneled TPU backend
-    # `block_until_ready` does not actually block — a scalar readback is the
-    # only reliable synchronization, and the first readback pays a one-time
-    # warmup cost, so sync once before timing.
-    traces, acc = sweep(jr.fold_in(key, 0), traces)
+    # warm-up / compile. On the tunneled TPU backend block_until_ready does
+    # not block; a scalar readback is the only reliable sync (the first
+    # readback pays a one-time warmup).
+    q1, acc = sweep(q, 0)
     _ = float(acc)
 
     t0 = time.perf_counter()
-    reps = int(os.environ.get("BENCH_REPS", 50))
     for i in range(1, reps + 1):
-        traces, acc = sweep(jr.fold_in(key, i), traces)
-    # each sweep consumes the previous sweep's traces, so reading the final
-    # accept rate forces the whole chain of reps
-    _ = float(acc)
+        q, acc = sweep(q, i)
+    _ = float(acc)  # forces the whole chained sequence
     dt = time.perf_counter() - t0
 
     total_samples = n_chains * n_steps * reps
@@ -103,8 +98,9 @@ def main():
         )
     )
     print(
-        f"# chains={n_chains} steps/sweep={n_steps} reps={reps} L={L} "
-        f"wall={dt:.2f}s accept={float(acc):.2f} device={jax.devices()[0].device_kind}",
+        f"# fused column path ({backend}); chains={n_chains} steps/sweep={n_steps} "
+        f"reps={reps} L={L} wall={dt:.2f}s accept={float(acc):.2f} "
+        f"device={jax.devices()[0].device_kind}",
         file=sys.stderr,
     )
 

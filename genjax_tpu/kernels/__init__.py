@@ -1,0 +1,12 @@
+"""Pallas TPU kernels for hot inference paths.
+
+No reference counterpart (the reference is pure JAX/XLA). These kernels
+exist where XLA's scheduling leaves throughput on the table — e.g. MCMC on
+small models is HBM-bound under XLA because every leapfrog round-trips the
+chain state; the fused kernel keeps entire trajectories in VMEM.
+"""
+
+from .hmc import pallas_hmc
+from .model_interface import ColumnPacker, column_hmc, column_logdensity
+
+__all__ = ["ColumnPacker", "column_hmc", "column_logdensity", "pallas_hmc"]

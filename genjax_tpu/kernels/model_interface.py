@@ -1,0 +1,126 @@
+"""Bridge from ``@gen`` models to the fused column-layout kernels.
+
+``column_hmc`` extracts a flat log-density from a model + constraint over a
+set of continuous addresses, initializes chains from the prior, and runs the
+VMEM-resident Pallas HMC sweep (``kernels.hmc``) — same model code as the
+trace-based drivers, ~50× the throughput at small model sizes (measured
+v5e, 64k chains: 34.9M transitions/s trace-based vs ~1.7B column-layout).
+
+Positions are packed **chains-on-lanes**: ``(D, N)`` with ``D`` the total
+flattened dimension of the selected addresses padded to the fp32 sublane
+tile (8). Padding lanes carry zero gradient and cancel in the MH ratio.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import numpy as np
+
+from ..generative.choice_map import ChoiceMap
+from ..generative.gfi import GenerativeFunction
+from ..generative.mask import Mask
+from .hmc import pallas_hmc
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class ColumnPacker:
+    """Flatten/unflatten a set of addresses to/from a padded column vector."""
+
+    def __init__(self, model, constraint, args, addresses: Sequence[Any]):
+        self.addresses = list(addresses)
+        template = model.simulate(jr.key(0), args)
+        chm = template.get_choices()
+        self.shapes = []
+        offset = 0
+        for addr in self.addresses:
+            path = addr if isinstance(addr, tuple) else (addr,)
+            v = chm.get_submap(*path).get_value()
+            if isinstance(v, Mask):
+                v = v.value
+            shape = jnp.shape(v)
+            size = int(np.prod(shape)) if shape else 1
+            self.shapes.append((path, shape, offset, size))
+            offset += size
+        self.dim = offset
+        self.padded_dim = max(_round_up(offset, 8), 8)
+
+    def unpack(self, q):
+        """(padded_dim,) -> ChoiceMap over the addresses."""
+        chm = ChoiceMap.empty()
+        for path, shape, offset, size in self.shapes:
+            v = q[offset : offset + size]
+            v = v.reshape(shape) if shape else v[0]
+            chm |= ChoiceMap.entry(v, *path)
+        return chm
+
+    def pack(self, chm) -> Any:
+        """ChoiceMap -> (padded_dim,) vector."""
+        parts = []
+        for path, shape, offset, size in self.shapes:
+            v = chm.get_submap(*path).get_value()
+            if isinstance(v, Mask):
+                v = v.value
+            parts.append(jnp.reshape(jnp.asarray(v, jnp.float32), (size,)))
+        flat = jnp.concatenate(parts) if parts else jnp.zeros((0,))
+        pad = self.padded_dim - self.dim
+        return jnp.pad(flat, (0, pad))
+
+
+def column_logdensity(model, constraint, args, packer: ColumnPacker):
+    """The model's log-joint as a batched column function
+    ``(D, NB) -> (NB,)`` in pure jnp (traceable inside a Pallas kernel)."""
+
+    def one(q):
+        latents = packer.unpack(q)
+        score, _ = model.assess(latents | constraint, args)
+        return score
+
+    return jax.vmap(one, in_axes=1)
+
+
+def column_hmc(
+    model: GenerativeFunction,
+    constraint: ChoiceMap,
+    args: tuple,
+    addresses: Sequence[Any],
+    *,
+    n_chains: int,
+    n_steps: int,
+    eps: float,
+    L: int = 5,
+    seed: int = 0,
+    block_n: int = 1024,
+    interpret: bool = False,
+    backend: str = "xla",
+):
+    """Prior-initialized, MH-adjusted HMC over ``addresses`` in the fused
+    column layout. Returns ``(positions, accept_rate, packer)`` where
+    ``positions`` is ``(padded_dim, n_chains)``; decode single chains with
+    ``packer.unpack(positions[:, i])``."""
+    packer = ColumnPacker(model, constraint, args, addresses)
+    logdensity_cols = column_logdensity(model, constraint, args, packer)
+
+    def init_one(k):
+        tr, _ = model.generate(k, constraint, args)
+        return packer.pack(tr.get_choices())
+
+    q0 = jax.vmap(init_one, out_axes=1)(jr.split(jr.key(seed), n_chains))
+    q, accept = pallas_hmc(
+        logdensity_cols,
+        q0,
+        seed,
+        n_steps=n_steps,
+        eps=eps,
+        L=L,
+        block_n=block_n,
+        interpret=interpret,
+        backend=backend,
+    )
+    return q, accept, packer
