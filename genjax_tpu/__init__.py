@@ -77,6 +77,10 @@ from .combinators import map as map_  # avoid shadowing builtins in * imports
 from .combinators.mask_comb import mask as mask_combinator
 from . import adev
 from . import debug
+from . import experimental
+from . import incremental
+from . import io
+from . import typing
 from . import inference
 from . import parallel
 from .debug import TimeTravelingDebugger, rec, tag, time_machine
@@ -147,6 +151,10 @@ __all__ = [
     "TimeTravelingDebugger",
     "adev",
     "debug",
+    "experimental",
+    "incremental",
+    "io",
+    "typing",
     "inference",
     "parallel",
     "pretty",

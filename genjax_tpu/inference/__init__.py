@@ -4,7 +4,7 @@ Parity: reference ``/root/reference/src/genjax/_src/inference/`` and the
 facade ``/root/reference/src/genjax/inference/__init__.py``.
 """
 
-from . import mcmc, requests, smc
+from . import diagnostics, mcmc, requests, smc
 from .sp import Algorithm, Marginal, SampleDistribution, Target, marginal
 from .mcmc import MHChainResult, mh, run_chain, run_chains
 from .smc import ChangeTarget, Importance, ImportanceK, ParticleCollection, SMCAlgorithm
@@ -22,6 +22,7 @@ __all__ = [
     "MHChainResult",
     "marginal",
     "mh",
+    "diagnostics",
     "mcmc",
     "requests",
     "run_chain",

@@ -7,6 +7,7 @@ chain state; the fused kernel keeps entire trajectories in VMEM.
 """
 
 from .hmc import pallas_hmc
-from .model_interface import ColumnPacker, column_hmc, column_logdensity
+from .model_interface import ColumnPacker, column_hmc, column_logdensity, column_nuts
+from .nuts import nuts_sweep_cols, nuts_transition
 
-__all__ = ["ColumnPacker", "column_hmc", "column_logdensity", "pallas_hmc"]
+__all__ = ["ColumnPacker", "column_hmc", "column_logdensity", "column_nuts", "nuts_sweep_cols", "nuts_transition", "pallas_hmc"]

@@ -124,3 +124,34 @@ def column_hmc(
         backend=backend,
     )
     return q, accept, packer
+
+
+def column_nuts(
+    model: GenerativeFunction,
+    constraint: ChoiceMap,
+    args: tuple,
+    addresses: Sequence[Any],
+    *,
+    n_chains: int,
+    n_steps: int,
+    eps: float,
+    max_depth: int = 8,
+    seed: int = 0,
+):
+    """Prior-initialized No-U-Turn sampling over ``addresses`` in the fused
+    column layout. Returns ``(positions, accept_stat, mean_leapfrogs,
+    packer)``."""
+    from .nuts import nuts_sweep_cols
+
+    packer = ColumnPacker(model, constraint, args, addresses)
+    logdensity_cols = column_logdensity(model, constraint, args, packer)
+
+    def init_one(k):
+        tr, _ = model.generate(k, constraint, args)
+        return packer.pack(tr.get_choices())
+
+    q0 = jax.vmap(init_one, out_axes=1)(jr.split(jr.key(seed), n_chains))
+    q, accept, leaps = nuts_sweep_cols(
+        logdensity_cols, q0, seed, n_steps=n_steps, eps=eps, max_depth=max_depth
+    )
+    return q, accept, leaps, packer

@@ -1,0 +1,72 @@
+"""NUTS correctness: posterior moments vs closed forms and adaptive
+trajectory behavior."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import genjax_tpu as g
+from genjax_tpu.kernels import column_nuts
+from genjax_tpu.kernels.nuts import nuts_sweep_cols
+
+
+class TestNUTSCore:
+    def test_standard_normal(self):
+        def ld(q):
+            return jnp.sum(-0.5 * q * q, axis=0)
+
+        qf, acc, leaps = jax.jit(
+            lambda q: nuts_sweep_cols(ld, q, 0, n_steps=60, eps=0.4, max_depth=6)
+        )(jnp.full((5, 512), 3.0))
+        assert float(acc) > 0.8
+        assert jnp.mean(qf) == pytest.approx(0.0, abs=0.1)
+        assert jnp.std(qf) == pytest.approx(1.0, abs=0.1)
+
+    def test_adaptive_trajectories(self):
+        """Wider targets need longer trajectories — NUTS adapts them."""
+
+        def narrow(q):
+            return jnp.sum(-0.5 * (q / 0.3) ** 2, axis=0)
+
+        def wide(q):
+            return jnp.sum(-0.5 * (q / 3.0) ** 2, axis=0)
+
+        _, _, leaps_narrow = nuts_sweep_cols(
+            narrow, jnp.zeros((2, 128)), 0, n_steps=20, eps=0.1, max_depth=8
+        )
+        _, _, leaps_wide = nuts_sweep_cols(
+            wide, jnp.zeros((2, 128)), 0, n_steps=20, eps=0.1, max_depth=8
+        )
+        assert float(leaps_wide) > 2.0 * float(leaps_narrow)
+
+    def test_correlated_gaussian(self):
+        cov = jnp.array([[1.0, 0.9], [0.9, 1.0]])
+        prec = jnp.linalg.inv(cov)
+
+        def ld(q):
+            return -0.5 * jnp.sum(q * (prec @ q), axis=0)
+
+        qf, acc, _ = jax.jit(
+            lambda q: nuts_sweep_cols(ld, q, 2, n_steps=100, eps=0.2, max_depth=7)
+        )(jnp.zeros((2, 1024)))
+        emp = jnp.cov(qf)
+        assert jnp.allclose(emp, cov, atol=0.12)
+
+
+class TestColumnNUTS:
+    def test_conjugate_posterior(self):
+        @g.gen
+        def model():
+            mu = g.normal(0.0, 1.0) @ "mu"
+            _ = g.normal(mu, 1.0) @ "y"
+
+        obs = g.C["y"].set(2.0)
+        q, acc, leaps, packer = column_nuts(
+            model, obs, (), ["mu"],
+            n_chains=1024, n_steps=80, eps=0.3, max_depth=6,
+        )
+        mus = q[0, :]
+        assert float(acc) > 0.8
+        assert jnp.mean(mus) == pytest.approx(1.0, abs=0.1)
+        assert jnp.std(mus) == pytest.approx(1 / np.sqrt(2.0), abs=0.1)
