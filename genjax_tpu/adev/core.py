@@ -139,6 +139,45 @@ class TailCallADEVPrimitive(ADEVPrimitive):
         return kdual(key, self.before_tail_call(key, dual_tree))
 
 
+@Pytree.dataclass
+class BatchedTailCallPrimitive(TailCallADEVPrimitive):
+    """A vmapped tail-call primitive: sampling and the pre-continuation dual
+    computation are both vmapped over the batch dims (reference
+    ``TailCallBatchedADEVPrimitive``, core.py:109). Continuation-requiring
+    strategies (enumeration, REINFORCE, MVD) cannot be batched this way —
+    batching them raises at the ``sample_p`` batch rule."""
+
+    inner: ADEVPrimitive
+    key_dim: Any = Pytree.static()
+    arg_dims: Any = Pytree.static()
+    batch_size: int = Pytree.static()
+
+    def sample(self, key, *args):
+        return jax.vmap(
+            self.inner.sample, in_axes=(self.key_dim, *self.arg_dims)
+        )(key, *args)
+
+    def before_tail_call(self, key, dual_tree):
+        # `key` here is the ADEV transform's (scalar) key — the batched key
+        # operand was consumed at bind time — so derive per-lane keys.
+        import jax.random as jr
+
+        primals = Dual.tree_primal(dual_tree)
+        tangents = Dual.tree_tangent(dual_tree)
+        keys = jr.split(key, self.batch_size)
+
+        def inner_btc(key, primals, tangents):
+            return self.inner.before_tail_call(
+                key, Dual.dual_tree(primals, tangents)
+            )
+
+        out = jax.vmap(
+            inner_btc,
+            in_axes=(0, tuple(self.arg_dims), tuple(self.arg_dims)),
+        )(keys, tuple(primals), tuple(tangents))
+        return out
+
+
 # ----------------------------------------------------------------------
 # the sample intrinsic
 # ----------------------------------------------------------------------
@@ -158,6 +197,60 @@ def sample_primitive(adev_prim: ADEVPrimitive, *args, key: PRNGKey | None = None
         return adev_prim.sample(key, *args)
 
     return initial_style_bind(sample_p)(call)(key, adev_prim, *args)
+
+
+def _sample_batch_rule(batched_args, batch_dims, **params):
+    """Batching rule for ``sample_p``: re-bind with a batched primitive so
+    the gradient strategy survives ``vmap`` (e.g. ImportanceK's vmapped
+    proposals inside IWELBO). Tail-call (reparameterization-style)
+    strategies batch exactly; continuation-requiring strategies cannot."""
+    import jax.tree_util as jtu
+
+    in_tree = params["in_tree"]
+    vals = jtu.tree_unflatten(in_tree, list(batched_args))
+    dims = jtu.tree_unflatten(in_tree, list(batch_dims))
+    key, prim, *args = vals
+    key_dim, prim_dims, *arg_dims = dims
+    from jax.interpreters.batching import not_mapped
+
+    if any(d is not not_mapped for d in jtu.tree_leaves(prim_dims)):
+        raise NotImplementedError(
+            "ADEV: vmap over a primitive with batched strategy parameters."
+        )
+    if not isinstance(prim, TailCallADEVPrimitive):
+        raise NotImplementedError(
+            f"ADEV: vmap over a {type(prim).__name__} draw — only "
+            "reparameterization-style (tail-call) strategies support "
+            "batching. Restructure enumeration/REINFORCE draws outside the "
+            "vmap, or use a *_reparam primitive."
+        )
+    # batch size from any mapped operand (key or an argument leaf)
+    size = None
+    if key_dim is not not_mapped:
+        size = jnp.shape(key)[key_dim]
+    else:
+        for a, d in zip(args, arg_dims):
+            for leaf, ld in zip(jtu.tree_leaves(a), jtu.tree_leaves(d)):
+                if ld is not not_mapped:
+                    size = jnp.shape(leaf)[ld]
+                    break
+            if size is not None:
+                break
+    assert size is not None, "sample_p batch rule fired with no mapped operand"
+    batched = BatchedTailCallPrimitive(
+        prim,
+        key_dim if key_dim is not not_mapped else None,
+        tuple(d if d is not not_mapped else None for d in arg_dims),
+        int(size),
+    )
+    out = sample_primitive(batched, *args, key=key)
+    flat_out = jtu.tree_leaves(out)
+    return flat_out, (0,) * len(flat_out)
+
+
+from jax.interpreters import batching as _batching  # noqa: E402
+
+_batching.primitive_batchers[sample_p] = _sample_batch_rule
 
 
 # ----------------------------------------------------------------------

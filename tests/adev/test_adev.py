@@ -227,3 +227,41 @@ class TestJAXIntegration:
         )
         expected = 1.0 - jnp.tanh(theta) ** 2
         assert jnp.mean(grads) == pytest.approx(expected, abs=1e-4)
+
+
+class TestBatchedPrimitives:
+    def test_vmapped_reparam_draws_keep_strategy(self):
+        """Batched-key reparam draws (the ImportanceK/IWELBO pattern) give
+        correct gradients through the batched tail-call primitive."""
+        from genjax_tpu.adev.core import sample_primitive
+        from genjax_tpu.adev.primitives import NormalREPARAM
+
+        nr = NormalREPARAM()
+
+        @expectation
+        def loss(mu):
+            keys = jax.random.split(jax.random.key(1), 4)
+            xs = jax.vmap(lambda k: sample_primitive(nr, mu, 1.0, key=k))(keys)
+            return jnp.mean((xs - 2.0) ** 2)
+
+        gs = jax.vmap(lambda k: loss.grad_estimate(k, (0.5,))[0])(
+            jax.random.split(KEY, 4000)
+        )
+        assert jnp.mean(gs) == pytest.approx(-3.0, abs=0.1)
+
+    def test_vmapped_enum_raises(self):
+        from genjax_tpu.adev.core import sample_primitive
+        from genjax_tpu.adev.primitives import FlipEnum
+
+        fe = FlipEnum()
+
+        @expectation
+        def bad(p):
+            keys = jax.random.split(jax.random.key(1), 3)
+            bs = jax.vmap(
+                lambda k: jnp.float32(sample_primitive(fe, p, key=k))
+            )(keys)
+            return jnp.mean(bs)
+
+        with pytest.raises(NotImplementedError):
+            bad.grad_estimate(KEY, (0.4,))
