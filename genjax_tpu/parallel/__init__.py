@@ -15,8 +15,12 @@ from .resampling import (
     collective_resample,
     effective_sample_size,
     multinomial_indices,
+    redistribute,
+    resample_particles,
     residual_indices,
+    stratified_counts,
     stratified_indices,
+    systematic_counts,
     systematic_indices,
 )
 from .smc import SSMParticleFilter, sharded_importance
@@ -28,11 +32,15 @@ __all__ = [
     "host_local_mesh",
     "make_mesh",
     "multinomial_indices",
+    "redistribute",
+    "resample_particles",
     "residual_indices",
     "run_chains_sharded",
     "shard_batch",
     "sharded_importance",
     "stratified_indices",
+    "systematic_counts",
     "systematic_indices",
+    "stratified_counts",
     "warmup_adapt_step_size",
 ]

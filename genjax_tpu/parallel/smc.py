@@ -29,7 +29,7 @@ from ..inference.smc import ParticleCollection
 from .resampling import (
     collective_resample,
     effective_sample_size,
-    resample_indices,
+    resample_particles,
 )
 
 
@@ -99,10 +99,9 @@ class SSMParticleFilter(Pytree):
             def do_resample(args):
                 carries, log_w, log_z = args
                 inc = logsumexp(log_w) - jnp.log(k)
-                idx = resample_indices(
-                    jr.fold_in(step_key, 0x5EED), log_w, k, self.method
+                carries = resample_particles(
+                    jr.fold_in(step_key, 0x5EED), carries, log_w, k, self.method
                 )
-                carries = jtu.tree_map(lambda v: v[idx], carries)
                 return carries, jnp.zeros((k,)), log_z + inc
 
             def skip(args):
