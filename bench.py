@@ -69,11 +69,18 @@ def main():
     q1, acc = sweep(q, 0)
     _ = float(acc)
 
+    profile_dir = os.environ.get("BENCH_PROFILE")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+
     t0 = time.perf_counter()
     for i in range(1, reps + 1):
         q, acc = sweep(q, i)
     _ = float(acc)  # forces the whole chained sequence
     dt = time.perf_counter() - t0
+
+    if profile_dir:
+        jax.profiler.stop_trace()
 
     total_samples = n_chains * n_steps * reps
     samples_per_sec = total_samples / dt

@@ -53,3 +53,31 @@ from .typing_ import (
 )
 
 __all__ = [k for k in dir() if not k.startswith("_")]
+
+# Reference-facade parity (`genjax.core` re-exports the generative types;
+# reference src/genjax/core/generative.py:15-54). Resolved lazily to avoid
+# a circular import — `generative` imports from `core`.
+_GENERATIVE_EXPORTS = (
+    "ChoiceMap",
+    "ChoiceMapBuilder",
+    "EditRequest",
+    "EmptyRequest",
+    "GenerativeFunction",
+    "IndexRequest",
+    "Mask",
+    "NotSupportedEditRequest",
+    "PrimitiveEditRequest",
+    "Regenerate",
+    "Selection",
+    "SelectionBuilder",
+    "Trace",
+    "Update",
+)
+
+
+def __getattr__(name):
+    if name in _GENERATIVE_EXPORTS:
+        from .. import generative
+
+        return getattr(generative, name)
+    raise AttributeError(f"module 'genjax_tpu.core' has no attribute {name!r}")
