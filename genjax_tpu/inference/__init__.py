@@ -4,9 +4,10 @@ Parity: reference ``/root/reference/src/genjax/_src/inference/`` and the
 facade ``/root/reference/src/genjax/inference/__init__.py``.
 """
 
-from . import diagnostics, mcmc, requests, smc
+from . import diagnostics, mcmc, requests, smc, tempered
 from .sp import Algorithm, Marginal, SampleDistribution, Target, marginal
 from .mcmc import MHChainResult, mh, run_chain, run_chains
+from .tempered import TemperedSMCResult, geometric_ladder, tempered_smc
 from .smc import ChangeTarget, Importance, ImportanceK, ParticleCollection, SMCAlgorithm
 
 __all__ = [
@@ -27,5 +28,9 @@ __all__ = [
     "requests",
     "run_chain",
     "run_chains",
+    "TemperedSMCResult",
+    "geometric_ladder",
+    "tempered",
+    "tempered_smc",
     "smc",
 ]

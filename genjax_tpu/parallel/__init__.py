@@ -9,7 +9,7 @@ sharded over ICI with XLA collectives for log-weight normalization,
 systematic resampling, and cross-chain adaptation.
 """
 
-from .mesh import make_mesh, shard_batch, host_local_mesh
+from .mesh import host_local_mesh, initialize_distributed, make_mesh, shard_batch
 from .mcmc import run_chains_sharded, warmup_adapt_step_size
 from .resampling import (
     collective_resample,
@@ -30,6 +30,7 @@ __all__ = [
     "collective_resample",
     "effective_sample_size",
     "host_local_mesh",
+    "initialize_distributed",
     "make_mesh",
     "multinomial_indices",
     "redistribute",

@@ -31,6 +31,14 @@ def make_mesh(
     return Mesh(np.asarray(devices), (axis,))
 
 
+def initialize_distributed(**kwargs) -> None:
+    """Initialize the multi-host JAX runtime (call once per process before
+    building meshes on a pod slice). Thin passthrough to
+    ``jax.distributed.initialize`` so framework users have one entry
+    point."""
+    jax.distributed.initialize(**kwargs)
+
+
 def host_local_mesh(axis: str = "batch") -> Mesh:
     """Mesh over this process's addressable devices only."""
     return Mesh(np.asarray(jax.local_devices()), (axis,))
