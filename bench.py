@@ -31,16 +31,11 @@ def main():
     backend = os.environ.get("BENCH_BACKEND", "xla")
     L = 5
 
+    from genjax_tpu.models import hierarchical_regression
+
     N, D = 16, 8
     X = np.random.default_rng(0).normal(size=(N, D)).astype(np.float32)
-
-    @g.gen
-    def regression():
-        tau = g.log_normal(0.0, 0.5) @ "tau"
-        w = g.mv_normal_diag(jnp.zeros(D), tau * jnp.ones(D)) @ "w"
-        y = g.mv_normal_diag(X @ w, 0.25 * jnp.ones(N)) @ "y"
-        return y
-
+    regression = hierarchical_regression(X)
     y_obs = np.random.default_rng(1).normal(size=(N,)).astype(np.float32)
     obs = g.C["y"].set(y_obs)
 

@@ -80,6 +80,7 @@ from . import debug
 from . import experimental
 from . import incremental
 from . import io
+from . import models
 from . import typing
 from . import inference
 from . import parallel
@@ -154,6 +155,7 @@ __all__ = [
     "experimental",
     "incremental",
     "io",
+    "models",
     "typing",
     "inference",
     "parallel",

@@ -1,0 +1,22 @@
+"""Canonical model families (the BASELINE.json benchmark configs).
+
+The reference ships no model zoo beyond cookbook notebooks (SURVEY.md §1:
+"no model zoo"); these constructors are the production counterparts —
+every family returns a ``@gen`` generative function plus helpers (exact
+posteriors where they exist) so inference can be validated in place.
+"""
+
+from .hmm import discrete_hmm_model
+from .mixture import dp_mixture_model, gaussian_mixture_model
+from .regression import hierarchical_regression, linear_regression
+from .ssm import linear_gaussian_ssm, stochastic_volatility
+
+__all__ = [
+    "discrete_hmm_model",
+    "dp_mixture_model",
+    "gaussian_mixture_model",
+    "hierarchical_regression",
+    "linear_gaussian_ssm",
+    "linear_regression",
+    "stochastic_volatility",
+]

@@ -1,0 +1,55 @@
+"""Bayesian regression families (BASELINE config: "Bayesian linear/
+hierarchical regression via NUTS, 1k-64k parallel chains")."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..lang.static_lang import gen
+
+
+def linear_regression(X, *, obs_scale: float = 0.25, prior_scale: float = 1.0):
+    """``w ~ N(0, prior_scale); y ~ N(X @ w, obs_scale)``.
+
+    Returns ``(model, exact_posterior)`` where ``exact_posterior(y)`` gives
+    the conjugate ``(mean, covariance)`` of ``w | y``.
+    """
+    from ..dists import mv_normal_diag
+
+    X = jnp.asarray(X, jnp.float32)
+    n, d = X.shape
+
+    @gen
+    def model():
+        w = mv_normal_diag(jnp.zeros(d), prior_scale * jnp.ones(d)) @ "w"
+        y = mv_normal_diag(X @ w, obs_scale * jnp.ones(n)) @ "y"
+        return y
+
+    def exact_posterior(y):
+        y = jnp.asarray(y)
+        prec = jnp.eye(d) / prior_scale**2 + (X.T @ X) / obs_scale**2
+        cov = jnp.linalg.inv(prec)
+        mean = cov @ (X.T @ y) / obs_scale**2
+        return mean, cov
+
+    return model, exact_posterior
+
+
+def hierarchical_regression(X, *, obs_scale: float = 0.25):
+    """The flagship benchmark model: ``tau ~ LogNormal(0, 0.5)``,
+    ``w ~ N(0, tau)``, ``y ~ N(X @ w, obs_scale)``. Addresses: ``tau``,
+    ``w``, ``y``."""
+    from ..dists import log_normal, mv_normal_diag
+
+    X = jnp.asarray(X, jnp.float32)
+    n, d = X.shape
+
+    @gen
+    def model():
+        tau = log_normal(0.0, 0.5) @ "tau"
+        w = mv_normal_diag(jnp.zeros(d), tau * jnp.ones(d)) @ "w"
+        y = mv_normal_diag(X @ w, obs_scale * jnp.ones(n)) @ "y"
+        return y
+
+    return model
