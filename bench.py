@@ -27,7 +27,7 @@ def main():
 
     n_chains = int(os.environ.get("BENCH_CHAINS", 65536))
     n_steps = int(os.environ.get("BENCH_STEPS", 100))
-    reps = int(os.environ.get("BENCH_REPS", 100))
+    reps = int(os.environ.get("BENCH_REPS", 50))
     backend = os.environ.get("BENCH_BACKEND", "xla")
     L = 5
 
@@ -56,13 +56,19 @@ def main():
         )
     )
 
+    print(f"# init trace+compile start", file=sys.stderr, flush=True)
+    t_init = time.perf_counter()
     q = init(jr.key(7))
+    print(f"# init dispatched {time.perf_counter()-t_init:.1f}s", file=sys.stderr, flush=True)
 
     # warm-up / compile. On the tunneled TPU backend block_until_ready does
     # not block; a scalar readback is the only reliable sync (the first
     # readback pays a one-time warmup).
+    t_w = time.perf_counter()
     q1, acc = sweep(q, 0)
+    print(f"# sweep dispatched {time.perf_counter()-t_w:.1f}s", file=sys.stderr, flush=True)
     _ = float(acc)
+    print(f"# warmup synced {time.perf_counter()-t_w:.1f}s", file=sys.stderr, flush=True)
 
     profile_dir = os.environ.get("BENCH_PROFILE")
     if profile_dir:
