@@ -136,7 +136,13 @@ class TailCallADEVPrimitive(ADEVPrimitive):
 
     def jvp_estimate(self, key, dual_tree, konts):
         _, kdual = konts
-        return kdual(key, self.before_tail_call(key, dual_tree))
+        # Distinct streams for this draw and the continuation: passing the
+        # same key to both makes consecutive tail-call draws produce
+        # IDENTICAL noise (e.g. two normal_reparam latents in one guide).
+        import jax.random as jr
+
+        self_key, cont_key = jr.split(key)
+        return kdual(cont_key, self.before_tail_call(self_key, dual_tree))
 
 
 @Pytree.dataclass
@@ -349,13 +355,19 @@ def _eval_dual(key, eqns, env: Environment, invars, flat_duals, outvars):
         if eqn.primitive is lax.cond_p:
             env_snapshot = env.copy()
             rest = eqns[i + 1 :]
+            # distinct streams: branch-internal draws vs the continuation
+            # (sharing the key correlates a branch's samples with the first
+            # post-cond sample)
+            import jax.random as jr
+
+            branch_key, cont_key = jr.split(key)
 
             def cond_kont(dual_tree, _rest=rest, _env=env_snapshot, _ov=eqn.outvars):
                 dual_leaves = Dual.tree_pure(dual_tree)
                 if not isinstance(dual_leaves, list):
                     dual_leaves = jtu.tree_leaves(dual_leaves, is_leaf=Dual._is)
                 return _eval_dual(
-                    key, _rest, _env.copy(), _ov, dual_leaves, outvars
+                    cont_key, _rest, _env.copy(), _ov, dual_leaves, outvars
                 )
 
             index_dual, *op_duals = in_duals
@@ -367,7 +379,7 @@ def _eval_dual(key, eqns, env: Environment, invars, flat_duals, outvars):
             return lax.switch(
                 idx,
                 branch_fns,
-                key,
+                branch_key,
                 [Dual.tree_pure(d) for d in op_duals],
             )
 

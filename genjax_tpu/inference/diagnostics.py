@@ -44,7 +44,6 @@ def ess(draws, max_lag: int | None = None) -> jnp.ndarray:
         b = centered[:, lag:]
         return jnp.mean(jnp.mean(a * b, axis=1) / var)
 
-    lags = jnp.arange(1, max_lag + 1)
     rhos = jnp.stack([acf(int(l)) for l in range(1, max_lag + 1)])
     # Geyer: sum consecutive pairs while positive
     pair_sums = rhos[0::2][: max_lag // 2] + rhos[1::2][: max_lag // 2]

@@ -195,18 +195,22 @@ class ImportanceK(SMCAlgorithm):
         return self.target
 
     def run_smc(self, key: PRNGKey) -> ParticleCollection:
-        _, sub_key = jr.split(key)
-        sub_keys = jr.split(sub_key, self.k_particles)
+        # distinct key streams for the proposal draws and the target's
+        # internal fills — sharing them couples the "fresh" internal draws
+        # to the proposal choices and biases the weights
+        q_key, p_key = jr.split(key)
+        q_keys = jr.split(q_key, self.k_particles)
+        p_keys = jr.split(p_key, self.k_particles)
         if self.q is not None:
             log_weights, choices = jax.vmap(
                 self.q.random_weighted, in_axes=(0, None)
-            )(sub_keys, self.target)
-            trs, target_scores = jax.vmap(self.target.importance)(sub_keys, choices)
+            )(q_keys, self.target)
+            trs, target_scores = jax.vmap(self.target.importance)(p_keys, choices)
         else:
             log_weights = 0.0
             trs, target_scores = jax.vmap(
                 self.target.importance, in_axes=(0, None)
-            )(sub_keys, ChoiceMap.empty())
+            )(p_keys, ChoiceMap.empty())
         return ParticleCollection(
             trs, target_scores - log_weights, jnp.asarray(True)
         )
@@ -214,24 +218,29 @@ class ImportanceK(SMCAlgorithm):
     def run_csmc(self, key: PRNGKey, retained: ChoiceMap) -> ParticleCollection:
         """CSMC initialization: K-1 fresh proposals plus the retained particle
         in the last slot (reference smc.py:317-351)."""
-        key, sub_key = jr.split(key)
-        sub_keys = jr.split(sub_key, self.k_particles - 1)
+        q_key, est_key, p_key = jr.split(key, 3)
+        q_keys = jr.split(q_key, self.k_particles - 1)
         if self.q is not None:
             log_scores, choices = jax.vmap(
                 self.q.random_weighted, in_axes=(0, None)
-            )(sub_keys, self.target)
-            retained_q_score = self.q.estimate_logpdf(key, retained, self.target)
+            )(q_keys, self.target)
+            retained_q_score = self.q.estimate_logpdf(
+                est_key, retained, self.target
+            )
             stacked_choices = _tree_append(choices, retained)
             stacked_scores = _tree_append(log_scores, retained_q_score)
-            all_keys = jr.split(key, self.k_particles)
+            all_keys = jr.split(p_key, self.k_particles)
             trs, target_scores = jax.vmap(self.target.importance)(
                 all_keys, stacked_choices
             )
         else:
+            free_keys = jr.split(p_key, self.k_particles - 1)
             free_trs, free_scores = jax.vmap(
                 self.target.importance, in_axes=(0, None)
-            )(sub_keys, ChoiceMap.empty())
-            retained_tr, retained_score = self.target.importance(key, retained)
+            )(free_keys, ChoiceMap.empty())
+            retained_tr, retained_score = self.target.importance(
+                est_key, retained
+            )
             trs = _tree_append(free_trs, retained_tr)
             target_scores = _tree_append(free_scores, retained_score)
             stacked_scores = 0.0
@@ -271,12 +280,14 @@ class ChangeTarget(SMCAlgorithm):
         return ParticleCollection(new_particles, new_weights, jnp.asarray(True))
 
     def run_smc(self, key: PRNGKey) -> ParticleCollection:
-        collection = self.prev.run_smc(key)
-        return self._reweight_collection(key, collection)
+        prev_key, rw_key = jr.split(key)
+        collection = self.prev.run_smc(prev_key)
+        return self._reweight_collection(rw_key, collection)
 
     def run_csmc(self, key: PRNGKey, retained: ChoiceMap) -> ParticleCollection:
-        collection = self.prev.run_csmc(key, retained)
-        return self._reweight_collection(key, collection)
+        prev_key, rw_key = jr.split(key)
+        collection = self.prev.run_csmc(prev_key, retained)
+        return self._reweight_collection(rw_key, collection)
 
     def run_csmc_for_normalizing_constant(
         self, key: PRNGKey, latent_choices: ChoiceMap, w: Weight

@@ -88,11 +88,12 @@ def nuts_transition(
         n_leap: jnp.ndarray
         sum_accept: jnp.ndarray  # for accept-prob statistic
         sum_count: jnp.ndarray
+        depth: jnp.ndarray  # doublings completed before termination
 
     t0 = T(
         z0, r0, z0, r0, z0, -energy0,
         jnp.asarray(False), jnp.asarray(False), jnp.asarray(0),
-        jnp.asarray(0.0), jnp.asarray(0.0),
+        jnp.asarray(0.0), jnp.asarray(0.0), jnp.asarray(0),
     )
 
     def build_subtree(carry_key, t: T, depth: int, direction):
@@ -242,6 +243,7 @@ def nuts_transition(
             n_leap,
             jnp.where(done, t.sum_accept, s.sum_accept),
             jnp.where(done, t.sum_count, s.sum_count),
+            t.depth + jnp.where(done, 0, 1),
         )
         return (t_new, new_done)
 
@@ -251,7 +253,7 @@ def nuts_transition(
         accept_prob=t.sum_accept / jnp.maximum(t.sum_count, 1.0),
         num_leapfrogs=t.n_leap,
         diverged=t.diverged,
-        depth=jnp.asarray(max_depth),
+        depth=t.depth,
     )
     return t.z_prop, info
 

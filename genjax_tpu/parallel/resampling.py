@@ -126,8 +126,8 @@ def residual_indices(key, log_weights, n: int | None = None):
     n_det = jnp.sum(counts)
     resid = n * w - counts
     resid_logits = jnp.log(jnp.maximum(resid, 1e-37))
-    # deterministic part: particle i occupies slots [offset_i, offset_i+c_i)
-    offsets = jnp.cumsum(counts) - counts
+    # deterministic part: slot j maps to the particle whose cumulative count
+    # bracket contains j
     slots = jnp.arange(n)
     det_idx = jnp.searchsorted(jnp.cumsum(counts), slots, side="right")
     rand_idx = jr.categorical(key, resid_logits, shape=(n,))

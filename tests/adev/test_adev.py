@@ -265,3 +265,38 @@ class TestBatchedPrimitives:
 
         with pytest.raises(NotImplementedError):
             bad.grad_estimate(KEY, (0.4,))
+
+
+class TestKeyDiscipline:
+    def test_consecutive_reparam_draws_are_independent(self):
+        """Regression (code-review finding): tail-call draws sharing the
+        interpreter key produced identical noise."""
+
+        @expectation
+        def loss(mu):
+            x = normal_reparam(mu, 1.0)
+            y = normal_reparam(0.0, 1.0)
+            return x - y
+
+        ests = jax.vmap(lambda k: loss.estimate(k, (1.5,)))(
+            jax.random.split(KEY, 2000)
+        )
+        assert jnp.mean(ests) == pytest.approx(1.5, abs=0.1)
+        # var(x - y) = 2: with the bug the estimates were exactly mu (std 0)
+        assert jnp.std(ests) == pytest.approx(jnp.sqrt(2.0), abs=0.1)
+
+    def test_branch_and_continuation_draws_independent(self):
+        @expectation
+        def loss(p):
+            b = flip_enum(p)
+            inner = jax.lax.cond(
+                b, lambda: normal_reparam(0.0, 1.0), lambda: normal_reparam(0.0, 1.0)
+            )
+            after = normal_reparam(0.0, 1.0)
+            return inner * after
+
+        # E[inner * after] = 0 only if the draws are independent
+        ests = jax.vmap(lambda k: loss.estimate(k, (0.5,)))(
+            jax.random.split(KEY, 4000)
+        )
+        assert jnp.mean(ests) == pytest.approx(0.0, abs=0.06)
