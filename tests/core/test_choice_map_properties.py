@@ -172,7 +172,7 @@ def test_switch_chm_selects_branch(mapping):
         assert read(sw, path) == float(np.float32(v))
     sw1 = ChoiceMap.switch(jnp.asarray(1), [c0, c1])
     for path, v in mapping.items():
-        assert read(sw1, path) == float(np.float32(np.float32(v) + 1.0))
+        assert read(sw1, path) == float(np.float32(v + 1.0))
 
 
 @settings(max_examples=50, deadline=None)
