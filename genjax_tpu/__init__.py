@@ -97,7 +97,7 @@ from .inference import (
     Target,
     marginal,
 )
-from .inference.requests import HMC, Rejuvenate, SafeHMC, mh_accept
+from .inference.requests import HMC, MALA, Rejuvenate, SafeHMC, mh_accept
 from .inference.mcmc import mh, run_chain, run_chains
 from .inference import vi
 
@@ -141,6 +141,7 @@ __all__ = [
     "Algorithm",
     "ChangeTarget",
     "HMC",
+    "MALA",
     "Importance",
     "ImportanceK",
     "Marginal",

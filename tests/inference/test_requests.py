@@ -200,3 +200,35 @@ class TestHMCOnHMMStructure:
         zs = jnp.asarray([tr.get_choices()[t, "z"] for t in range(T)])
         # with obs noise 0.3 << prior walk noise, latents track observations
         assert jnp.mean(jnp.abs(zs[3:] - 2.0)) < 0.6
+
+
+class TestMALA:
+    def test_mala_converges_to_posterior(self):
+        from genjax_tpu.inference.requests import MALA
+
+        y_obs = 1.0
+        mean, std = exact_posterior(y_obs)
+        tr, _ = normal_normal.generate(KEY, g.C["y"].set(y_obs), ())
+        res = g.run_chain(
+            KEY, tr, MALA(g.S["mu"], 0.5), 4000,
+            record=lambda t: t.get_choices()["mu"],
+        )
+        mus = res.history[500:]
+        assert float(res.accept_rate) > 0.4
+        assert jnp.mean(mus) == pytest.approx(mean, abs=0.1)
+        assert jnp.std(mus) == pytest.approx(std, abs=0.1)
+
+    def test_mala_alpha_finite_vector_address(self):
+        from genjax_tpu.inference.requests import MALA
+
+        @g.gen
+        def vec_model():
+            w = g.mv_normal_diag(jnp.zeros(3), jnp.ones(3)) @ "w"
+            _ = g.mv_normal_diag(w, 0.5 * jnp.ones(3)) @ "y"
+
+        tr, _ = vec_model.generate(KEY, g.C["y"].set(jnp.ones(3)), ())
+        new_tr, alpha, _, _ = tr.edit(KEY, MALA(g.S["w"], 0.1))
+        assert jnp.isfinite(alpha)
+        assert not jnp.allclose(
+            new_tr.get_choices()["w"], tr.get_choices()["w"]
+        )
