@@ -52,6 +52,7 @@ from .generative import (
     SelectionBuilder,
     Trace,
     Update,
+    VectorRequest,
 )
 from .lang import StaticGenerativeFunction, StaticRequest, StaticTrace, gen
 from .combinators import (
@@ -138,6 +139,7 @@ __all__ = [
     "Trace",
     "UnknownChange",
     "Update",
+    "VectorRequest",
     "Algorithm",
     "ChangeTarget",
     "HMC",

@@ -35,6 +35,7 @@ from ..generative.concepts import (
     Regenerate,
     Retdiff,
     Update,
+    VectorRequest,
     Weight,
 )
 from ..generative.gfi import GenerativeFunction
@@ -174,13 +175,18 @@ class ScanCombinator(GenerativeFunction):
             return self._edit_index(
                 key, trace, request.index, request.request, argdiffs
             )
+        if isinstance(request, VectorRequest):
+            return self._edit_dense(
+                key, trace, argdiffs,
+                lambda t: jtu.tree_map(lambda v: v[t], request.request),
+            )
         raise NotSupportedEditRequest(
             f"ScanCombinator cannot serve {type(request).__name__}."
         )
 
     def _edit_dense(self, key, trace: ScanTrace, argdiffs, subrequest_at):
-        """O(T) full re-walk serving Update/Regenerate: each step edits the
-        old slice trace under the (possibly changed) carry
+        """O(T) full re-walk serving Update/Regenerate/VectorRequest: each
+        step edits the old slice trace under the (possibly changed) carry
         (reference edit_update scan.py:509 / edit_regenerate :418)."""
         primals = Diff.tree_primal(argdiffs)
         init, xs = primals
@@ -192,16 +198,21 @@ class ScanCombinator(GenerativeFunction):
             new_tr, w, _rd, bwd = subrequest_at(t).edit(
                 jr.fold_in(key, t), sub_tr, sub_argdiffs
             )
-            bwd_chm = bwd.constraint if isinstance(bwd, Update) else ChoiceMap.empty()
             c_new, y = new_tr.get_retval()
-            return c_new, (new_tr, y, w, bwd_chm)
+            return c_new, (new_tr, y, w, bwd)
 
-        c_final, (inner, ys, ws, bwd_chms) = lax.scan(
+        c_final, (inner, ys, ws, bwds) = lax.scan(
             step, init, (jnp.arange(n), xs, trace.inner), length=n
         )
         new_tr = ScanTrace(self, inner, primals, (c_final, ys), n)
         retdiff = Diff.tree_diff_unknown_change((c_final, ys))
-        return new_tr, jnp.sum(ws), retdiff, Update(IndexedChm.build(bwd_chms, None))
+        # backward request: Updates keep the dense-choice-map form (the
+        # usual `discard`); anything else is carried losslessly per step
+        if isinstance(bwds, Update):
+            bwd_req: EditRequest = Update(IndexedChm.build(bwds.constraint, None))
+        else:
+            bwd_req = VectorRequest(bwds)
+        return new_tr, jnp.sum(ws), retdiff, bwd_req
 
     def _edit_index(self, key, trace: ScanTrace, idx, request: EditRequest, argdiffs):
         """O(1) single-timestep edit (reference edit_index scan.py:325).

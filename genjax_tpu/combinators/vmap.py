@@ -33,6 +33,7 @@ from ..generative.concepts import (
     Regenerate,
     Retdiff,
     Update,
+    VectorRequest,
     Weight,
 )
 from ..generative.gfi import GenerativeFunction
@@ -190,6 +191,8 @@ class VmapCombinator(GenerativeFunction):
             return self._edit_regenerate(key, trace, request.selection, argdiffs)
         if isinstance(request, IndexRequest):
             return self._edit_index(key, trace, request.index, request.request, argdiffs)
+        if isinstance(request, VectorRequest):
+            return self._edit_vector(key, trace, request.request, argdiffs)
         raise NotSupportedEditRequest(
             f"VmapCombinator cannot serve {type(request).__name__}."
         )
@@ -203,15 +206,14 @@ class VmapCombinator(GenerativeFunction):
         def _edit(key, i, sub_tr, ad):
             submap = constraint.get_submap(i)
             new_tr, w, _rd, bwd = self.gen_fn.edit(key, sub_tr, Update(submap), ad)
-            assert isinstance(bwd, Update)
-            return new_tr, w, bwd.constraint
+            return new_tr, w, bwd
 
-        new_inner, ws, bwd_chms = self._vmap(_edit, (0, 0, 0))(
+        new_inner, ws, bwds = self._vmap(_edit, (0, 0, 0))(
             keys, idxs, trace.inner, argdiffs
         )
         new_tr = VmapTrace(self, new_inner, primals, n)
         retdiff = Diff.tree_diff_unknown_change(new_tr.get_retval())
-        return new_tr, jnp.sum(ws), retdiff, Update(IndexedChm.build(bwd_chms, None))
+        return new_tr, jnp.sum(ws), retdiff, _lossless_bwd(bwds)
 
     def _edit_regenerate(self, key, trace: VmapTrace, selection: Selection, argdiffs):
         primals = Diff.tree_primal(argdiffs)
@@ -222,15 +224,31 @@ class VmapCombinator(GenerativeFunction):
         def _edit(key, i, sub_tr, ad):
             subsel = selection.get_subselection(i)
             new_tr, w, _rd, bwd = self.gen_fn.edit(key, sub_tr, Regenerate(subsel), ad)
-            bwd_chm = bwd.constraint if isinstance(bwd, Update) else ChoiceMap.empty()
-            return new_tr, w, bwd_chm
+            return new_tr, w, bwd
 
-        new_inner, ws, bwd_chms = self._vmap(_edit, (0, 0, 0))(
+        new_inner, ws, bwds = self._vmap(_edit, (0, 0, 0))(
             keys, idxs, trace.inner, argdiffs
         )
         new_tr = VmapTrace(self, new_inner, primals, n)
         retdiff = Diff.tree_diff_unknown_change(new_tr.get_retval())
-        return new_tr, jnp.sum(ws), retdiff, Update(IndexedChm.build(bwd_chms, None))
+        return new_tr, jnp.sum(ws), retdiff, _lossless_bwd(bwds)
+
+    def _edit_vector(self, key, trace: VmapTrace, per_lane: EditRequest, argdiffs):
+        """Apply a per-lane request pytree (leaves batched on axis 0)."""
+        primals = Diff.tree_primal(argdiffs)
+        n = trace.n
+        keys = jr.split(key, n)
+
+        def _edit(key, req, sub_tr, ad):
+            new_tr, w, _rd, bwd = req.edit(key, sub_tr, ad)
+            return new_tr, w, bwd
+
+        new_inner, ws, bwds = self._vmap(_edit, (0, 0, 0))(
+            keys, per_lane, trace.inner, argdiffs
+        )
+        new_tr = VmapTrace(self, new_inner, primals, n)
+        retdiff = Diff.tree_diff_unknown_change(new_tr.get_retval())
+        return new_tr, jnp.sum(ws), retdiff, _lossless_bwd(bwds)
 
     def _edit_index(self, key, trace: VmapTrace, idx, request: EditRequest, argdiffs):
         """O(1) single-lane edit: slice the lane, edit it, scatter it back
@@ -249,6 +267,14 @@ class VmapCombinator(GenerativeFunction):
         new_tr = VmapTrace(self, new_inner, trace.args, trace.n)
         retdiff = Diff.tree_diff_unknown_change(new_tr.get_retval())
         return new_tr, w, retdiff, IndexRequest(idx, bwd)
+
+
+def _lossless_bwd(bwds) -> EditRequest:
+    """Batched per-lane backward requests: Updates collapse to the usual
+    dense-choice-map discard; anything else is carried per lane."""
+    if isinstance(bwds, Update):
+        return Update(IndexedChm.build(bwds.constraint, None))
+    return VectorRequest(bwds)
 
 
 def vmap(*, in_axes: Any = 0, axis_size: int | None = None, axis_name: str | None = None):

@@ -23,6 +23,7 @@ from .concepts import (
     Retval,
     Score,
     Update,
+    VectorRequest,
     Weight,
 )
 from .gfi import GenerativeFunction, GenerativeFunctionClosure

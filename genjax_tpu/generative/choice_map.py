@@ -188,7 +188,11 @@ class ChoiceMap(Pytree):
     def extend(self, *addrs) -> "ChoiceMap":
         acc = self
         for addr in reversed(addrs):
-            if _static_addr(addr) or addr is Ellipsis:
+            if isinstance(addr, tuple):
+                # a tuple address is a path: nest one level per component
+                # (get_submap flattens tuples the same way)
+                acc = acc.extend(*addr)
+            elif isinstance(addr, str):
                 acc = StaticChm.build({addr: acc})
             else:
                 acc = IndexedChm.build(acc, addr)

@@ -47,6 +47,7 @@ __all__ = [
     "Retval",
     "Score",
     "Update",
+    "VectorRequest",
     "Weight",
 ]
 
@@ -113,6 +114,18 @@ class IndexRequest(PrimitiveEditRequest):
     the O(1) single-slice edit (concepts.py:154)."""
 
     index: Any
+    request: EditRequest
+
+
+@Pytree.dataclass
+class VectorRequest(PrimitiveEditRequest):
+    """Per-lane (vmap) / per-step (scan) edit requests: one request pytree
+    whose array leaves carry the batch/time axis in front; slice ``t`` is
+    the request for lane/step ``t`` (reference scan.py:100). This is how
+    combinator edits return *lossless* backward requests when the kernel's
+    backward move is not a plain Update (e.g. a @gen kernel's Regenerate
+    produces per-address ``StaticRequest``s)."""
+
     request: EditRequest
 
 

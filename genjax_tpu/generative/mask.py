@@ -65,12 +65,14 @@ class Mask(Pytree):
 
     @staticmethod
     def maybe_mask(v: Any, flag: Flag):
-        """Statically simplify: concrete-True → raw value, concrete-False →
-        None, else a Mask (reference functional_types.py:168-187)."""
+        """Statically simplify: concrete-True → the value unchanged (an
+        inner Mask keeps its own flag — unwrapping would discard dynamic
+        validity), concrete-False → None, else a Mask whose flag ANDs with
+        any inner flag (reference functional_types.py:168-187)."""
         if v is None:
             return None
         if FlagOp.concrete_true(flag):
-            return v.value if isinstance(v, Mask) else v
+            return v
         if FlagOp.concrete_false(flag):
             return None
         return Mask(v, flag)

@@ -65,12 +65,10 @@ class Trace(Pytree):
         argdiffs: Any = None,
     ) -> tuple["Trace", Weight, Retdiff, Any]:
         """Constraint-driven edit; returns the backward request's constraint
-        (the *discard*) as the final element, mirroring Gen's update."""
-        if argdiffs is None:
-            argdiffs = Diff.tree_diff_no_change(self.get_args())
-        new_tr, w, retdiff, bwd = Update(constraint).edit(key, self, argdiffs)
-        discard = bwd.constraint if isinstance(bwd, Update) else bwd
-        return new_tr, w, retdiff, discard
+        (the *discard*) as the final element, mirroring Gen's update.
+        Delegates to ``GenerativeFunction.update`` (single source of the
+        discard-extraction logic)."""
+        return self.get_gen_fn().update(key, self, constraint, argdiffs)
 
     def project(self, key: PRNGKey, selection: Any) -> Weight:
         gen_fn = self.get_gen_fn()

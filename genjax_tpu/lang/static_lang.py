@@ -20,8 +20,6 @@ data structure without pytree flattening constraints.
 
 from __future__ import annotations
 
-import functools
-import inspect
 from typing import Any, Callable
 
 import jax.numpy as jnp
@@ -182,31 +180,62 @@ class GenerateHandler(StaticHandler):
 
 class EditHandler(StaticHandler):
     """Shared machinery for Update / Regenerate / StaticRequest edits: re-runs
-    the body, editing each old subtrace with a per-address sub-request."""
+    the body, editing each old subtrace with a per-address sub-request.
 
-    def __init__(self, key: PRNGKey, prev: StaticTrace):
+    Clean-prefix optimization: in a static body, execution order equals
+    dependency order, so until the first address whose sub-request actually
+    does something (and while the top-level arguments are unchanged), every
+    address's arguments are bitwise-identical to the previous trace's —
+    those subtraces are reused untouched (weight 0, no re-scoring). This
+    recovers the reference incremental interpreter's O(selected-suffix)
+    edit cost and keeps stochastic-density callees from injecting weight
+    noise at untouched addresses.
+    """
+
+    def __init__(self, key: PRNGKey, prev: StaticTrace, args_unchanged: bool):
         super().__init__(key)
         self.prev = prev
         self.weight = jnp.asarray(0.0)
         self.bwd: dict = {}
+        # False once an upstream address may have changed a value
+        self.clean = args_unchanged
 
     def subrequest(self, addr) -> EditRequest:
         raise NotImplementedError
 
+    @staticmethod
+    def _is_trivial(request: EditRequest) -> bool:
+        if isinstance(request, EmptyRequest):
+            return True
+        if isinstance(request, Update):
+            return request.constraint.static_is_empty()
+        if isinstance(request, Regenerate):
+            from ..generative.selection import NoneSel
+
+            return isinstance(request.selection, NoneSel)
+        return False
+
     def handle_trace(self, addr, gen_fn, args):
         self.visit(addr)
         sub_tr = self.prev.get_inner_trace(addr)
-        argdiffs = Diff.tree_diff_unknown_change(args)
         request = self.subrequest(addr)
+        if self.clean and self._is_trivial(request):
+            # nothing upstream changed, nothing requested here: reuse
+            self.fresh_key()  # keep the key counter aligned
+            self.bwd[addr] = EmptyRequest()
+            return self.record(sub_tr)
+        argdiffs = Diff.tree_diff_unknown_change(args)
         new_tr, w, _retdiff, bwd = request.edit(self.fresh_key(), sub_tr, argdiffs)
         self.weight = self.weight + w
         self.bwd[addr] = bwd
+        if not self._is_trivial(request):
+            self.clean = False
         return self.record(new_tr)
 
 
 class UpdateHandler(EditHandler):
-    def __init__(self, key, prev, constraint: ChoiceMap):
-        super().__init__(key, prev)
+    def __init__(self, key, prev, constraint: ChoiceMap, args_unchanged=False):
+        super().__init__(key, prev, args_unchanged)
         self.constraint = constraint
 
     def subrequest(self, addr) -> EditRequest:
@@ -223,8 +252,8 @@ class UpdateHandler(EditHandler):
 
 
 class RegenerateHandler(EditHandler):
-    def __init__(self, key, prev, selection: Selection):
-        super().__init__(key, prev)
+    def __init__(self, key, prev, selection: Selection, args_unchanged=False):
+        super().__init__(key, prev, args_unchanged)
         self.selection = selection
 
     def subrequest(self, addr) -> EditRequest:
@@ -242,8 +271,8 @@ class RegenerateHandler(EditHandler):
 
 
 class StaticRequestHandler(EditHandler):
-    def __init__(self, key, prev, request: StaticRequest):
-        super().__init__(key, prev)
+    def __init__(self, key, prev, request: StaticRequest, args_unchanged=False):
+        super().__init__(key, prev, args_unchanged)
         self.request = request
 
     def subrequest(self, addr) -> EditRequest:
@@ -308,12 +337,13 @@ class StaticGenerativeFunction(GenerativeFunction):
         argdiffs: Any,
     ) -> tuple[StaticTrace, Weight, Retdiff, EditRequest]:
         primals = Diff.tree_primal(argdiffs)
+        unchanged = Diff.static_check_no_change(argdiffs)
         if isinstance(request, Update):
-            h: EditHandler = UpdateHandler(key, trace, request.constraint)
+            h: EditHandler = UpdateHandler(key, trace, request.constraint, unchanged)
         elif isinstance(request, Regenerate):
-            h = RegenerateHandler(key, trace, request.selection)
+            h = RegenerateHandler(key, trace, request.selection, unchanged)
         elif isinstance(request, StaticRequest):
-            h = StaticRequestHandler(key, trace, request)
+            h = StaticRequestHandler(key, trace, request, unchanged)
         else:
             raise NotSupportedEditRequest(
                 f"StaticGenerativeFunction cannot serve {type(request).__name__}."
@@ -335,12 +365,11 @@ class StaticGenerativeFunction(GenerativeFunction):
         )
 
     def handle_kwargs(self) -> "StaticGenerativeFunction":
-        inner = self.source
-
-        def kw_source(args, kwargs):
-            return inner(*args, **kwargs)
-
-        return StaticGenerativeFunction(Closure((), kw_source))
+        # The inner Closure rides as a *dynamic* closed-over value so its
+        # captured state stays in the pytree (tracers keep tracing), and the
+        # wrapper fn is a module-level function so treedefs stay equal
+        # across calls (no jit retraces).
+        return StaticGenerativeFunction(Closure((self.source,), _kwargs_call))
 
     def inline(self, *args):
         """Splice this function's body into an enclosing ``@gen`` body,
@@ -351,6 +380,10 @@ class StaticGenerativeFunction(GenerativeFunction):
         if instance is None:
             return self
         return self.partial_apply(instance)
+
+
+def _kwargs_call(inner: Closure, args: tuple, kwargs: dict):
+    return inner(*args, **kwargs)
 
 
 def gen(fn: Callable) -> StaticGenerativeFunction:

@@ -436,3 +436,36 @@ class TestNestedCombinators:
         tr = jax.jit(sc.simulate)(KEY, (0.0, jnp.zeros(3)))
         score, _ = sc.assess(tr.get_choices(), (0.0, jnp.zeros(3)))
         assert score == pytest.approx(tr.get_score(), rel=1e-4)
+
+
+class TestLosslessBackwardRequests:
+    """Regression (code-review finding): scan/vmap Regenerate previously
+    dropped non-Update backward requests, so the SMCP3 round trip could not
+    restore the original trace."""
+
+    def test_scan_regenerate_roundtrip(self):
+        sc = rw_kernel.scan()
+        xs = jnp.zeros(4)
+        tr = sc.simulate(KEY, (0.0, xs))
+        nd = g.Diff.tree_diff_no_change(tr.get_args())
+        new_tr, w1, _, bwd = sc.edit(KEY, tr, g.Regenerate(g.S[..., "z"]), nd)
+        assert isinstance(bwd, g.VectorRequest)
+        back_tr, w2, _, _ = new_tr.edit(jax.random.key(9), bwd)
+        for t in range(4):
+            assert back_tr.get_choices()[t, "z"] == pytest.approx(
+                float(tr.get_choices()[t, "z"]), abs=1e-5
+            )
+        assert float(w1 + w2) == pytest.approx(0.0, abs=1e-4)
+
+    def test_vmap_regenerate_roundtrip(self):
+        vm = two_normals.vmap(in_axes=(0,))
+        mus = jnp.zeros(3)
+        tr = vm.simulate(KEY, (mus,))
+        nd = g.Diff.tree_diff_no_change(tr.get_args())
+        new_tr, w1, _, bwd = vm.edit(KEY, tr, g.Regenerate(g.S[..., "x"]), nd)
+        back_tr, w2, _, _ = new_tr.edit(jax.random.key(9), bwd)
+        for i in range(3):
+            assert back_tr.get_choices()[i, "x"] == pytest.approx(
+                float(tr.get_choices()[i, "x"]), abs=1e-5
+            )
+        assert float(w1 + w2) == pytest.approx(0.0, abs=1e-4)
