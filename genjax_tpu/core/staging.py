@@ -47,7 +47,7 @@ def stage(fn: Callable, **make_jaxpr_kwargs):
     return wrapped
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=256)
 def _cached_jaxpr(fn, in_tree, avals):
     def flat_fn(*flat):
         args = jtu.tree_unflatten(in_tree, flat)

@@ -33,15 +33,6 @@ from ..generative.selection import Selection
 from ..generative.trace import Trace
 
 
-def _accept_step(key: PRNGKey, trace: Trace, new_trace: Trace, alpha):
-    log_u = jnp.log(jr.uniform(key))
-    accept = log_u < alpha
-    out = jtu.tree_map(
-        lambda new, old: jnp.where(accept, new, old), new_trace, trace
-    )
-    return out, accept
-
-
 def mh(
     key: PRNGKey,
     trace: Trace,
@@ -59,7 +50,9 @@ def mh(
         w = w - (
             new_trace.project(k_proj_new, sel) - trace.project(k_proj_old, sel)
         )
-    return _accept_step(k_acc, trace, new_trace, w)
+    from .requests.hmc import mh_accept
+
+    return mh_accept(k_acc, trace, new_trace, w)
 
 
 @Pytree.dataclass

@@ -40,6 +40,14 @@ class ColumnPacker:
         self.shapes = []
         offset = 0
         for addr in self.addresses:
+            path_ = addr if isinstance(addr, tuple) else (addr,)
+            if constraint is not None and not constraint.get_submap(
+                *path_
+            ).static_is_empty():
+                raise ValueError(
+                    f"address {addr!r} is constrained — packing it as a "
+                    "latent would silently override the observation"
+                )
             path = addr if isinstance(addr, tuple) else (addr,)
             v = chm.get_submap(*path).get_value()
             if isinstance(v, Mask):
@@ -111,7 +119,11 @@ def column_hmc(
         tr, _ = model.generate(k, constraint, args)
         return packer.pack(tr.get_choices())
 
-    q0 = jax.vmap(init_one, out_axes=1)(jr.split(jr.key(seed), n_chains))
+    # distinct PRNG root from the sweep's jr.key(seed) stream (with the same
+    # root, chain i's init key can equal step i's sweep key bit-for-bit)
+    q0 = jax.vmap(init_one, out_axes=1)(
+        jr.split(jr.fold_in(jr.key(seed), 0xC0FFEE), n_chains)
+    )
     q, accept = pallas_hmc(
         logdensity_cols,
         q0,
@@ -150,7 +162,9 @@ def column_nuts(
         tr, _ = model.generate(k, constraint, args)
         return packer.pack(tr.get_choices())
 
-    q0 = jax.vmap(init_one, out_axes=1)(jr.split(jr.key(seed), n_chains))
+    q0 = jax.vmap(init_one, out_axes=1)(
+        jr.split(jr.fold_in(jr.key(seed), 0xC0FFEE), n_chains)
+    )
     q, accept, leaps = nuts_sweep_cols(
         logdensity_cols, q0, seed, n_steps=n_steps, eps=eps, max_depth=max_depth
     )

@@ -128,7 +128,12 @@ def nuts_transition(
                 jnp.logical_not(jnp.logical_or(s.turning, s.diverged)),
             )
 
-            # save checkpoints: state BEFORE the move at even split points
+            z_new, r_new = leapfrog(s.z, s.r, direction)
+
+            # save checkpoints: the POST-leapfrog state (node i) opens the
+            # level-k subtree when i % 2^(k+1) == 0, so the close-check at
+            # leaf b compares node_b against node_a — not node_{a-1}
+            # (off-by-one would break NUTS's reversal symmetry)
             def save(ck, val):
                 def body(k, ck):
                     cond = jnp.logical_and(active, (i % (1 << (k + 1))) == 0)
@@ -136,10 +141,8 @@ def nuts_transition(
 
                 return lax.fori_loop(0, max_depth, body, ck)
 
-            ckz = save(s.ckpt_z, s.z)
-            ckr = save(s.ckpt_r, s.r)
-
-            z_new, r_new = leapfrog(s.z, s.r, direction)
+            ckz = save(s.ckpt_z, z_new)
+            ckr = save(s.ckpt_r, r_new)
             energy = -logdensity(z_new) + 0.5 * jnp.dot(r_new, r_new)
             lw_leaf = -energy
             diverged = jnp.logical_and(
@@ -205,7 +208,7 @@ def nuts_transition(
 
         # biased progressive sampling across the doubling
         p_accept_sub = jnp.minimum(1.0, jnp.exp(s.lw_sub - t.lw_traj))
-        u = jr.uniform(jr.fold_in(sub_key, 999))
+        u = jr.uniform(jr.fold_in(sub_key, 1 << 30))
         take = jnp.logical_and(
             jnp.logical_not(done), jnp.logical_and(sub_ok, u < p_accept_sub)
         )

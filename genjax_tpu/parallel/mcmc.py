@@ -38,6 +38,8 @@ def run_chains_sharded(
 ) -> MHChainResult:
     """``inference.mcmc.run_chains`` with the chain axis sharded over
     ``mesh`` — same program, multi-chip execution."""
+    from ..inference.mcmc import run_chain
+
     keys = jr.split(key, n_chains)
     keys = jax.device_put(keys, NamedSharding(mesh, P(axis)))
 
@@ -46,14 +48,7 @@ def run_chains_sharded(
         def one(k):
             k_init, k_run = jr.split(k)
             tr = make_trace(k_init)
-
-            def step(tr, kk):
-                tr, acc = mh(kk, tr, request)
-                out = record(tr) if record is not None else None
-                return tr, (jnp.asarray(acc, jnp.float32), out)
-
-            tr, (accs, hist) = lax.scan(step, tr, jr.split(k_run, n_steps))
-            return MHChainResult(tr, jnp.mean(accs), hist)
+            return run_chain(k_run, tr, request, n_steps, record=record)
 
         return jax.vmap(one)(keys)
 

@@ -69,9 +69,16 @@ class SSMParticleFilter(Pytree):
         init_carry: Any,
         xs: Any,
         constraint: ChoiceMap,
+        *,
+        n_steps: int | None = None,
     ) -> ParticleFilterResult:
         k = self.n_particles
-        t_count = jtu.tree_leaves(xs)[0].shape[0] if xs is not None else None
+        leaves = jtu.tree_leaves(xs)
+        t_count = leaves[0].shape[0] if leaves else n_steps
+        if t_count is None:
+            raise ValueError(
+                "SSMParticleFilter.run: xs is None/empty — pass n_steps."
+            )
 
         def broadcast(c):
             return jtu.tree_map(
@@ -136,6 +143,7 @@ class SSMParticleFilter(Pytree):
         *,
         axis: str = "batch",
         resample_mode: str = "local",
+        n_steps: int | None = None,
     ) -> ParticleFilterResult:
         """The multi-chip path: one jitted ``shard_map`` program; particles
         stay resident on their chip; ESS/normalizer/resampling are ICI
@@ -149,7 +157,12 @@ class SSMParticleFilter(Pytree):
 
         def shard_program(key, init_carry, xs, constraint):
             shard = lax.axis_index(axis)
-            t_count = jtu.tree_leaves(xs)[0].shape[0]
+            xs_leaves = jtu.tree_leaves(xs)
+            t_count = xs_leaves[0].shape[0] if xs_leaves else n_steps
+            if t_count is None:
+                raise ValueError(
+                    "run_sharded: xs is None/empty — pass n_steps."
+                )
 
             def broadcast(c):
                 return jtu.tree_map(
@@ -183,7 +196,7 @@ class SSMParticleFilter(Pytree):
                 def do_resample(args):
                     carries, log_w, log_z = args
                     new_c, new_lw, inc = collective_resample(
-                        step_key,
+                        jr.fold_in(step_key, 0x5EED),
                         carries,
                         log_w,
                         axis,
@@ -210,17 +223,22 @@ class SSMParticleFilter(Pytree):
             log_marginal = log_z + g_max + jnp.log(total) - jnp.log(k)
             return carries, log_w, log_marginal, ess_hist
 
+        import inspect
+
         try:
             from jax import shard_map
         except ImportError:  # older jax
             from jax.experimental.shard_map import shard_map
 
+        # the replication-check kwarg was renamed check_rep -> check_vma
+        _params = inspect.signature(shard_map).parameters
+        _check_kw = {"check_vma": False} if "check_vma" in _params else {"check_rep": False}
         program = shard_map(
             shard_program,
             mesh=mesh,
             in_specs=(P(), P(), P(), P()),
             out_specs=(P(axis), P(axis), P(), P()),
-            check_vma=False,
+            **_check_kw,
         )
         carries, log_w, log_marginal, ess_hist = jax.jit(program)(
             key, init_carry, xs, constraint
