@@ -16,6 +16,15 @@ import sys
 import time
 
 import jax
+
+# persistent compile cache: repeat bench runs (e.g. the driver's) skip the
+# multi-minute remote compile of the sweep program
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+jax.config.update(
+    "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 import jax.numpy as jnp
 import jax.random as jr
 import numpy as np
@@ -26,7 +35,7 @@ def main():
     from genjax_tpu.kernels import ColumnPacker, column_logdensity, pallas_hmc
 
     n_chains = int(os.environ.get("BENCH_CHAINS", 65536))
-    n_steps = int(os.environ.get("BENCH_STEPS", 100))
+    n_steps = int(os.environ.get("BENCH_STEPS", 50))
     reps = int(os.environ.get("BENCH_REPS", 50))
     backend = os.environ.get("BENCH_BACKEND", "xla")
     L = 5
