@@ -26,7 +26,20 @@ from .scan import (
 from .switch import SwitchCombinator, SwitchTrace, switch
 from .vmap import VmapCombinator, VmapTrace, vmap
 
+# reference-parity class-name aliases (the reference names the combinator
+# classes Scan/Vmap/Switch/Dimap/RepeatCombinator)
+Scan = ScanCombinator
+Vmap = VmapCombinator
+Switch = SwitchCombinator
+Dimap = DimapCombinator
+RepeatCombinator = repeat
+
 __all__ = [
+    "Dimap",
+    "RepeatCombinator",
+    "Scan",
+    "Switch",
+    "Vmap",
     "DimapCombinator",
     "DimapTrace",
     "MaskCombinator",

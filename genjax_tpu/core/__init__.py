@@ -8,13 +8,15 @@ from .diff import (
 from .environment import Environment
 from .handlers import (
     AddressReuse,
+    StatefulHandler,
+    stateful,
     GenJAXError,
     MissingAddress,
     NotTracedError,
     TraceHandler,
     handle,
 )
-from .primitive import initial_style_bind, initial_style_primitive
+from .primitive import InitialStylePrimitive, initial_style_bind, initial_style_primitive
 from .pytree import (
     Closure,
     Const,
@@ -26,6 +28,7 @@ from .pytree import (
 )
 from .staging import (
     FlagOp,
+    get_shaped_aval,
     cached_stage_dynamic,
     empty_trace,
     multi_switch,
@@ -37,6 +40,8 @@ from .staging import (
 )
 from .typing_ import (
     Address,
+    AddressComponent,
+    R,
     Array,
     ArrayLike,
     BoolArray,

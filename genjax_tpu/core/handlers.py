@@ -102,3 +102,11 @@ def dispatch_cache(addr: Any, fn: Any, args: tuple) -> Any:
     if h is None:
         raise NotTracedError(f"cache({addr!r}, ...) executed outside a @gen body.")
     return h.handle_cache(addr, fn, args)
+
+
+# Reference-parity aliases: the reference's StatefulHandler/stateful
+# (compiler/interpreters/stateful.py:32/:89) correspond to the handler
+# stack here — TraceHandler receives addressed calls, `handle` installs one
+# for the dynamic extent of a model-body execution.
+StatefulHandler = TraceHandler
+stateful = handle

@@ -89,3 +89,9 @@ def initial_style_bind(prim: Primitive, **params) -> Callable:
         return wrapped
 
     return bind
+
+
+# Reference-parity alias: the reference exposes a class named
+# InitialStylePrimitive; here primitives are built by the factory function,
+# which serves the same role.
+InitialStylePrimitive = initial_style_primitive

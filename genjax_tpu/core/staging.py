@@ -178,6 +178,11 @@ class FlagOp:
         return lax.cond(f, tf, ff, *args)
 
 
+def get_shaped_aval(x):
+    """The shaped abstract value of ``x`` (reference staging.py parity)."""
+    return jax.api_util.shaped_abstractify(x)
+
+
 def staged_check(v: Flag) -> bool:
     """True only for a concretely-true flag (staging.py:183)."""
     return FlagOp.concrete_true(v)

@@ -58,3 +58,9 @@ def static_check_shape_dtype_equivalence(vs: Sequence[Any]) -> bool:
 def nobeartype(fn):
     """No-op escape hatch kept for reference API parity (typing.py:61-63)."""
     return fn
+
+
+# ----- reference-parity alias (reference typing.py) -----
+import typing as _typing
+
+R = _typing.TypeVar("R")  # generic return-type variable

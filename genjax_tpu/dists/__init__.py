@@ -1,8 +1,9 @@
 from .catalog import *  # noqa: F401,F403
 from .catalog import __all__ as _catalog_all
-from .discrete_hmm import DiscreteHMM, DiscreteHMMConfiguration
+from .discrete_hmm import DiscreteHMM, DiscreteHMMConfiguration, forward_filtering_backward_sampling
 from .distribution import (
     Distribution,
+    tfp_distribution,
     DistributionTrace,
     ExactDensity,
     exact_density,
@@ -10,10 +11,12 @@ from .distribution import (
 
 __all__ = [
     "DiscreteHMM",
+    "forward_filtering_backward_sampling",
     "DiscreteHMMConfiguration",
     "Distribution",
     "DistributionTrace",
     "ExactDensity",
     "exact_density",
+    "tfp_distribution",
     *_catalog_all,
 ]

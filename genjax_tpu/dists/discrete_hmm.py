@@ -197,3 +197,12 @@ class _DiscreteHMMLatentSequencePosterior(Distribution):
 
 
 DiscreteHMM = _DiscreteHMMLatentSequencePosterior()
+
+
+def forward_filtering_backward_sampling(key, config, observations):
+    """Reference-parity combined entry point (discrete_hmm.py:98): forward
+    filter then sample an exact posterior path. Returns
+    ``(key, (samples, filters))``."""
+    filters, _ = forward_filter(config, observations)
+    zs = backward_sample(key, config, filters)
+    return key, (zs, filters)

@@ -315,6 +315,25 @@ class LambdaDensity(ExactDensity):
         return f"genjax_tpu.{self.name}"
 
 
+def tfp_distribution(dist_ctor, name: str = "tfp_distribution") -> "LambdaDensity":
+    """Compatibility shim for the reference's TFP wrapper
+    (tensorflow_probability/__init__.py:35-64): wraps any constructor whose
+    instances expose ``sample(seed=key)`` and ``log_prob(v)`` (the
+    TFP-on-JAX protocol — duck-typed, so tensorflow_probability itself is
+    not required) as an ``ExactDensity``."""
+
+    def sampler(key, *args, **kwargs):
+        return dist_ctor(*args, **kwargs).sample(seed=key)
+
+    def logpdf(v, *args, **kwargs):
+        import jax.numpy as _jnp
+
+        lp = dist_ctor(*args, **kwargs).log_prob(v)
+        return _jnp.sum(lp) if _jnp.shape(lp) else lp
+
+    return LambdaDensity(sampler, logpdf, name)
+
+
 def exact_density(
     sample: Callable, logpdf: Callable, name: str = "exact_density"
 ) -> LambdaDensity:

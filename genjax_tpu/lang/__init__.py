@@ -3,6 +3,13 @@ from .static_lang import (
     StaticRequest,
     StaticTrace,
     gen,
+    trace,
 )
 
-__all__ = ["StaticGenerativeFunction", "StaticRequest", "StaticTrace", "gen"]
+__all__ = [
+    "StaticGenerativeFunction",
+    "StaticRequest",
+    "StaticTrace",
+    "gen",
+    "trace",
+]

@@ -382,6 +382,14 @@ class StaticGenerativeFunction(GenerativeFunction):
         return self.partial_apply(instance)
 
 
+def trace(addr, gen_fn, args: tuple = ()):
+    """The trace intrinsic in function form (reference static.py:175):
+    ``trace(addr, gen_fn, args)`` is ``gen_fn(*args) @ addr``."""
+    from ..core.handlers import dispatch_trace
+
+    return dispatch_trace(addr, gen_fn, args)
+
+
 def _kwargs_call(inner: Closure, args: tuple, kwargs: dict):
     return inner(*args, **kwargs)
 

@@ -5,6 +5,8 @@ internal typing aliases).
 """
 
 from .core.typing_ import (
+    AddressComponent,
+    R,
     BoolArray,
     FloatArray,
     Flag,
@@ -16,6 +18,8 @@ from .core.typing_ import (
 )
 
 __all__ = [
+    "AddressComponent",
+    "R",
     "BoolArray",
     "Flag",
     "FloatArray",
