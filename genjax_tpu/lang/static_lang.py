@@ -352,7 +352,14 @@ class StaticGenerativeFunction(GenerativeFunction):
         new_tr = StaticTrace(
             self, primals, retval, tuple(h.subtraces), tuple(h.addresses)
         )
-        retdiff = Diff.tree_diff_unknown_change(retval)
+        # if the whole body stayed on the clean path (args unchanged, every
+        # sub-request trivial), the deterministic body reproduced the old
+        # retval exactly
+        retdiff = (
+            Diff.tree_diff_no_change(retval)
+            if h.clean
+            else Diff.tree_diff_unknown_change(retval)
+        )
         return new_tr, h.weight, retdiff, h.bwd_request()
 
     # ----- ergonomics -----

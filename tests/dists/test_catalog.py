@@ -255,3 +255,33 @@ class TestSampling:
         assert float(jnp.mean(samples)) == pytest.approx(mean, rel=0.03)
         if std is not None:
             assert float(jnp.std(samples)) == pytest.approx(std, rel=0.05)
+
+
+class TestDiscreteSamplerDensityConsistency:
+    """The sampler and the log-pmf must agree: empirical frequencies vs
+    exp(logpdf) over the head of the support."""
+
+    @pytest.mark.parametrize(
+        "name,args,support",
+        [
+            ("geometric", (float(np.log(0.3 / 0.7)),), range(8)),
+            ("binomial", (6.0, float(np.log(0.4 / 0.6))), range(7)),
+            ("negative_binomial", (4.0, float(np.log(0.3 / 0.7))), range(12)),
+            ("poisson", (2.5,), range(10)),
+            ("beta_binomial", (5.0, 2.0, 3.0), range(6)),
+            ("skellam", (2.0, 1.0), range(-4, 8)),
+        ],
+    )
+    def test_empirical_pmf(self, name, args, support):
+        dist = getattr(g, name)
+        n = 40000
+        samples = jax.jit(
+            lambda k: jax.vmap(lambda kk: dist.sample(kk, *args))(
+                jax.random.split(k, n)
+            )
+        )(KEY)
+        samples = np.asarray(samples)
+        for s in support:
+            emp = float(np.mean(samples == s))
+            pmf = float(np.exp(float(dist.logpdf(jnp.asarray(s), *args))))
+            assert emp == pytest.approx(pmf, abs=0.012), (name, s)
