@@ -58,3 +58,48 @@ class TestIndexEditScaling:
         assert growth_dense > 8.0, flops
         # and at long lengths the dense walk costs far more
         assert flops[1024]["dense"] > 5.0 * flops[1024]["index"], flops
+
+
+class TestCleanPrefixEdits:
+    def test_single_address_edit_cost_scales_with_suffix(self):
+        """The clean-prefix optimization: editing the LAST address of a long
+        chain model costs a fraction of editing the FIRST (which dirties
+        everything downstream)."""
+        n_addr = 12
+
+        @g.gen
+        def chain_model():
+            x = g.normal(0.0, 1.0) @ "a0"
+            for i in range(1, n_addr):
+                x = g.normal(x, 1.0) @ f"a{i}"
+            return x
+
+        key = jax.random.key(0)
+        tr = chain_model.simulate(key, ())
+
+        def edit_first(tr):
+            new_tr, w, _, _ = tr.update(key, g.C["a0"].set(0.5))
+            return new_tr.get_score(), w
+
+        def edit_last(tr):
+            new_tr, w, _, _ = tr.update(key, g.C[f"a{n_addr-1}"].set(0.5))
+            return new_tr.get_score(), w
+
+        f_first = flops_of(edit_first, tr)
+        f_last = flops_of(edit_last, tr)
+        # editing the last address re-scores only itself; the first re-scores
+        # the entire suffix
+        assert f_last < 0.5 * f_first, (f_first, f_last)
+
+    def test_clean_edit_reports_nochange_retdiff(self):
+        @g.gen
+        def m():
+            x = g.normal(0.0, 1.0) @ "x"
+            return x
+
+        key = jax.random.key(0)
+        tr = m.simulate(key, ())
+        nd = g.Diff.tree_diff_no_change(())
+        _, w, retdiff, _ = m.edit(key, tr, g.Update(g.C.empty()), nd)
+        assert g.Diff.static_check_no_change(retdiff)
+        assert float(w) == 0.0
