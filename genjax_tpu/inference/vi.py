@@ -87,6 +87,48 @@ beta_implicit = adev_distribution(
 # ----------------------------------------------------------------------
 
 
+def fit(
+    grad_estimate,
+    phi0,
+    *,
+    key,
+    n_steps: int = 500,
+    learning_rate: float = 0.05,
+    batch_size: int = 16,
+):
+    """Convenience optimizer driver for any loss builder's gradient
+    estimator (ELBO/IWELBO/PWake/QWake): optax Adam on batch-averaged
+    gradient samples, the whole loop jitted. Returns the parameters after
+    ``n_steps``."""
+    import optax
+    import jax.tree_util as jtu
+    from jax import lax
+
+    opt = optax.adam(learning_rate)
+
+    def batched_grad(k, phi):
+        gs = jax.vmap(lambda kk: grad_estimate(kk, (phi,))[0])(
+            jax.random.split(k, batch_size)
+        )
+        return jtu.tree_map(lambda g_: jnp.mean(g_, axis=0), gs)
+
+    @jax.jit
+    def run(key, phi):
+        state = opt.init(phi)
+
+        def step(carry, k):
+            phi, state = carry
+            g_ = batched_grad(k, phi)
+            updates, state = opt.update(g_, state)
+            phi = optax.apply_updates(phi, updates)
+            return (phi, state), None
+
+        (phi, _), _ = lax.scan(step, (phi, state), jax.random.split(key, n_steps))
+        return phi
+
+    return run(key, phi0)
+
+
 def ELBO(
     guide: SampleDistribution,
     make_target: Callable[..., Target],
