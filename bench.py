@@ -31,6 +31,8 @@ import numpy as np
 
 
 def main():
+    if os.environ.get("BENCH_MODE") == "pf":
+        return main_pf()
     import genjax_tpu as g
     from genjax_tpu.kernels import ColumnPacker, column_logdensity, pallas_hmc
 
@@ -118,6 +120,46 @@ def main():
         f"# fused column path ({backend}); chains={n_chains} steps/sweep={n_steps} "
         f"reps={reps} L={L} wall={dt:.2f}s accept={float(acc):.2f} "
         f"device={jax.devices()[0].device_kind}",
+        file=sys.stderr,
+    )
+
+
+def main_pf():
+    """Supplementary particle-filter benchmark (BENCH_MODE=pf): adaptive
+    systematic resampling on the linear-Gaussian SSM."""
+    import genjax_tpu as g
+    from genjax_tpu.models import linear_gaussian_ssm
+    from genjax_tpu.parallel import SSMParticleFilter
+
+    K = int(os.environ.get("BENCH_PARTICLES", 131072))
+    T = int(os.environ.get("BENCH_T", 100))
+    reps = int(os.environ.get("BENCH_REPS", 20))
+    kernel, _ = linear_gaussian_ssm()
+    ys = jnp.zeros(T)
+    obs = g.C[:, "y"].set(ys)
+    pf = SSMParticleFilter(kernel, n_particles=K)
+    run = jax.jit(lambda s: pf.run(jr.fold_in(jr.key(0), s), 0.0, jnp.zeros(T), obs))
+    out = run(0)
+    _ = float(out.log_marginal)
+    t0 = time.perf_counter()
+    for i in range(1, reps + 1):
+        out = run(i)
+    _ = float(out.log_marginal)
+    dt = time.perf_counter() - t0
+    rate = K * T * reps / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"smc_particle_steps_per_sec_{K}particles",
+                "value": round(rate, 1),
+                "unit": "particle-steps/sec/chip",
+                "vs_baseline": 1.0,
+            }
+        )
+    )
+    print(
+        f"# particle filter; K={K} T={T} reps={reps} wall={dt:.2f}s "
+        f"logZ={float(out.log_marginal):.1f}",
         file=sys.stderr,
     )
 
