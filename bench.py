@@ -44,7 +44,8 @@ def main():
 
     from genjax_tpu.models import hierarchical_regression
 
-    N, D = 16, 8
+    N = int(os.environ.get("BENCH_N", 16))
+    D = int(os.environ.get("BENCH_D", 8))
     X = np.random.default_rng(0).normal(size=(N, D)).astype(np.float32)
     regression = hierarchical_regression(X)
     y_obs = np.random.default_rng(1).normal(size=(N,)).astype(np.float32)

@@ -96,14 +96,23 @@ class Distribution(GenerativeFunction):
             tr = self.simulate(key, args)
             return tr, jnp.asarray(0.0)
         if isinstance(v, Mask):
+            # the two cond branches must agree on the value dtype even when
+            # the constraint's dtype differs from the sampler's (e.g. an
+            # int 0/1 observation array constraining a boolean flip)
+            sample_aval = jax.eval_shape(
+                lambda k: self.random_weighted(k, *args)[1], key
+            )
+            out_dtype = jnp.promote_types(
+                sample_aval.dtype, jnp.result_type(v.value)
+            )
 
             def _importance(key, value):
                 w = self.estimate_logpdf(key, value, *args)
-                return (w, w, value)
+                return (w, w, jnp.asarray(value, out_dtype))
 
             def _simulate(key, value):
                 score, fresh = self.random_weighted(key, *args)
-                return (score, jnp.asarray(0.0), fresh)
+                return (score, jnp.asarray(0.0), jnp.asarray(fresh, out_dtype))
 
             score, w, value = FlagOp.cond(
                 v.primal_flag(), _importance, _simulate, key, v.value

@@ -8,7 +8,7 @@ posteriors where they exist) so inference can be validated in place.
 
 from .hmm import discrete_hmm_model
 from .mixture import dp_mixture_model, gaussian_mixture_model
-from .regression import hierarchical_regression, linear_regression
+from .regression import hierarchical_regression, linear_regression, logistic_regression
 from .ssm import linear_gaussian_ssm, stochastic_volatility
 
 __all__ = [
@@ -18,5 +18,6 @@ __all__ = [
     "hierarchical_regression",
     "linear_gaussian_ssm",
     "linear_regression",
+    "logistic_regression",
     "stochastic_volatility",
 ]

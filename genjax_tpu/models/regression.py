@@ -53,3 +53,33 @@ def hierarchical_regression(X, *, obs_scale: float = 0.25):
         return y
 
     return model
+
+
+def logistic_regression(X, *, prior_scale: float = 2.0):
+    """Bayesian logistic regression: ``w ~ N(0, prior_scale)``,
+    ``y_i ~ Bernoulli(sigmoid(x_i . w))``. Addresses: ``w``, ``y`` (vector
+    of 0/1 via independent flips through a vmapped observation model).
+
+    Returns ``model`` (no conjugate posterior; validate with MCMC vs a
+    long-chain reference or posterior-predictive checks)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..dists import flip, mv_normal_diag
+
+    X = jnp.asarray(X, jnp.float32)
+    n, d = X.shape
+
+    @gen
+    def model():
+        w = mv_normal_diag(jnp.zeros(d), prior_scale * jnp.ones(d)) @ "w"
+        probs = jax.nn.sigmoid(X @ w)
+
+        @gen
+        def obs_point(i, probs):
+            return flip(probs[i]) @ "y"
+
+        _ = obs_point.vmap(in_axes=(0, None))(jnp.arange(n), probs) @ "obs"
+        return probs
+
+    return model

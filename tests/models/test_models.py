@@ -98,3 +98,29 @@ class TestHMM:
         alg = g.ImportanceK(g.Target(chain, (init, jnp.zeros(5)), obs), k_particles=3000)
         est = jax.jit(alg.run_smc)(KEY).get_log_marginal_likelihood_estimate()
         assert est == pytest.approx(logZ, abs=0.15)
+
+
+class TestLogisticRegression:
+    def test_posterior_separates_classes(self):
+        from genjax_tpu.models import logistic_regression
+        from genjax_tpu.kernels import column_hmc
+
+        rng = np.random.default_rng(0)
+        X = rng.normal(size=(40, 2)).astype(np.float32)
+        w_true = np.array([2.0, -1.5], np.float32)
+        probs = 1.0 / (1.0 + np.exp(-(X @ w_true)))
+        y = (rng.uniform(size=40) < probs).astype(np.int32)
+
+        model = logistic_regression(X)
+        obs = g.C["obs", :, "y"].set(jnp.asarray(y))
+        q, acc, packer = column_hmc(
+            model, obs, (), ["w"],
+            n_chains=1024, n_steps=500, eps=0.08, L=5, backend="xla",
+        )
+        w_mean = jnp.mean(q[:2, :], axis=1)
+        # posterior mean points in the direction of the true weights
+        cos = jnp.dot(w_mean, w_true) / (
+            jnp.linalg.norm(w_mean) * np.linalg.norm(w_true)
+        )
+        assert float(cos) > 0.95
+        assert float(acc) > 0.5
