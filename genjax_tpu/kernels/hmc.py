@@ -118,6 +118,7 @@ def pallas_hmc(
     block_n: int = 1024,
     interpret: bool = False,
     backend: str = "xla",
+    inv_mass=None,
 ):
     """Run ``n_steps`` of MH-adjusted HMC on ``N`` column-layout chains.
 
@@ -145,7 +146,12 @@ def pallas_hmc(
         # Identical algorithm/layout in plain JAX (also the CPU path — the
         # TPU PRNG primitives have no CPU lowering).
         return _reference_hmc(
-            logdensity_cols, q0, seed, n_steps=n_steps, eps=eps, L=L
+            logdensity_cols, q0, seed, n_steps=n_steps, eps=eps, L=L,
+            inv_mass=inv_mass,
+        )
+    if inv_mass is not None:
+        raise NotImplementedError(
+            "inv_mass is currently supported on the 'xla' backend only."
         )
 
     d, n = q0.shape
@@ -224,33 +230,44 @@ def pallas_hmc(
     return q_final, accept_rate
 
 
-def _reference_hmc(logdensity_cols, q0, seed, *, n_steps, eps, L):
-    """Plain-JAX twin of the kernel (same layout and move structure)."""
+def _reference_hmc(logdensity_cols, q0, seed, *, n_steps, eps, L, inv_mass=None):
+    """Plain-JAX twin of the kernel (same layout and move structure).
+
+    ``inv_mass``: optional per-dimension inverse mass (≈ posterior variance
+    estimate, shape (D,) or (D, 1)). Momenta draw from N(0, M); the drift
+    is ``eps * M⁻¹ r``; kinetic energy ``½ rᵀ M⁻¹ r``.
+    """
     import jax.random as jr
 
     d, n = q0.shape
+    if inv_mass is None:
+        inv_mass = jnp.ones((d, 1), jnp.float32)
+    else:
+        inv_mass = jnp.reshape(jnp.asarray(inv_mass, jnp.float32), (d, 1))
+    mom_std = 1.0 / jnp.sqrt(inv_mass)
     grad_cols = jax.grad(lambda q: jnp.sum(logdensity_cols(q)))
+
+    def kinetic(p):
+        return 0.5 * jnp.sum(inv_mass * p * p, axis=0)
 
     def mh_step(carry, key):
         q, acc = carry
         kp, ku = jr.split(key)
-        p = jr.normal(kp, (d, n))
+        p = mom_std * jr.normal(kp, (d, n))
         lp0 = logdensity_cols(q)
-        ke0 = 0.5 * jnp.sum(p * p, axis=0)
+        ke0 = kinetic(p)
         g = grad_cols(q)
 
         def leap(_, c):
             q, p, g = c
             p = p + (eps / 2.0) * g
-            q = q + eps * p
+            q = q + eps * inv_mass * p
             g = grad_cols(q)
             p = p + (eps / 2.0) * g
             return (q, p, g)
 
         q_new, p_new, _ = jax.lax.fori_loop(0, L, leap, (q, p, g))
-        log_alpha = (logdensity_cols(q_new) - 0.5 * jnp.sum(p_new**2, axis=0)) - (
-            lp0 - ke0
-        )
+        log_alpha = (logdensity_cols(q_new) - kinetic(p_new)) - (lp0 - ke0)
         accept = jnp.log(jr.uniform(ku, (n,))) < log_alpha
         q = jnp.where(accept[None, :], q_new, q)
         return (q, acc + jnp.mean(accept.astype(jnp.float32))), None
@@ -258,3 +275,47 @@ def _reference_hmc(logdensity_cols, q0, seed, *, n_steps, eps, L):
     keys = jr.split(jr.key(seed), n_steps)
     (q, acc), _ = jax.lax.scan(mh_step, (q0.astype(jnp.float32), 0.0), keys)
     return q, acc / n_steps
+
+
+def warmup_column(
+    logdensity_cols,
+    q0,
+    seed: int,
+    *,
+    n_phases: int = 6,
+    steps_per_phase: int = 25,
+    eps0: float = 0.1,
+    L: int = 5,
+    target_accept: float = 0.8,
+):
+    """Windowed warmup for the column layout: per phase, run a short HMC
+    sweep, nudge the step size toward ``target_accept``, and re-estimate the
+    diagonal inverse mass from the CROSS-CHAIN variance (with thousands of
+    parallel chains, one time-slice across chains estimates the posterior
+    covariance diagonal — no within-chain windows needed).
+
+    Returns ``(q, eps, inv_mass)`` ready for the main sweep.
+    """
+    import jax.random as jr
+
+    d, n = q0.shape
+    q = q0.astype(jnp.float32)
+    eps = jnp.asarray(eps0, jnp.float32)
+    inv_mass = jnp.ones((d,), jnp.float32)
+
+    sweep = jax.jit(
+        lambda q, s, eps, im: _reference_hmc(
+            logdensity_cols, q, s, n_steps=steps_per_phase, eps=eps, L=L,
+            inv_mass=im,
+        ),
+        static_argnames=(),
+    )
+
+    for phase in range(n_phases):
+        q, acc = sweep(q, seed * 1000 + phase, eps, inv_mass)
+        # multiplicative step-size nudge toward the target accept rate
+        eps = eps * jnp.exp(1.5 * (acc - target_accept))
+        # cross-chain variance (guard padding dims with a floor)
+        var = jnp.maximum(jnp.var(q, axis=1), 1e-6)
+        inv_mass = var
+    return q, float(eps), inv_mass

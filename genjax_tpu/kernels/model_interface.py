@@ -107,10 +107,14 @@ def column_hmc(
     block_n: int = 1024,
     interpret: bool = False,
     backend: str = "xla",
+    warmup: bool = False,
+    inv_mass=None,
 ):
     """Prior-initialized, MH-adjusted HMC over ``addresses`` in the fused
-    column layout. Returns ``(positions, accept_rate, packer)`` where
-    ``positions`` is ``(padded_dim, n_chains)``; decode single chains with
+    column layout. With ``warmup=True``, a windowed warmup adapts the step
+    size and a diagonal mass matrix from cross-chain variance before the
+    main sweep (``eps`` then seeds the adaptation). Returns ``(positions,
+    accept_rate, packer)``; decode single chains with
     ``packer.unpack(positions[:, i])``."""
     packer = ColumnPacker(model, constraint, args, addresses)
     logdensity_cols = column_logdensity(model, constraint, args, packer)
@@ -124,6 +128,12 @@ def column_hmc(
     q0 = jax.vmap(init_one, out_axes=1)(
         jr.split(jr.fold_in(jr.key(seed), 0xC0FFEE), n_chains)
     )
+    if warmup:
+        from .hmc import warmup_column
+
+        q0, eps, inv_mass = warmup_column(
+            logdensity_cols, q0, seed, eps0=eps, L=L
+        )
     q, accept = pallas_hmc(
         logdensity_cols,
         q0,
@@ -134,6 +144,7 @@ def column_hmc(
         block_n=block_n,
         interpret=interpret,
         backend=backend,
+        inv_mass=inv_mass,
     )
     return q, accept, packer
 
@@ -149,6 +160,8 @@ def column_nuts(
     eps: float,
     max_depth: int = 8,
     seed: int = 0,
+    warmup: bool = False,
+    inv_mass=None,
 ):
     """Prior-initialized No-U-Turn sampling over ``addresses`` in the fused
     column layout. Returns ``(positions, accept_stat, mean_leapfrogs,
@@ -165,7 +178,14 @@ def column_nuts(
     q0 = jax.vmap(init_one, out_axes=1)(
         jr.split(jr.fold_in(jr.key(seed), 0xC0FFEE), n_chains)
     )
+    if warmup:
+        from .hmc import warmup_column
+
+        q0, eps, inv_mass = warmup_column(
+            logdensity_cols, q0, seed, eps0=eps
+        )
     q, accept, leaps = nuts_sweep_cols(
-        logdensity_cols, q0, seed, n_steps=n_steps, eps=eps, max_depth=max_depth
+        logdensity_cols, q0, seed, n_steps=n_steps, eps=eps,
+        max_depth=max_depth, inv_mass=inv_mass,
     )
     return q, accept, leaps, packer

@@ -38,9 +38,11 @@ class NUTSInfo(NamedTuple):
     depth: jnp.ndarray
 
 
-def _uturn(z_from, r_from, z_to, r_to):
+def _uturn(z_from, r_from, z_to, r_to, inv_mass=1.0):
     dz = z_to - z_from
-    return jnp.logical_or(jnp.dot(dz, r_from) < 0.0, jnp.dot(dz, r_to) < 0.0)
+    return jnp.logical_or(
+        jnp.dot(dz, inv_mass * r_from) < 0.0, jnp.dot(dz, inv_mass * r_to) < 0.0
+    )
 
 
 def nuts_transition(
@@ -51,6 +53,7 @@ def nuts_transition(
     eps,
     max_depth: int = 8,
     divergence_threshold: float = 1000.0,
+    inv_mass=None,
 ):
     """One NUTS transition for a single chain (vmap over chains).
 
@@ -62,15 +65,22 @@ def nuts_transition(
     Returns ``(z_new, NUTSInfo)``.
     """
     d = z0.shape[0]
+    if inv_mass is None:
+        inv_mass = jnp.ones((d,), jnp.float32)
+    mom_std = 1.0 / jnp.sqrt(inv_mass)
     kr, kd, ku = jr.split(key, 3)
-    r0 = jr.normal(kr, (d,))
-    energy0 = -logdensity(z0) + 0.5 * jnp.dot(r0, r0)
+    r0 = mom_std * jr.normal(kr, (d,))
+
+    def kinetic(r):
+        return 0.5 * jnp.dot(inv_mass * r, r)
+
+    energy0 = -logdensity(z0) + kinetic(r0)
 
     def leapfrog(z, r, direction):
         e = eps * direction
         g = grad_logdensity(z)
         r = r + 0.5 * e * g
-        z = z + e * r
+        z = z + e * inv_mass * r
         g = grad_logdensity(z)
         r = r + 0.5 * e * g
         return z, r
@@ -143,7 +153,7 @@ def nuts_transition(
 
             ckz = save(s.ckpt_z, z_new)
             ckr = save(s.ckpt_r, r_new)
-            energy = -logdensity(z_new) + 0.5 * jnp.dot(r_new, r_new)
+            energy = -logdensity(z_new) + kinetic(r_new)
             lw_leaf = -energy
             diverged = jnp.logical_and(
                 active, energy - energy0 > divergence_threshold
@@ -168,7 +178,8 @@ def nuts_transition(
                 closes = ((i + 1) % (1 << (k + 1))) == 0
                 dz = direction * (z_new - ckz[k])
                 ut = jnp.logical_or(
-                    jnp.dot(dz, ckr[k]) < 0.0, jnp.dot(dz, r_new) < 0.0
+                    jnp.dot(dz, inv_mass * ckr[k]) < 0.0,
+                    jnp.dot(dz, inv_mass * r_new) < 0.0,
                 )
                 return jnp.logical_or(
                     turning, jnp.logical_and(jnp.logical_and(active, closes), ut)
@@ -232,7 +243,7 @@ def nuts_transition(
         )
 
         # global U-turn across the whole trajectory
-        global_turn = _uturn(z_minus, r_minus, z_plus, r_plus)
+        global_turn = _uturn(z_minus, r_minus, z_plus, r_plus, inv_mass)
 
         new_done = jnp.logical_or(
             done,
@@ -269,6 +280,7 @@ def nuts_sweep_cols(
     n_steps: int,
     eps,
     max_depth: int = 8,
+    inv_mass=None,
 ):
     """``n_steps`` NUTS transitions over ``(D, N)`` column-layout chains as
     one jitted scan (shard the chain axis for multi-chip)."""
@@ -284,7 +296,8 @@ def nuts_sweep_cols(
 
         def one(k, z):
             return nuts_transition(
-                ld_one, grad_one, z, k, eps, max_depth=max_depth
+                ld_one, grad_one, z, k, eps, max_depth=max_depth,
+                inv_mass=inv_mass,
             )
 
         z_new, info = jax.vmap(one, in_axes=(0, 1), out_axes=(1, 0))(keys, q)

@@ -70,3 +70,50 @@ class TestColumnHMC:
         for i, mu in enumerate([0.0, 0.5, 1.0, -1.0]):
             expected, _ = conjugate.assess(g.C.d({"mu": mu, "y": 2.0}), ())
             assert scores[i] == pytest.approx(float(expected), rel=1e-5)
+
+
+class TestMassAdaptation:
+    def test_warmup_recovers_scales_and_speeds_nuts(self):
+        from genjax_tpu.kernels.hmc import warmup_column
+        from genjax_tpu.kernels.nuts import nuts_sweep_cols
+
+        scales = jnp.array([0.05, 0.2, 1.0, 3.0, 5.0])
+
+        def ld(q):
+            return jnp.sum(-0.5 * (q / scales[:, None]) ** 2, axis=0)
+
+        q0 = jnp.zeros((5, 1024))
+        q, eps, inv_mass = warmup_column(
+            ld, q0, 7, n_phases=6, steps_per_phase=25, eps0=0.05, L=10
+        )
+        # inv_mass approximates the posterior variances
+        assert jnp.allclose(
+            inv_mass / scales**2, 1.0, rtol=0.5
+        ), inv_mass
+        # adapted HMC recovers every scale
+        q_ad, acc = pallas_hmc(
+            ld, q, 2, n_steps=150, eps=eps, L=10, backend="xla",
+            inv_mass=inv_mass,
+        )
+        assert float(acc) > 0.8
+        assert jnp.allclose(jnp.std(q_ad, axis=1), scales, rtol=0.15)
+        # adapted NUTS needs far fewer leapfrogs than unit-mass NUTS
+        _, _, leaps_ad = nuts_sweep_cols(
+            ld, q, 3, n_steps=20, eps=eps, max_depth=8, inv_mass=inv_mass
+        )
+        _, _, leaps_unit = nuts_sweep_cols(
+            ld, q, 3, n_steps=20, eps=0.05, max_depth=8
+        )
+        assert float(leaps_ad) < 0.3 * float(leaps_unit)
+
+    def test_column_hmc_warmup_flag(self):
+        obs = g.C["y"].set(2.0)
+        q, acc, packer = column_hmc(
+            conjugate, obs, (), ["mu"],
+            n_chains=1024, n_steps=150, eps=0.05, L=5,
+            backend="xla", warmup=True,
+        )
+        mus = q[0, :]
+        assert float(acc) > 0.6
+        assert jnp.mean(mus) == pytest.approx(1.0, abs=0.1)
+        assert jnp.std(mus) == pytest.approx(1.0 / np.sqrt(2.0), abs=0.1)
