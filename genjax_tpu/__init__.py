@@ -34,6 +34,8 @@ from .dists.distribution import (
     exact_density,
 )
 from .generative import (
+    Argdiffs,
+    Arguments,
     C,
     ChoiceMap,
     ChoiceMapBuilder,
@@ -47,14 +49,18 @@ from .generative import (
     NotSupportedEditRequest,
     PrimitiveEditRequest,
     Regenerate,
+    Retdiff,
+    Retval,
     S,
+    Score,
     Selection,
     SelectionBuilder,
     Trace,
     Update,
     VectorRequest,
+    Weight,
 )
-from .lang import StaticGenerativeFunction, StaticRequest, StaticTrace, gen
+from .lang import StaticGenerativeFunction, StaticRequest, StaticTrace, gen, trace
 from .combinators import (
     MaskCombinator,
     ScanCombinator,
@@ -106,6 +112,8 @@ __version__ = "0.1.0"
 
 __all__ = [
     "AddressReuse",
+    "Argdiffs",
+    "Arguments",
     "C",
     "ChoiceMap",
     "ChoiceMapBuilder",
@@ -130,7 +138,10 @@ __all__ = [
     "PrimitiveEditRequest",
     "Pytree",
     "Regenerate",
+    "Retdiff",
+    "Retval",
     "S",
+    "Score",
     "Selection",
     "SelectionBuilder",
     "StaticGenerativeFunction",
@@ -140,6 +151,8 @@ __all__ = [
     "UnknownChange",
     "Update",
     "VectorRequest",
+    "Weight",
+    "trace",
     "Algorithm",
     "ChangeTarget",
     "HMC",

@@ -358,6 +358,18 @@ class IndexedChm(ChoiceMap):
     def get_inner_map(self, addr) -> ChoiceMap:
         if _static_addr(addr):
             return _EMPTY
+        if isinstance(addr, slice):
+            # Full-slice read returns the whole dense inner (reference
+            # choice_map.py:1483-1487); partial slices are rejected there
+            # too. Under scalar/sparse ``idx`` the reference asserts out
+            # (:1513-1514) — do the same.
+            if addr != slice(None, None, None):
+                raise ValueError(f"Partial slices not supported: {addr}")
+            if self.idx is None:
+                return self.inner
+            raise ValueError(
+                "Slice reads are not supported on sparsely-indexed maps"
+            )
         if self.idx is None:
             size = _leading_axis_size(self.inner)
             if size is None:

@@ -66,8 +66,14 @@ def tempered_smc(
     betas = jnp.asarray(betas)
     k = n_particles
 
+    # Distinct parents for particle-init keys vs per-rung keys: with
+    # fold_in(key, t) == split(key, k)[t] in this JAX version, deriving
+    # rung keys directly from ``key`` would make rung t's resampling /
+    # rejuvenation randomness an exact function of particle t's init draw.
+    init_key, ladder_key = jr.split(key)
+
     # initialize at beta = 0: particles from the prior, llh recorded
-    init_keys = jr.split(key, k)
+    init_keys = jr.split(init_key, k)
 
     def init_one(kk):
         tr, llh = model.generate(kk, constraint, args)
@@ -78,7 +84,7 @@ def tempered_smc(
     def rung(state, inp):
         traces, llhs, log_w, log_z = state
         t, beta_prev, beta = inp
-        rung_key = jr.fold_in(key, t)
+        rung_key = jr.fold_in(ladder_key, t)
         log_w = log_w + (beta - beta_prev) * llhs
 
         ess = effective_sample_size(log_w)

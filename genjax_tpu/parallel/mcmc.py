@@ -117,9 +117,13 @@ def warmup_adapt_step_size(
         eps = jnp.exp(adapt.log_eps)
 
         def one(k, tr):
-            new_tr, alpha, _, _ = tr.edit(k, make_request(eps))
+            # Independent edit/accept keys: fold_in(k, 1) == split(k)[1] is
+            # the sub-key HMC.edit uses for momenta, so the accept uniform
+            # must come from a separate split (advisor round-1 finding).
+            k_edit, k_acc = jr.split(k)
+            new_tr, alpha, _, _ = tr.edit(k_edit, make_request(eps))
             accept_prob = jnp.minimum(1.0, jnp.exp(alpha))
-            log_u = jnp.log(jr.uniform(jr.fold_in(k, 1)))
+            log_u = jnp.log(jr.uniform(k_acc))
             accept = log_u < alpha
             out = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(accept, new, old), new_tr, tr

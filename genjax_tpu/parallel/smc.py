@@ -89,7 +89,11 @@ class SSMParticleFilter(Pytree):
         def step(state, inp):
             carries, log_w, log_z = state
             t, x = inp
-            step_key = jr.fold_in(key, t)
+            # Split once per step so the resampling key cannot alias any
+            # particle key: with fold_in(k, i) == split(k, n)[i] in this
+            # JAX version, fold_in(step_key, C) would equal pkeys[C] for
+            # large particle counts (advisor round-1 finding).
+            extend_key, resample_key = jr.split(jr.fold_in(key, t))
 
             def extend(pkey, c):
                 submap = constraint.get_submap(t)
@@ -97,7 +101,7 @@ class SSMParticleFilter(Pytree):
                 c_new, _y = tr.get_retval()
                 return c_new, w
 
-            pkeys = jr.split(step_key, k)
+            pkeys = jr.split(extend_key, k)
             carries, ws = jax.vmap(extend)(pkeys, carries)
             log_w = log_w + ws
 
@@ -107,7 +111,7 @@ class SSMParticleFilter(Pytree):
                 carries, log_w, log_z = args
                 inc = logsumexp(log_w) - jnp.log(k)
                 carries = resample_particles(
-                    jr.fold_in(step_key, 0x5EED), carries, log_w, k, self.method
+                    resample_key, carries, log_w, k, self.method
                 )
                 return carries, jnp.zeros((k,)), log_z + inc
 
@@ -175,7 +179,9 @@ class SSMParticleFilter(Pytree):
             def step(state, inp):
                 carries, log_w, log_z = state
                 t, x = inp
-                step_key = jr.fold_in(key, t)
+                # Same aliasing fix as ``run``: distinct parents for
+                # particle-extension keys and the resampling key.
+                extend_key, resample_key = jr.split(jr.fold_in(key, t))
 
                 def extend(pkey, c):
                     submap = constraint.get_submap(t)
@@ -183,7 +189,7 @@ class SSMParticleFilter(Pytree):
                     c_new, _y = tr.get_retval()
                     return c_new, w
 
-                pkeys = jr.split(jr.fold_in(step_key, shard), k_local)
+                pkeys = jr.split(jr.fold_in(extend_key, shard), k_local)
                 carries, ws = jax.vmap(extend)(pkeys, carries)
                 log_w = log_w + ws
 
@@ -196,7 +202,7 @@ class SSMParticleFilter(Pytree):
                 def do_resample(args):
                     carries, log_w, log_z = args
                     new_c, new_lw, inc = collective_resample(
-                        jr.fold_in(step_key, 0x5EED),
+                        resample_key,
                         carries,
                         log_w,
                         axis,
