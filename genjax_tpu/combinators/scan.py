@@ -162,6 +162,9 @@ class ScanCombinator(GenerativeFunction):
         argdiffs: Any,
     ) -> tuple[ScanTrace, Weight, Retdiff, EditRequest]:
         if isinstance(request, Update):
+            fast = self._try_edit_update_sparse(key, trace, request, argdiffs)
+            if fast is not None:
+                return fast
             return self._edit_dense(
                 key, trace, argdiffs,
                 lambda t: Update(request.constraint.get_submap(t)),
@@ -183,6 +186,84 @@ class ScanCombinator(GenerativeFunction):
         raise NotSupportedEditRequest(
             f"ScanCombinator cannot serve {type(request).__name__}."
         )
+
+    def _try_edit_update_sparse(self, key, trace: ScanTrace, request: Update, argdiffs):
+        """O(k) Update of k constrained slices of a T-step scan (VERDICT
+        round-1 item 1; reference analog: edit_index scan.py:325 generalized
+        to index *sets*).
+
+        Applies when (i) the scan's arguments are unchanged, (ii) the
+        constraint addresses a strict subset of slices through a
+        sparsely-indexed ``IndexedChm``, and (iii) the kernel's edit leaves
+        its carry output unchanged (checked *statically* via the retdiff the
+        kernel's incremental edit reports — e.g. updating an observation
+        address that the carry does not depend on). Then no slice interacts
+        with any other: gather the k slice traces, edit them under ``vmap``,
+        scatter back. Returns None when inapplicable (caller falls back to
+        the dense O(T) walk).
+        """
+        constraint = request.constraint
+        if not Diff.static_check_no_change(argdiffs):
+            return None
+        if not isinstance(constraint, IndexedChm) or constraint.idx is None:
+            return None
+        idx = constraint.idx
+        scalar = jnp.ndim(idx) == 0
+        idx_arr = jnp.atleast_1d(jnp.asarray(idx))
+        k = idx_arr.shape[0]
+        n = trace.length
+
+        # A sparsely-indexed map already stores its k per-slice submaps with
+        # the index axis leading every leaf — vmap over it directly.
+        if scalar:
+            submaps = jtu.tree_map(
+                lambda v: jnp.asarray(v)[None], constraint.inner
+            )
+        else:
+            submaps = jtu.tree_map(lambda v: jnp.asarray(v), constraint.inner)
+
+        slice_trs = jtu.tree_map(lambda v: v[idx_arr], trace.inner)
+        keys = jax.vmap(lambda i: jr.fold_in(key, i))(idx_arr)
+
+        def edit_one(k_, tr_, chm_):
+            return Update(chm_).edit(
+                k_, tr_, Diff.tree_diff_no_change(tr_.get_args())
+            )
+
+        new_slices, ws, retdiffs, bwds = jax.vmap(edit_one)(
+            keys, slice_trs, submaps
+        )
+        carry_rd, y_rd = retdiffs
+        if not Diff.static_check_no_change(carry_rd):
+            # the edit perturbs the carry chain: slice-local editing is
+            # unsound, take the dense walk
+            return None
+
+        new_inner = jtu.tree_map(
+            lambda v, s: v.at[idx_arr].set(s), trace.inner, new_slices
+        )
+        old_carry_out, old_ys = trace.get_retval()
+        new_y = Diff.tree_primal(y_rd)
+        new_ys = jtu.tree_map(
+            lambda old, new: old.at[idx_arr].set(new), old_ys, new_y
+        )
+        new_tr = ScanTrace(self, new_inner, trace.args, (old_carry_out, new_ys), n)
+
+        bwd_idx = idx if scalar else idx_arr
+        if isinstance(bwds, Update):
+            bwd_constraint = bwds.constraint
+            if scalar:
+                bwd_constraint = jtu.tree_map(lambda v: v[0], bwd_constraint)
+            bwd_req: EditRequest = Update(
+                IndexedChm.build(bwd_constraint, bwd_idx)
+            )
+        else:  # pragma: no cover — Update sub-edits return Update bwds
+            bwd_req = VectorRequest(bwds)
+        retdiff = (
+            Diff.no_change(old_carry_out),
+            Diff.unknown_change(new_ys),
+        )
+        return new_tr, jnp.sum(ws), retdiff, bwd_req
 
     def _edit_dense(self, key, trace: ScanTrace, argdiffs, subrequest_at):
         """O(T) full re-walk serving Update/Regenerate/VectorRequest: each

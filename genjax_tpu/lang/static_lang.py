@@ -336,18 +336,91 @@ class StaticGenerativeFunction(GenerativeFunction):
         request: EditRequest,
         argdiffs: Any,
     ) -> tuple[StaticTrace, Weight, Retdiff, EditRequest]:
+        if not isinstance(request, (Update, Regenerate, StaticRequest)):
+            raise NotSupportedEditRequest(
+                f"StaticGenerativeFunction cannot serve {type(request).__name__}."
+            )
+        primals = Diff.tree_primal(argdiffs)
+        from .staged_edit import StagingUnsupported, stage_body
+
+        try:
+            staged = stage_body(self.source, primals)
+        except StagingUnsupported:
+            # bodies requiring concrete values (Python control flow on
+            # traced data) cannot be staged — serve them with the
+            # handler-based edit (clean-prefix reuse only)
+            return self._edit_via_handler(key, trace, request, argdiffs)
+        return self._edit_staged(key, trace, request, argdiffs, staged)
+
+    def _edit_staged(self, key, trace, request, argdiffs, staged):
+        """Jaxpr-level incremental edit: per-equation NoChange propagation,
+        so only the selected addresses and their true dependents re-score
+        (reference incremental.py:300-311 + static.py:469-504)."""
+        import jax.tree_util as jtu
+
+        from .staged_edit import flat_changed, incremental_edit, _tangent_tree
+
+        primals = Diff.tree_primal(argdiffs)
+        closed_jaxpr, flat_args, out_tree = staged
+
+        if isinstance(request, Update):
+            constraint = request.constraint
+
+            def subrequest(addr):
+                path = addr if isinstance(addr, tuple) else (addr,)
+                return Update(constraint.get_submap(*path))
+
+        elif isinstance(request, Regenerate):
+            selection = request.selection
+
+            def subrequest(addr):
+                path = addr if isinstance(addr, tuple) else (addr,)
+                subsel = selection
+                for comp in path:
+                    subsel = subsel.get_subselection(comp)
+                return Regenerate(subsel)
+
+        else:  # StaticRequest
+            subrequest = request.get
+
+        # input change flags: the source closure's own leaves are this very
+        # gen fn (unchanged); argument leaves come from the caller's diffs
+        n_src = len(jtu.tree_leaves(self.source))
+        changed_in = [False] * n_src + flat_changed(argdiffs)
+
+        out_flat, out_changed, weight, addresses, subtraces, bwd = (
+            incremental_edit(
+                closed_jaxpr,
+                flat_args,
+                changed_in,
+                key=key,
+                prev_trace=trace,
+                subrequest=subrequest,
+                is_trivial=EditHandler._is_trivial,
+            )
+        )
+        retval = jtu.tree_unflatten(out_tree, out_flat)
+        new_tr = StaticTrace(
+            self, primals, retval, tuple(subtraces), tuple(addresses)
+        )
+        retdiff = Diff.tree_diff(retval, _tangent_tree(retval, out_changed))
+        if isinstance(request, Update):
+            bwd_req: EditRequest = _assemble_update_bwd(bwd)
+        else:
+            bwd_req = StaticRequest.d(bwd)
+        return new_tr, weight, retdiff, bwd_req
+
+    def _edit_via_handler(self, key, trace, request, argdiffs):
+        """Fallback edit path executing the body under the handler stack
+        (round-1 semantics: clean-prefix reuse, conservative argdiffs)."""
         primals = Diff.tree_primal(argdiffs)
         unchanged = Diff.static_check_no_change(argdiffs)
         if isinstance(request, Update):
             h: EditHandler = UpdateHandler(key, trace, request.constraint, unchanged)
         elif isinstance(request, Regenerate):
             h = RegenerateHandler(key, trace, request.selection, unchanged)
-        elif isinstance(request, StaticRequest):
-            h = StaticRequestHandler(key, trace, request, unchanged)
         else:
-            raise NotSupportedEditRequest(
-                f"StaticGenerativeFunction cannot serve {type(request).__name__}."
-            )
+            h = StaticRequestHandler(key, trace, request, unchanged)
         retval = self.run(h, primals)
         new_tr = StaticTrace(
             self, primals, retval, tuple(h.subtraces), tuple(h.addresses)
@@ -387,6 +460,17 @@ class StaticGenerativeFunction(GenerativeFunction):
         if instance is None:
             return self
         return self.partial_apply(instance)
+
+
+def _assemble_update_bwd(bwd: dict) -> Update:
+    """Collect per-address backward Updates into one discard choice map
+    (the reference's discard semantics, static.py:855-865)."""
+    acc = ChoiceMap.empty()
+    for addr, req in bwd.items():
+        if isinstance(req, Update) and not req.constraint.static_is_empty():
+            path = addr if isinstance(addr, tuple) else (addr,)
+            acc |= req.constraint.extend(*path)
+    return Update(acc)
 
 
 def trace(addr, gen_fn, args: tuple = ()):
