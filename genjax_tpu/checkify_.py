@@ -30,3 +30,30 @@ def checkify_enabled() -> bool:
 def optional_check(check_fn: Callable[[], None]) -> None:
     if checkify_enabled():
         check_fn()
+
+
+# ----------------------------------------------------------------------
+# constraint-address validation gate
+# ----------------------------------------------------------------------
+
+_VALIDATION_SUPPRESSED: list[bool] = [False]
+
+
+@contextmanager
+def suppress_constraint_validation():
+    """Disable constraint-address validation for a dynamic extent.
+
+    Combinators that legitimately delegate an *unfiltered* constraint to
+    branches with different address spaces (``Switch`` and its derivatives)
+    install this around the delegation — a sibling branch's addresses are
+    not typos.
+    """
+    _VALIDATION_SUPPRESSED.append(True)
+    try:
+        yield
+    finally:
+        _VALIDATION_SUPPRESSED.pop()
+
+
+def constraint_validation_active() -> bool:
+    return checkify_enabled() and not _VALIDATION_SUPPRESSED[-1]

@@ -99,16 +99,24 @@ class SwitchCombinator(GenerativeFunction):
         return SwitchTrace(self, args, tuple(subtraces), retval, score)
 
     def assess(self, chm: ChoiceMap, args: tuple):
+        from ..checkify_ import suppress_constraint_validation
+
         idx, branch_args = self._split(args)
         fs = [f.assess for f in self.branches]
         ops = [(chm, a) for a in branch_args]
-        return tree_choose(idx, multi_switch(idx, fs, ops))
+        with suppress_constraint_validation():
+            return tree_choose(idx, multi_switch(idx, fs, ops))
 
     def generate(self, key: PRNGKey, constraint: ChoiceMap, args: tuple):
+        # every branch sees the whole constraint; a sibling branch's
+        # addresses are not typos, so address validation is suppressed
+        from ..checkify_ import suppress_constraint_validation
+
         idx, branch_args = self._split(args)
         fs = [f.generate for f in self.branches]
         ops = [(key, constraint, a) for a in branch_args]
-        rets = multi_switch(idx, fs, ops)
+        with suppress_constraint_validation():
+            rets = multi_switch(idx, fs, ops)
         subtraces = tuple(t for t, _w in rets)
         retval, score, weight = tree_choose(
             idx,

@@ -93,6 +93,25 @@ class Distribution(GenerativeFunction):
     ) -> tuple[DistributionTrace, Weight]:
         v = constraint.get_value()
         if v is None:
+            from ..checkify_ import constraint_validation_active
+
+            if (
+                constraint_validation_active()
+                and not constraint.static_is_empty()
+            ):
+                from ..core.handlers import active_handler
+                from ..generative.choice_map import (
+                    ChoiceMapInvalidAddress,
+                    exists_flag,
+                )
+
+                if active_handler() is None and FlagOp.concrete_true(
+                    exists_flag(constraint)
+                ):
+                    raise ChoiceMapInvalidAddress(
+                        "generate: a distribution takes a value constraint "
+                        f"at the root, got sub-addressed entries: {constraint}"
+                    )
             tr = self.simulate(key, args)
             return tr, jnp.asarray(0.0)
         if isinstance(v, Mask):

@@ -47,6 +47,12 @@ class ChoiceMapCoercionError(GenJAXError):
     pass
 
 
+class ChoiceMapInvalidAddress(GenJAXError):
+    """A constraint addressed a location the generative function never
+    samples (e.g. a typo): under ``do_checkify()`` this is an error instead
+    of the constraint being silently ignored."""
+
+
 def _is_dynamic(x) -> bool:
     return isinstance(x, (jax.Array, np.ndarray)) or hasattr(x, "aval")
 
@@ -207,6 +213,23 @@ class ChoiceMap(Pytree):
     def static_addresses(self) -> tuple:
         """Statically-known top-level address components (best effort)."""
         return ()
+
+    def invalid_subset(self, gen_fn, args: tuple) -> "ChoiceMap | None":
+        """The subset of this map's choices that are unreachable in any
+        execution of ``gen_fn(*args)`` — e.g. misspelled constraint
+        addresses — or None if every choice is reachable.
+
+        Parity: reference ``ChoiceMap.invalid_subset``
+        (choice_map.py:1358) / ``_shape_selection`` (:1747). The shape of
+        the reachable address tree comes from a zero-FLOP ``get_zero_trace``
+        shape evaluation; extras are pruned *eagerly* so the result is
+        statically empty exactly when the constraint is statically valid.
+        """
+        shape_chm = gen_fn.get_zero_trace(*args).get_choices()
+        extras = _invalid_extras(self, shape_selection(shape_chm))
+        if not extras.static_is_empty():
+            return extras
+        return None
 
     # ------------------------------------------------------------------
     # dunders
@@ -525,6 +548,125 @@ def _or_build(c1: ChoiceMap, c2: ChoiceMap) -> ChoiceMap:
     if isinstance(c2, SwitchChm) and not isinstance(c1, SwitchChm):
         return SwitchChm(c2.idx, tuple(c1 | b for b in c2.branches))
     return OrChm(c1, c2)
+
+
+# ----------------------------------------------------------------------
+# constraint validation (reference choice_map.py:699-749, :1358, :1747)
+# ----------------------------------------------------------------------
+
+
+def shape_selection(chm: ChoiceMap) -> Selection:
+    """The selection of every address reachable in ``chm``'s address tree
+    (reference ``_shape_selection``, choice_map.py:1747). Integer-indexed
+    levels widen to the ``...`` wildcard."""
+    from .selection import LeafSel, NoneSel, Selection
+
+    if isinstance(chm, EmptyChm):
+        return NoneSel()
+    if isinstance(chm, ValueChm):
+        return LeafSel()
+    if isinstance(chm, StaticChm):
+        acc: Selection = NoneSel()
+        for k, sub in zip(chm.keys, chm.submaps):
+            acc = acc | shape_selection(sub).extend(k)
+        return acc
+    if isinstance(chm, IndexedChm):
+        return shape_selection(chm.inner).extend(...)
+    if isinstance(chm, (MaskedChm, FilteredChm)):
+        return shape_selection(chm.inner)
+    if isinstance(chm, SwitchChm):
+        acc = NoneSel()
+        for b in chm.branches:
+            acc = acc | shape_selection(b)
+        return acc
+    if isinstance(chm, OrChm):
+        return shape_selection(chm.c1) | shape_selection(chm.c2)
+    raise ValueError(f"Unknown ChoiceMap node: {type(chm).__name__}")
+
+
+def _invalid_extras(chm: ChoiceMap, sel: Selection) -> ChoiceMap:
+    """Eagerly prune ``chm`` down to the entries NOT covered by ``sel``.
+
+    Unlike ``filter`` (a lazy wrapper), the result is statically empty when
+    the constraint is statically valid, so callers can raise at trace time.
+    Dynamically-conditioned parts stay as masked entries for ``checkify``.
+    """
+    if chm.static_is_empty():
+        return _EMPTY
+    if isinstance(chm, ValueChm):
+        chk = sel.check()
+        if FlagOp.concrete_true(chk):
+            return _EMPTY
+        if FlagOp.concrete_false(chk):
+            return chm
+        return MaskedChm(chm, FlagOp.not_(chk))
+    if isinstance(chm, StaticChm):
+        out = {}
+        for k, sub in zip(chm.keys, chm.submaps):
+            ex = _invalid_extras(sub, sel.get_subselection(k))
+            if not ex.static_is_empty():
+                out[k] = ex
+        return StaticChm.build(out)
+    if isinstance(chm, IndexedChm):
+        # all indices share one structure; shape selections are uniform
+        # over the integer level (``...``), so one representative suffices
+        rep = chm.idx if (chm.idx is not None and jnp.ndim(chm.idx) == 0) else 0
+        ex = _invalid_extras(chm.inner, sel.get_subselection(rep))
+        if ex.static_is_empty():
+            return _EMPTY
+        return IndexedChm(ex, chm.idx)
+    if isinstance(chm, MaskedChm):
+        ex = _invalid_extras(chm.inner, sel)
+        return ex.mask(chm.flag)
+    if isinstance(chm, FilteredChm):
+        # conservative: the filter can only remove entries, so extras of
+        # the filtered map are a subset of the inner extras (may overreport
+        # dynamically; existence stays gated by _exists_flag)
+        return _invalid_extras(chm.inner, sel)
+    if isinstance(chm, SwitchChm):
+        subs = tuple(_invalid_extras(b, sel) for b in chm.branches)
+        if all(s.static_is_empty() for s in subs):
+            return _EMPTY
+        return SwitchChm(chm.idx, subs)
+    if isinstance(chm, OrChm):
+        e1 = _invalid_extras(chm.c1, sel)
+        e2 = _invalid_extras(chm.c2, sel)
+        return _or_build(e1, e2)
+    # unknown node: conservatively report it whole
+    return chm
+
+
+def exists_flag(chm: ChoiceMap) -> Flag:
+    """Does any value actually exist in ``chm`` at runtime? Concrete
+    ``True`` means statically provable presence."""
+    if isinstance(chm, EmptyChm):
+        return False
+    if isinstance(chm, ValueChm):
+        v = chm.get_value()
+        if v is None:
+            return False
+        return v.primal_flag() if isinstance(v, Mask) else True
+    if isinstance(chm, StaticChm):
+        flag: Flag = False
+        for sub in chm.submaps:
+            flag = FlagOp.or_(flag, exists_flag(sub))
+        return flag
+    if isinstance(chm, IndexedChm):
+        return exists_flag(chm.inner)
+    if isinstance(chm, MaskedChm):
+        return FlagOp.and_(chm.flag, exists_flag(chm.inner))
+    if isinstance(chm, SwitchChm):
+        flag = False
+        for i, b in enumerate(chm.branches):
+            flag = FlagOp.or_(
+                flag, FlagOp.and_(_eq_flag(chm.idx, i), exists_flag(b))
+            )
+        return flag
+    if isinstance(chm, OrChm):
+        return FlagOp.or_(exists_flag(chm.c1), exists_flag(chm.c2))
+    if isinstance(chm, FilteredChm):
+        return exists_flag(chm.inner)  # conservative over-approximation
+    return True
 
 
 # ----------------------------------------------------------------------

@@ -307,11 +307,13 @@ class StaticGenerativeFunction(GenerativeFunction):
         return StaticTrace(self, args, retval, tuple(h.subtraces), tuple(h.addresses))
 
     def assess(self, chm: ChoiceMap, args: tuple):
+        _maybe_validate_constraint(self, chm, args, "assess")
         h = AssessHandler(chm)
         retval = self.run(h, args)
         return h.score, retval
 
     def generate(self, key: PRNGKey, constraint: ChoiceMap, args: tuple):
+        _maybe_validate_constraint(self, constraint, args, "generate")
         h = GenerateHandler(key, constraint)
         retval = self.run(h, args)
         tr = StaticTrace(self, args, retval, tuple(h.subtraces), tuple(h.addresses))
@@ -460,6 +462,48 @@ class StaticGenerativeFunction(GenerativeFunction):
         if instance is None:
             return self
         return self.partial_apply(instance)
+
+
+def _maybe_validate_constraint(gen_fn, constraint: ChoiceMap, args, what: str):
+    """Under ``do_checkify()``: reject constraints whose addresses the model
+    never samples (VERDICT round-1 item 2; reference choice_map.py:699-749).
+
+    Statically-present extras raise ``ChoiceMapInvalidAddress`` at trace
+    time; dynamically-conditioned extras (masked/switched) stage a
+    ``jax.experimental.checkify`` check. Validation runs only at the top of
+    a GFI entry — not inside an enclosing body execution, and not under a
+    combinator that legitimately fans a constraint across heterogeneous
+    branches (``suppress_constraint_validation``).
+    """
+    from ..checkify_ import constraint_validation_active
+    from ..core.handlers import active_handler
+
+    if not constraint_validation_active():
+        return
+    if active_handler() is not None:
+        return  # nested addressed call: the submap was already scoped
+    if constraint.static_is_empty():
+        return
+    from ..generative.choice_map import ChoiceMapInvalidAddress, exists_flag
+
+    extras = constraint.invalid_subset(gen_fn, args)
+    if extras is None:
+        return
+    flag = exists_flag(extras)
+    from ..core.staging import FlagOp
+
+    if FlagOp.concrete_true(flag):
+        raise ChoiceMapInvalidAddress(
+            f"{what}: constraint contains addresses the model never "
+            f"samples: {extras}"
+        )
+    if not FlagOp.concrete_false(flag):
+        import jax.experimental.checkify as cf
+
+        cf.check(
+            jnp.logical_not(jnp.asarray(flag)),
+            f"{what}: constraint addresses not present in the model",
+        )
 
 
 def _assemble_update_bwd(bwd: dict) -> Update:
