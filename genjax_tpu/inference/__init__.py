@@ -4,7 +4,7 @@ Parity: reference ``/root/reference/src/genjax/_src/inference/`` and the
 facade ``/root/reference/src/genjax/inference/__init__.py``.
 """
 
-from . import diagnostics, mcmc, requests, smc, tempered
+from . import adaptation, diagnostics, mcmc, requests, smc, tempered
 from .sp import Algorithm, Marginal, SampleDistribution, Target, marginal
 from .mcmc import MHChainResult, mh, run_chain, run_chains
 from .tempered import TemperedSMCResult, geometric_ladder, tempered_smc

@@ -36,20 +36,56 @@ except ImportError:  # pragma: no cover
 _TWO_PI = 6.283185307179586
 
 
-def _uniform_01(shape):
-    """Uniform in (0, 1) from the per-core PRNG: use the top 24 bits.
+def _hw_rand_bits(shape, _salt):
+    """Raw bits from the per-core TPU hardware PRNG (stateful; the salt is
+    unused — stream position advances per call)."""
+    return pltpu.prng_random_bits(shape)
+
+
+def _sw_rand_bits_factory(base):
+    """Counter-based software PRNG for interpret mode, where the TPU
+    hardware PRNG primitives have no CPU lowering: bits are a pure function
+    of (seed, grid position, call salt, element coordinates) through two
+    murmur3 finalizer rounds. Statistical quality is adequate for the MH
+    accept/momentum draws the kernel makes (validated by the
+    posterior-recovery tests in tests/kernels/)."""
+    base_u = base.astype(jnp.uint32)
+
+    def rand_bits(shape, salt):
+        salt_u = jnp.asarray(salt).astype(jnp.uint32)
+        if len(shape) == 2:
+            r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+            c = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+        else:
+            r = jnp.zeros(shape, jnp.uint32)
+            c = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+        x = base_u ^ (salt_u * jnp.uint32(0x9E3779B1))
+        x = x + r * jnp.uint32(0x85EBCA77) + c * jnp.uint32(0xC2B2AE3D)
+        for _ in range(2):  # murmur3 fmix32
+            x = x ^ (x >> 16)
+            x = x * jnp.uint32(0x85EBCA6B)
+            x = x ^ (x >> 13)
+            x = x * jnp.uint32(0xC2B2AE35)
+            x = x ^ (x >> 16)
+        return x
+
+    return rand_bits
+
+
+def _uniform_01(rand_bits, shape, salt):
+    """Uniform in (0, 1) from raw PRNG bits: use the top 24 bits.
     (Mosaic has no uint32→f32 cast; the 24-bit value is sign-safe in
     int32, so bitcast first.)"""
-    bits = pltpu.prng_random_bits(shape)
+    bits = rand_bits(shape, salt)
     bits = jax.lax.bitcast_convert_type(bits, jnp.uint32)
     hi24 = jax.lax.bitcast_convert_type(bits >> 8, jnp.int32)
     return hi24.astype(jnp.float32) * (1.0 / (1 << 24)) + (0.5 / (1 << 24))
 
 
-def _normal(shape):
+def _normal(rand_bits, shape, salt):
     """Standard normals via Box–Muller on PRNG bits."""
-    u1 = _uniform_01(shape)
-    u2 = _uniform_01(shape)
+    u1 = _uniform_01(rand_bits, shape, salt)
+    u2 = _uniform_01(rand_bits, shape, salt + 1)
     r = jnp.sqrt(-2.0 * jnp.log(u1))
     return r * jnp.cos(_TWO_PI * u2)
 
@@ -57,17 +93,27 @@ def _normal(shape):
 def _hmc_kernel(
     seed_ref,
     q_ref,
+    inv_mass_ref,
     *rest_refs,
     logdensity_cols: Callable,
     n_steps: int,
     L: int,
     eps: float,
+    hw_rng: bool,
 ):
     *const_refs, out_q_ref, accept_ref = rest_refs
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    if hw_rng:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        rand_bits = _hw_rand_bits
+    else:
+        rand_bits = _sw_rand_bits_factory(
+            seed_ref[0] + pl.program_id(0) * jnp.int32(0x3504F333)
+        )
     accept_ref[...] = jnp.zeros_like(accept_ref)
     q0 = q_ref[:]  # (D, NB)
     shape = q0.shape
+    inv_mass = inv_mass_ref[:]  # (D, 1), broadcasts over the lane axis
+    mom_std = jnp.sqrt(1.0 / inv_mass)
     consts = [ref[:] for ref in const_refs]
 
     def logp_cols(q):
@@ -76,10 +122,14 @@ def _hmc_kernel(
     def grad_cols(q):
         return jax.grad(lambda qq: jnp.sum(logdensity_cols(qq, *consts)))(q)
 
-    def mh_step(_, q):
-        p = _normal(shape)
+    def kinetic(p):
+        return 0.5 * jnp.sum(inv_mass * p * p, axis=0)
+
+    def mh_step(i, q):
+        salt = i * 4
+        p = mom_std * _normal(rand_bits, shape, salt)
         lp0 = logp_cols(q)
-        ke0 = 0.5 * jnp.sum(p * p, axis=0)
+        ke0 = kinetic(p)
 
         # leapfrog: half kick, L-1 (drift, kick), final drift + half kick
         g = grad_cols(q)
@@ -87,7 +137,7 @@ def _hmc_kernel(
         def leap(_, carry):
             q, p, g = carry
             p = p + (eps / 2.0) * g
-            q = q + eps * p
+            q = q + eps * inv_mass * p
             g = grad_cols(q)
             p = p + (eps / 2.0) * g
             return (q, p, g)
@@ -95,9 +145,9 @@ def _hmc_kernel(
         q_new, p_new, _ = jax.lax.fori_loop(0, L, leap, (q, p, g))
 
         lp1 = logp_cols(q_new)
-        ke1 = 0.5 * jnp.sum(p_new * p_new, axis=0)
+        ke1 = kinetic(p_new)
         log_alpha = (lp1 - ke1) - (lp0 - ke0)
-        u = _uniform_01((1, shape[1]))[0]
+        u = _uniform_01(rand_bits, (1, shape[1]), salt + 2)[0]
         accept = jnp.log(u) < log_alpha  # (NB,)
         q = jnp.where(accept[None, :], q_new, q)
         accept_ref[0, :] += accept.astype(jnp.float32)
@@ -142,19 +192,18 @@ def pallas_hmc(
         ``(q_final, accept_rate)`` — positions ``(D, N)`` and the mean
         acceptance rate over chains and steps.
     """
-    if interpret or backend == "xla":
-        # Identical algorithm/layout in plain JAX (also the CPU path — the
-        # TPU PRNG primitives have no CPU lowering).
+    if backend == "xla":
+        # Identical algorithm/layout in plain JAX.
         return _reference_hmc(
             logdensity_cols, q0, seed, n_steps=n_steps, eps=eps, L=L,
             inv_mass=inv_mass,
         )
-    if inv_mass is not None:
-        raise NotImplementedError(
-            "inv_mass is currently supported on the 'xla' backend only."
-        )
 
     d, n = q0.shape
+    if inv_mass is None:
+        inv_mass_col = jnp.ones((d, 1), jnp.float32)
+    else:
+        inv_mass_col = jnp.reshape(jnp.asarray(inv_mass, jnp.float32), (d, 1))
     assert n % block_n == 0, f"N={n} must be a multiple of block_n={block_n}"
     grid = (n // block_n,)
 
@@ -187,6 +236,10 @@ def pallas_hmc(
         n_steps=n_steps,
         L=L,
         eps=eps,
+        # interpret mode (CI on CPU) swaps the hardware PRNG for the
+        # counter-based software PRNG; the rest of the kernel body is
+        # identical
+        hw_rng=not interpret,
     )
 
     def replicated_spec(c):
@@ -206,6 +259,7 @@ def pallas_hmc(
             pl.BlockSpec(
                 (d, block_n), lambda i: (0, i), memory_space=pltpu.VMEM
             ),
+            pl.BlockSpec((d, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             *[replicated_spec(c) for c in consts],
         ],
         out_specs=[
@@ -224,6 +278,7 @@ def pallas_hmc(
     )(
         jnp.asarray([seed], jnp.int32),
         q0.astype(jnp.float32),
+        inv_mass_col,
         *[jnp.asarray(c) for c in consts],
     )
     accept_rate = jnp.mean(accepts) / n_steps
@@ -288,34 +343,31 @@ def warmup_column(
     L: int = 5,
     target_accept: float = 0.8,
 ):
-    """Windowed warmup for the column layout: per phase, run a short HMC
-    sweep, nudge the step size toward ``target_accept``, and re-estimate the
+    """Windowed warmup for the column layout, on the unified adaptation
+    interface (``inference.adaptation``): per phase, run a short HMC sweep,
+    nudge the step size toward ``target_accept``, and re-estimate the
     diagonal inverse mass from the CROSS-CHAIN variance (with thousands of
     parallel chains, one time-slice across chains estimates the posterior
     covariance diagonal — no within-chain windows needed).
 
+    The whole schedule compiles to ONE ``lax.scan`` — a single dispatch and
+    a single host sync, instead of round-tripping per phase (on the
+    high-latency TPU tunnel each sync costs seconds).
+
     Returns ``(q, eps, inv_mass)`` ready for the main sweep.
     """
-    import jax.random as jr
+    from ..inference.adaptation import windowed_warmup
 
-    d, n = q0.shape
-    q = q0.astype(jnp.float32)
-    eps = jnp.asarray(eps0, jnp.float32)
-    inv_mass = jnp.ones((d,), jnp.float32)
+    def sweep(q, idx, eps, inv_mass):
+        return _reference_hmc(
+            logdensity_cols, q, seed * 1000 + idx,
+            n_steps=steps_per_phase, eps=eps, L=L, inv_mass=inv_mass,
+        )
 
-    sweep = jax.jit(
-        lambda q, s, eps, im: _reference_hmc(
-            logdensity_cols, q, s, n_steps=steps_per_phase, eps=eps, L=L,
-            inv_mass=im,
-        ),
-        static_argnames=(),
-    )
-
-    for phase in range(n_phases):
-        q, acc = sweep(q, seed * 1000 + phase, eps, inv_mass)
-        # multiplicative step-size nudge toward the target accept rate
-        eps = eps * jnp.exp(1.5 * (acc - target_accept))
-        # cross-chain variance (guard padding dims with a floor)
-        var = jnp.maximum(jnp.var(q, axis=1), 1e-6)
-        inv_mass = var
+    q, eps, inv_mass, _accs = jax.jit(
+        lambda q0: windowed_warmup(
+            sweep, q0.astype(jnp.float32),
+            n_windows=n_phases, eps0=eps0, target_accept=target_accept,
+        )
+    )(q0)
     return q, float(eps), inv_mass

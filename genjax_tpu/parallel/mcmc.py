@@ -55,43 +55,13 @@ def run_chains_sharded(
     return run(keys)
 
 
-@Pytree.dataclass
-class StepSizeAdaptState(Pytree):
-    """Dual-averaging state (Nesterov 2009 / Hoffman & Gelman 2014 §3.2)."""
-
-    log_eps: Any
-    log_eps_bar: Any
-    h_bar: Any
-    step: Any
-    mu: Any  # shrinkage point: log(10 * eps0), fixed
-
-    @staticmethod
-    def init(eps0: float):
-        return StepSizeAdaptState(
-            jnp.log(eps0),
-            jnp.asarray(0.0),
-            jnp.asarray(0.0),
-            jnp.asarray(0),
-            jnp.log(10.0 * eps0),
-        )
-
-
-def dual_averaging_update(
-    state: StepSizeAdaptState,
-    accept_rate,
-    *,
-    target_accept: float = 0.8,
-    t0: float = 10.0,
-    gamma: float = 0.05,
-    kappa: float = 0.75,
-) -> StepSizeAdaptState:
-    step = state.step + 1
-    eta = 1.0 / (step + t0)
-    h_bar = (1.0 - eta) * state.h_bar + eta * (target_accept - accept_rate)
-    log_eps = state.mu - jnp.sqrt(step.astype(jnp.float32)) / gamma * h_bar
-    w = step.astype(jnp.float32) ** (-kappa)
-    log_eps_bar = w * log_eps + (1.0 - w) * state.log_eps_bar
-    return StepSizeAdaptState(log_eps, log_eps_bar, h_bar, step, state.mu)
+# Step-size adaptation lives in the unified adaptation module
+# (inference/adaptation.py), shared with the column kernels; re-exported
+# here for backwards compatibility.
+from ..inference.adaptation import (  # noqa: E402
+    StepSizeAdaptState,
+    dual_averaging_update,
+)
 
 
 def warmup_adapt_step_size(

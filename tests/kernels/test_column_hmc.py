@@ -1,6 +1,10 @@
-"""Fused column-layout HMC: correctness on CPU (the xla backend is the
-same algorithm as the Pallas kernel; the kernel itself is validated on
-TPU via bench/verify runs)."""
+"""Fused column-layout HMC: correctness on CPU.
+
+Both backends run in CI: ``backend="xla"`` is the plain-JAX twin, and
+``backend="pallas", interpret=True`` executes the actual Mosaic kernel body
+(``kernels/hmc.py:_hmc_kernel`` — VMEM layout, fori_loop sweep, mass-matrix
+kinetic energy) under the Pallas interpreter, with the hardware PRNG
+swapped for the counter-based software PRNG (VERDICT round-1 item 3)."""
 
 import jax
 import jax.numpy as jnp
@@ -70,6 +74,92 @@ class TestColumnHMC:
         for i, mu in enumerate([0.0, 0.5, 1.0, -1.0]):
             expected, _ = conjugate.assess(g.C.d({"mu": mu, "y": 2.0}), ())
             assert scores[i] == pytest.approx(float(expected), rel=1e-5)
+
+
+class TestPallasKernelBody:
+    """Drives ``_hmc_kernel`` itself (interpret mode) — not the XLA twin."""
+
+    def test_kernel_posterior_recovery(self):
+        def ld(q):
+            return -0.5 * jnp.sum(q * q, axis=0)
+
+        q0 = jnp.full((8, 256), 3.0, jnp.float32)
+        q, acc = pallas_hmc(
+            ld, q0, 7, n_steps=200, eps=0.5, L=5,
+            block_n=128, interpret=True, backend="pallas",
+        )
+        assert 0.3 < float(acc) <= 1.0
+        assert jnp.mean(q) == pytest.approx(0.0, abs=0.1)
+        assert jnp.std(q) == pytest.approx(1.0, abs=0.1)
+
+    def test_kernel_grid_blocks_get_distinct_streams(self):
+        def ld(q):
+            return -0.5 * jnp.sum(q * q, axis=0)
+
+        q0 = jnp.zeros((8, 256), jnp.float32)
+        q, _ = pallas_hmc(
+            ld, q0, 3, n_steps=20, eps=0.5, L=3,
+            block_n=128, interpret=True, backend="pallas",
+        )
+        # the two grid blocks started identically: distinct per-block PRNG
+        # streams must decorrelate them
+        assert not jnp.allclose(q[:, :128], q[:, 128:])
+
+    def test_kernel_inv_mass(self):
+        var = jnp.array([4.0, 0.25] * 4)
+
+        def ld(q):
+            return -0.5 * jnp.sum(q * q / var[:, None], axis=0)
+
+        q0 = jnp.zeros((8, 256), jnp.float32)
+        q, acc = pallas_hmc(
+            ld, q0, 11, n_steps=300, eps=0.6, L=6,
+            block_n=128, interpret=True, backend="pallas", inv_mass=var,
+        )
+        assert 0.3 < float(acc) <= 1.0
+        assert jnp.allclose(
+            jnp.std(q, axis=1), jnp.sqrt(var), rtol=0.15
+        )
+
+    def test_kernel_const_hoisting(self):
+        # log-density closing over numpy constants: the const-hoisting
+        # jaxpr replay must ship them into the kernel
+        X = np.asarray([[1.0, 0.5], [0.0, 1.0]], np.float32)
+        y = np.asarray([1.0, -1.0], np.float32)
+
+        def ld(q):
+            resid = X @ q[:2, :] - y[:, None]
+            return -0.5 * jnp.sum(resid * resid, axis=0) - 0.5 * jnp.sum(
+                q * q, axis=0
+            )
+
+        q0 = jnp.zeros((8, 128), jnp.float32)
+        q_pl, acc_pl = pallas_hmc(
+            ld, q0, 5, n_steps=150, eps=0.3, L=5,
+            block_n=128, interpret=True, backend="pallas",
+        )
+        q_xla, _ = pallas_hmc(
+            ld, q0, 5, n_steps=150, eps=0.3, L=5, backend="xla",
+        )
+        # same posterior from both backends (different PRNG streams)
+        assert jnp.allclose(
+            jnp.mean(q_pl[:2], axis=1), jnp.mean(q_xla[:2], axis=1), atol=0.15
+        )
+        assert 0.3 < float(acc_pl) <= 1.0
+
+    def test_column_hmc_pallas_backend_with_warmup(self):
+        # ADVICE round-1 item 4: warmup=True + backend="pallas" used to be
+        # mutually exclusive (kernel rejected inv_mass); now supported
+        obs = g.C["y"].set(2.0)
+        q, acc, packer = column_hmc(
+            conjugate, obs, (), ["mu"],
+            n_chains=1024, n_steps=150, eps=0.05, L=5,
+            backend="pallas", interpret=True, block_n=256, warmup=True,
+        )
+        mus = q[0, :]
+        assert float(acc) > 0.6
+        assert jnp.mean(mus) == pytest.approx(1.0, abs=0.1)
+        assert jnp.std(mus) == pytest.approx(1.0 / np.sqrt(2.0), abs=0.1)
 
 
 class TestMassAdaptation:
