@@ -1,21 +1,35 @@
-"""Benchmark: HMC samples/sec/chip at 64k parallel chains on the flagship
-hierarchical Bayesian regression model (BASELINE.json metric:
-"samples/sec/chip at 64k chains").
+"""TPU benchmark matrix covering all five BASELINE.json configs.
 
-Measures the production fused column-layout HMC path
-(genjax_tpu.kernels.column_hmc): the model's log-joint extracted from the
-@gen program, chains packed (D, N) with chains on lanes, whole sweep as one
-jitted scan. Prints ONE JSON line {"metric","value","unit","vs_baseline"}.
-The reference publishes no numbers (BASELINE.md); vs_baseline compares to
-this framework's first recorded round (BENCH_r1.json) when present.
+Default (BENCH_MODE=all) runs every config and prints one JSON line
+``{"metric","value","unit","vs_baseline"}`` per config, the headline
+(fused column HMC @64k chains, the r01 recorded metric) LAST so
+single-line parsers pick it up. Set BENCH_MODE to run one config:
+
+  hmc   fused column-layout HMC, 64k chains, hierarchical regression
+        (+ ESS/sec line from thinned cross-sweep draws)
+  nuts  fused column-layout NUTS, 64k chains, same model
+  pf    adaptive-resampling particle filter, linear-Gaussian SSM
+  sir   README-quickstart beta-bernoulli SIR (50 particles x trials)
+  vi    ADEV ELBO gradient steps (reparam guide, conjugate target)
+  dp    DP-mixture tempered SMC (stick-breaking, rung ladder)
+
+``vs_baseline`` compares each metric against the newest prior round's
+recorded value (BENCH_r*.json); 1.0 when no prior record exists.
+The reference publishes no numbers (BASELINE.md).
 """
 
+import glob
 import json
 import os
 import sys
 import time
 
 import jax
+
+# CPU smoke-testing hook (the axon tunnel ignores JAX_PLATFORMS; only the
+# config update sticks — see CLAUDE.md)
+if os.environ.get("BENCH_CPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 # persistent compile cache: repeat bench runs (e.g. the driver's) skip the
 # multi-minute remote compile of the sweep program
@@ -30,18 +44,56 @@ import jax.random as jr
 import numpy as np
 
 
-def main():
-    if os.environ.get("BENCH_MODE") == "pf":
-        return main_pf()
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _prior_values() -> dict:
+    """metric -> value from the newest prior BENCH_r*.json records."""
+    out = {}
+    for path in sorted(glob.glob("BENCH_r*.json")):
+        try:
+            rec = json.load(open(path))
+        except Exception:
+            continue
+        parsed = rec.get("parsed")
+        if isinstance(parsed, dict) and "metric" in parsed:
+            out[parsed["metric"]] = parsed.get("value")
+        # multi-line rounds: every JSON line in the recorded tail
+        for line in rec.get("tail", "").splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    obj = json.loads(line)
+                    if "metric" in obj:
+                        out[obj["metric"]] = obj.get("value")
+                except Exception:
+                    pass
+    return out
+
+
+_PRIOR = _prior_values()
+
+
+def emit(metric, value, unit):
+    prior = _PRIOR.get(metric)
+    vs = round(value / prior, 3) if prior else 1.0
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(value, 1),
+                "unit": unit,
+                "vs_baseline": vs,
+            }
+        ),
+        flush=True,
+    )
+
+
+def _regression_setup():
     import genjax_tpu as g
-    from genjax_tpu.kernels import ColumnPacker, column_logdensity, pallas_hmc
-
-    n_chains = int(os.environ.get("BENCH_CHAINS", 65536))
-    n_steps = int(os.environ.get("BENCH_STEPS", 50))
-    reps = int(os.environ.get("BENCH_REPS", 50))
-    backend = os.environ.get("BENCH_BACKEND", "xla")
-    L = 5
-
+    from genjax_tpu.kernels import ColumnPacker, column_logdensity
     from genjax_tpu.models import hierarchical_regression
 
     N = int(os.environ.get("BENCH_N", 16))
@@ -50,9 +102,22 @@ def main():
     regression = hierarchical_regression(X)
     y_obs = np.random.default_rng(1).normal(size=(N,)).astype(np.float32)
     obs = g.C["y"].set(y_obs)
-
     packer = ColumnPacker(regression, obs, (), ["tau", "w"])
     ld = column_logdensity(regression, obs, (), packer)
+    return regression, obs, packer, ld
+
+
+def bench_hmc():
+    """Headline: fused column HMC samples/sec/chip at 64k chains, plus an
+    ESS/sec line from the per-sweep thinned draws."""
+    from genjax_tpu.kernels import pallas_hmc
+
+    n_chains = int(os.environ.get("BENCH_CHAINS", 65536))
+    n_steps = int(os.environ.get("BENCH_STEPS", 50))
+    reps = int(os.environ.get("BENCH_REPS", 50))
+    backend = os.environ.get("BENCH_BACKEND", "xla")
+    L = 5
+    regression, obs, packer, ld = _regression_setup()
 
     def init_one(k):
         tr, _ = regression.generate(k, obs, ())
@@ -68,19 +133,12 @@ def main():
         )
     )
 
-    print(f"# init trace+compile start", file=sys.stderr, flush=True)
-    t_init = time.perf_counter()
+    _log("# hmc: init trace+compile start")
     q = init(jr.key(7))
-    print(f"# init dispatched {time.perf_counter()-t_init:.1f}s", file=sys.stderr, flush=True)
-
-    # warm-up / compile. On the tunneled TPU backend block_until_ready does
-    # not block; a scalar readback is the only reliable sync (the first
-    # readback pays a one-time warmup).
     t_w = time.perf_counter()
     q1, acc = sweep(q, 0)
-    print(f"# sweep dispatched {time.perf_counter()-t_w:.1f}s", file=sys.stderr, flush=True)
     _ = float(acc)
-    print(f"# warmup synced {time.perf_counter()-t_w:.1f}s", file=sys.stderr, flush=True)
+    _log(f"# hmc: warmup synced {time.perf_counter()-t_w:.1f}s")
 
     profile_dir = os.environ.get("BENCH_PROFILE")
     if profile_dir:
@@ -95,39 +153,86 @@ def main():
     if profile_dir:
         jax.profiler.stop_trace()
 
-    total_samples = n_chains * n_steps * reps
-    samples_per_sec = total_samples / dt
+    samples_per_sec = n_chains * n_steps * reps / dt
 
-    baseline = None
-    if os.path.exists("BENCH_r1.json"):
-        try:
-            with open("BENCH_r1.json") as f:
-                baseline = json.load(f).get("value")
-        except Exception:
-            baseline = None
-    vs_baseline = samples_per_sec / baseline if baseline else 1.0
+    # ESS/sec (north-star unit), measured in a SEPARATE timed phase so the
+    # per-sweep draw collection doesn't perturb the throughput number:
+    # draws are one param-0 slice per sweep (thinning = n_steps).
+    try:
+        from genjax_tpu.inference.diagnostics import ess
 
-    print(
-        json.dumps(
-            {
-                "metric": f"hmc_samples_per_sec_per_chip_{n_chains}chains",
-                "value": round(samples_per_sec, 1),
-                "unit": "samples/sec/chip",
-                "vs_baseline": round(vs_baseline, 3),
-            }
+        ess_reps = min(reps, 25)
+        draws = []
+        t1 = time.perf_counter()
+        for i in range(1, ess_reps + 1):
+            q, acc = sweep(q, 1000 + i)
+            draws.append(q[0, :])
+        _ = float(acc)
+        dt_ess = time.perf_counter() - t1
+        stacked = jnp.stack(draws, axis=1)  # (chains, ess_reps)
+        total_ess = float(ess(stacked, max_lag=min(ess_reps - 1, 32)))
+        emit("hmc_ess_per_sec_per_chip", total_ess / dt_ess, "ESS/sec/chip")
+    except Exception as e:  # pragma: no cover
+        _log(f"# ess computation failed: {e}")
+
+    _log(
+        f"# hmc fused column ({backend}); chains={n_chains} steps/sweep={n_steps} "
+        f"reps={reps} L={L} wall={dt:.2f}s accept={float(acc):.2f} "
+        f"device={jax.devices()[0].device_kind}"
+    )
+    emit(
+        f"hmc_samples_per_sec_per_chip_{n_chains}chains",
+        samples_per_sec,
+        "samples/sec/chip",
+    )
+
+
+def bench_nuts():
+    """Fused column NUTS at 64k chains on the same flagship model."""
+    from genjax_tpu.kernels.nuts import nuts_sweep_cols
+
+    n_chains = int(os.environ.get("BENCH_CHAINS", 65536))
+    n_steps = int(os.environ.get("BENCH_NUTS_STEPS", 10))
+    reps = int(os.environ.get("BENCH_NUTS_REPS", 5))
+    regression, obs, packer, ld = _regression_setup()
+
+    def init_one(k):
+        tr, _ = regression.generate(k, obs, ())
+        return packer.pack(tr.get_choices())
+
+    @jax.jit
+    def init(key):
+        return jax.vmap(init_one, out_axes=1)(jr.split(key, n_chains))
+
+    sweep = jax.jit(
+        lambda q, s: nuts_sweep_cols(
+            ld, q, s, n_steps=n_steps, eps=0.02, max_depth=8
         )
     )
-    print(
-        f"# fused column path ({backend}); chains={n_chains} steps/sweep={n_steps} "
-        f"reps={reps} L={L} wall={dt:.2f}s accept={float(acc):.2f} "
-        f"device={jax.devices()[0].device_kind}",
-        file=sys.stderr,
+    q = init(jr.key(3))
+    t_w = time.perf_counter()
+    q, acc, leaps = sweep(q, 0)
+    _ = float(acc)
+    _log(f"# nuts: warmup synced {time.perf_counter()-t_w:.1f}s")
+    t0 = time.perf_counter()
+    for i in range(1, reps + 1):
+        q, acc, leaps = sweep(q, i)
+    _ = float(acc)
+    dt = time.perf_counter() - t0
+    rate = n_chains * n_steps * reps / dt
+    _log(
+        f"# nuts; chains={n_chains} steps={n_steps} reps={reps} wall={dt:.2f}s "
+        f"accept_stat={float(acc):.2f} mean_leapfrogs={float(leaps):.1f}"
+    )
+    emit(
+        f"nuts_samples_per_sec_per_chip_{n_chains}chains",
+        rate,
+        "samples/sec/chip",
     )
 
 
-def main_pf():
-    """Supplementary particle-filter benchmark (BENCH_MODE=pf): adaptive
-    systematic resampling on the linear-Gaussian SSM."""
+def bench_pf():
+    """Adaptive systematic-resampling particle filter, linear-Gaussian SSM."""
     import genjax_tpu as g
     from genjax_tpu.models import linear_gaussian_ssm
     from genjax_tpu.parallel import SSMParticleFilter
@@ -139,7 +244,9 @@ def main_pf():
     ys = jnp.zeros(T)
     obs = g.C[:, "y"].set(ys)
     pf = SSMParticleFilter(kernel, n_particles=K)
-    run = jax.jit(lambda s: pf.run(jr.fold_in(jr.key(0), s), 0.0, jnp.zeros(T), obs))
+    run = jax.jit(
+        lambda s: pf.run(jr.fold_in(jr.key(0), s), 0.0, jnp.zeros(T), obs)
+    )
     out = run(0)
     _ = float(out.log_marginal)
     t0 = time.perf_counter()
@@ -147,22 +254,180 @@ def main_pf():
         out = run(i)
     _ = float(out.log_marginal)
     dt = time.perf_counter() - t0
-    rate = K * T * reps / dt
-    print(
-        json.dumps(
-            {
-                "metric": f"smc_particle_steps_per_sec_{K}particles",
-                "value": round(rate, 1),
-                "unit": "particle-steps/sec/chip",
-                "vs_baseline": 1.0,
-            }
+    _log(
+        f"# pf; K={K} T={T} reps={reps} wall={dt:.2f}s "
+        f"logZ={float(out.log_marginal):.1f}"
+    )
+    emit(
+        f"smc_particle_steps_per_sec_{K}particles",
+        K * T * reps / dt,
+        "particle-steps/sec/chip",
+    )
+
+
+def bench_sir():
+    """README-quickstart beta-bernoulli SIR: 50-particle importance
+    estimates, measured as SIR estimates/sec over a large trial batch."""
+    import genjax_tpu as g
+
+    K = 50
+    trials = int(os.environ.get("BENCH_SIR_TRIALS", 65536))
+    reps = int(os.environ.get("BENCH_SIR_REPS", 20))
+
+    @g.gen
+    def beta_bernoulli():
+        p = g.beta(2.0, 2.0) @ "p"
+        v = g.flip(p) @ "v"
+        return v
+
+    obs = g.C["v"].set(True)
+
+    def one_sir(key):
+        ks = jr.split(key, K)
+        trs, ws = jax.vmap(
+            lambda k: beta_bernoulli.generate(k, obs, ())
+        )(ks)
+        idx = jr.categorical(jr.fold_in(key, 1), ws)
+        return trs.get_choices()["p"][idx]
+
+    run = jax.jit(
+        lambda s: jax.vmap(one_sir)(jr.split(jr.fold_in(jr.key(0), s), trials))
+    )
+    ps = run(0)
+    _ = float(ps[0])
+    t0 = time.perf_counter()
+    for i in range(1, reps + 1):
+        ps = run(i)
+    _ = float(ps[0])
+    dt = time.perf_counter() - t0
+    _log(
+        f"# sir; K={K} trials={trials} reps={reps} wall={dt:.2f}s "
+        f"posterior_mean={float(jnp.mean(ps)):.3f}"
+    )
+    emit("sir_estimates_per_sec", trials * reps / dt, "SIR-estimates/sec/chip")
+
+
+def bench_vi():
+    """ADEV ELBO gradient-step throughput: reparam guide on the conjugate
+    normal-normal target, batched gradient estimates per step."""
+    import genjax_tpu as g
+    from genjax_tpu.inference import Target, vi
+
+    batch = int(os.environ.get("BENCH_VI_BATCH", 4096))
+    reps = int(os.environ.get("BENCH_VI_REPS", 200))
+
+    from genjax_tpu.inference.sp import Marginal
+
+    @g.gen
+    def model_fn(phi):  # phi rides through Target.args for the guide
+        mu = g.normal(0.0, 1.0) @ "mu"
+        _ = g.normal(mu, 0.5) @ "y"
+
+    @g.gen
+    def guide_fn(target):
+        (phi,) = target.args
+        _ = vi.normal_reparam(phi[0], jnp.exp(phi[1])) @ "mu"
+
+    guide = Marginal(
+        guide_fn, g.Pytree.const(g.Selection.all()), g.Pytree.const(None)
+    )
+    obs = g.C["y"].set(1.5)
+    elbo_grad = vi.ELBO(guide, lambda phi: Target(model_fn, (phi,), obs))
+
+    @jax.jit
+    def step(key, phi):
+        grads = jax.vmap(lambda k: elbo_grad(k, (phi,))[0])(
+            jr.split(key, batch)
         )
+        g_mean = jax.tree_util.tree_map(lambda v: jnp.mean(v, axis=0), grads)
+        return phi - 0.05 * g_mean  # descent on the negative ELBO
+
+    phi = jnp.array([0.0, -1.0])
+    phi = step(jr.key(0), phi)
+    _ = float(phi[0])
+    t0 = time.perf_counter()
+    for i in range(1, reps + 1):
+        phi = step(jr.fold_in(jr.key(1), i), phi)
+    _ = float(phi[0])
+    dt = time.perf_counter() - t0
+    _log(
+        f"# vi; batch={batch} reps={reps} wall={dt:.2f}s "
+        f"phi=({float(phi[0]):.3f},{float(phi[1]):.3f})"
     )
-    print(
-        f"# particle filter; K={K} T={T} reps={reps} wall={dt:.2f}s "
-        f"logZ={float(out.log_marginal):.1f}",
-        file=sys.stderr,
+    emit(
+        "vi_gradient_estimates_per_sec", batch * reps / dt,
+        "grad-estimates/sec/chip",
     )
+
+
+def bench_dp():
+    """Tempered SMC on the truncated stick-breaking DP mixture."""
+    import genjax_tpu as g
+    from genjax_tpu.inference.tempered import geometric_ladder, tempered_smc
+    from genjax_tpu.models import dp_mixture_model
+
+    K = int(os.environ.get("BENCH_DP_PARTICLES", 4096))
+    n_rungs = int(os.environ.get("BENCH_DP_RUNGS", 10))
+    n_data = int(os.environ.get("BENCH_DP_DATA", 60))
+    reps = int(os.environ.get("BENCH_DP_REPS", 5))
+    k_trunc = 8
+
+    model = dp_mixture_model(k_trunc)
+    rng = np.random.default_rng(0)
+    centers = np.array([-4.0, 0.0, 4.0])
+    data = jnp.asarray(
+        centers[rng.integers(0, 3, n_data)]
+        + 0.4 * rng.normal(size=n_data),
+        jnp.float32,
+    )
+    constraint = g.C["obs", :, "x"].set(data)
+    betas = geometric_ladder(n_rungs)
+
+    run = jax.jit(
+        lambda s: tempered_smc(
+            jr.fold_in(jr.key(0), s), model, constraint, (data,),
+            n_particles=K, betas=betas,
+        ).log_marginal
+    )
+    lm = run(0)
+    _ = float(lm)
+    t0 = time.perf_counter()
+    for i in range(1, reps + 1):
+        lm = run(i)
+    _ = float(lm)
+    dt = time.perf_counter() - t0
+    _log(
+        f"# dp; K={K} rungs={n_rungs} n_data={n_data} reps={reps} "
+        f"wall={dt:.2f}s logZ={float(lm):.1f}"
+    )
+    emit(
+        "dp_mixture_particle_rungs_per_sec", K * n_rungs * reps / dt,
+        "particle-rungs/sec/chip",
+    )
+
+
+MODES = {
+    "hmc": bench_hmc,
+    "nuts": bench_nuts,
+    "pf": bench_pf,
+    "sir": bench_sir,
+    "vi": bench_vi,
+    "dp": bench_dp,
+}
+
+
+def main():
+    mode = os.environ.get("BENCH_MODE", "all")
+    if mode != "all":
+        MODES[mode]()
+        return
+    # all five BASELINE configs; headline (hmc) last so single-line
+    # parsers record the r01-comparable metric
+    for name in ("sir", "vi", "dp", "pf", "nuts", "hmc"):
+        try:
+            MODES[name]()
+        except Exception as e:  # one config failing must not kill the rest
+            _log(f"# bench '{name}' FAILED: {type(e).__name__}: {e}")
 
 
 if __name__ == "__main__":

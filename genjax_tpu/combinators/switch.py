@@ -102,6 +102,12 @@ class SwitchCombinator(GenerativeFunction):
         from ..checkify_ import suppress_constraint_validation
 
         idx, branch_args = self._split(args)
+        if isinstance(idx, int):
+            # concrete index: only the selected branch is assessed — the
+            # choice map need not (and with a concrete-index trace, does
+            # not) carry the other branches' addresses
+            with suppress_constraint_validation():
+                return self.branches[idx].assess(chm, branch_args[idx])
         fs = [f.assess for f in self.branches]
         ops = [(chm, a) for a in branch_args]
         with suppress_constraint_validation():
