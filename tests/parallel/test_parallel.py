@@ -160,6 +160,119 @@ class TestShardedChains:
         assert jnp.std(finals) == pytest.approx(1.0 / jnp.sqrt(2.0), abs=0.1)
 
 
+class TestResamplingPrimitives:
+    def test_counts_sum_to_n_and_match_indices(self):
+        from genjax_tpu.parallel import (
+            redistribute,
+            stratified_counts,
+            systematic_counts,
+        )
+
+        lw = jnp.log(jnp.array([0.05, 0.15, 0.3, 0.5]))
+        for counts_fn in (systematic_counts, stratified_counts):
+            counts = counts_fn(KEY, lw, 8)
+            assert int(jnp.sum(counts)) == 8
+            # redistribute = monotone repeat of sources by counts
+            out = redistribute(jnp.arange(4.0), counts, 8)
+            expected = jnp.repeat(
+                jnp.arange(4.0), counts, total_repeat_length=8
+            )
+            assert jnp.array_equal(out, expected)
+
+    def test_resample_particles_pytree(self):
+        from genjax_tpu.parallel import resample_particles
+
+        particles = {"a": jnp.arange(4.0), "b": jnp.arange(8.0).reshape(4, 2)}
+        lw = jnp.log(jnp.array([1e-9, 1e-9, 1.0, 1e-9]))
+        for method in ("systematic", "stratified", "multinomial", "residual"):
+            out = resample_particles(KEY, particles, lw, 4, method)
+            # the dominant particle (index 2) wins every slot
+            assert jnp.allclose(out["a"], 2.0), method
+            assert jnp.allclose(out["b"], particles["b"][2]), method
+
+
+class TestMeshHelpers:
+    def test_shard_batch_places_leading_axis(self):
+        from genjax_tpu.parallel import make_mesh, shard_batch
+
+        mesh = make_mesh()
+        n_dev = len(jax.devices())
+        tree = {"x": jnp.zeros((n_dev * 4, 3)), "s": jnp.asarray(1.0)}
+        placed = shard_batch(tree, mesh)
+        assert len(placed["x"].sharding.device_set) == n_dev
+        # scalar leaves replicate
+        assert placed["s"].sharding.is_fully_replicated
+
+    def test_host_local_mesh_single_process(self):
+        from genjax_tpu.parallel import host_local_mesh
+
+        mesh = host_local_mesh()
+        assert mesh.devices.size == len(jax.local_devices())
+
+
+class TestCollectiveResample:
+    def _run(self, mode):
+        import inspect
+
+        from genjax_tpu.parallel import collective_resample, make_mesh
+
+        try:
+            from jax import shard_map
+        except ImportError:
+            from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        mesh = make_mesh()
+        n_dev = len(jax.devices())
+        k = 64 * n_dev
+
+        def prog(key, particles, lw):
+            return collective_resample(
+                key, particles, lw, "batch", mode=mode
+            )
+
+        _params = inspect.signature(shard_map).parameters
+        kw = (
+            {"check_vma": False}
+            if "check_vma" in _params
+            else {"check_rep": False}
+        )
+        f = shard_map(
+            prog,
+            mesh=mesh,
+            in_specs=(P(), P("batch"), P("batch")),
+            out_specs=(P("batch"), P("batch"), P()),
+            **kw,
+        )
+        particles = jnp.arange(float(k))
+        # weight mass concentrated on particle 7
+        lw = jnp.where(jnp.arange(k) == 7, 5.0, -5.0)
+        return jax.jit(f)(KEY, particles, lw), particles, lw
+
+    def test_all_gather_mode_exact(self):
+        (new_p, new_lw, inc), particles, lw = self._run("all_gather")
+        # nearly all slots resample to the dominant particle
+        frac = jnp.mean(new_p == 7.0)
+        assert float(frac) > 0.9
+        assert jnp.allclose(new_lw, 0.0)
+        # increment equals the global mean-weight normalizer
+        from jax.scipy.special import logsumexp
+
+        expected = logsumexp(lw) - jnp.log(lw.shape[0])
+        assert float(inc) == pytest.approx(float(expected), abs=1e-4)
+
+    def test_local_mode_keeps_global_weighting(self):
+        (new_p, new_lw, inc), particles, lw = self._run("local")
+        from jax.scipy.special import logsumexp
+
+        expected = logsumexp(lw) - jnp.log(lw.shape[0])
+        assert float(inc) == pytest.approx(float(expected), abs=1e-4)
+        # local mode: post-resampling weights are per-shard constants whose
+        # global logsumexp reproduces total mass (proper weighting)
+        total = logsumexp(new_lw) - jnp.log(new_lw.shape[0])
+        assert float(total) == pytest.approx(0.0, abs=1e-4)
+
+
 class TestStepSizeAdaptation:
     def test_dual_averaging_reaches_target_accept(self):
         @g.gen
