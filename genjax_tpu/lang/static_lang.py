@@ -302,17 +302,30 @@ class StaticGenerativeFunction(GenerativeFunction):
     # ----- GFI -----
 
     def simulate(self, key: PRNGKey, args: tuple) -> StaticTrace:
+        from ..typecheck import check_args, check_key
+
+        check_key(key, "simulate")
+        check_args(args, "simulate")
         h = SimulateHandler(key)
         retval = self.run(h, args)
         return StaticTrace(self, args, retval, tuple(h.subtraces), tuple(h.addresses))
 
     def assess(self, chm: ChoiceMap, args: tuple):
+        from ..typecheck import check_args, check_constraint
+
+        check_constraint(chm, "assess")
+        check_args(args, "assess")
         _maybe_validate_constraint(self, chm, args, "assess")
         h = AssessHandler(chm)
         retval = self.run(h, args)
         return h.score, retval
 
     def generate(self, key: PRNGKey, constraint: ChoiceMap, args: tuple):
+        from ..typecheck import check_args, check_constraint, check_key
+
+        check_key(key, "generate")
+        check_constraint(constraint, "generate")
+        check_args(args, "generate")
         _maybe_validate_constraint(self, constraint, args, "generate")
         h = GenerateHandler(key, constraint)
         retval = self.run(h, args)
