@@ -406,8 +406,53 @@ def bench_dp():
     )
 
 
+def bench_hmc_pallas():
+    """The Mosaic VMEM-resident kernel on the same sweep (in-kernel PRNG;
+    wins on elementwise models, loses to XLA where the MXU is involved)."""
+    from genjax_tpu.kernels import pallas_hmc
+
+    n_chains = int(os.environ.get("BENCH_CHAINS", 65536))
+    n_steps = int(os.environ.get("BENCH_STEPS", 50))
+    reps = int(os.environ.get("BENCH_PALLAS_REPS", 20))
+    regression, obs, packer, ld = _regression_setup()
+
+    def init_one(k):
+        tr, _ = regression.generate(k, obs, ())
+        return packer.pack(tr.get_choices())
+
+    @jax.jit
+    def init(key):
+        return jax.vmap(init_one, out_axes=1)(jr.split(key, n_chains))
+
+    sweep = jax.jit(
+        lambda q, s: pallas_hmc(
+            ld, q, s, n_steps=n_steps, eps=0.02, L=5, backend="pallas"
+        )
+    )
+    q = init(jr.key(7))
+    t_w = time.perf_counter()
+    q1, acc = sweep(q, 0)
+    _ = float(acc)
+    _log(f"# hmc-pallas: warmup synced {time.perf_counter()-t_w:.1f}s")
+    t0 = time.perf_counter()
+    for i in range(1, reps + 1):
+        q, acc = sweep(q, i)
+    _ = float(acc)
+    dt = time.perf_counter() - t0
+    _log(
+        f"# hmc pallas kernel; chains={n_chains} steps={n_steps} reps={reps} "
+        f"wall={dt:.2f}s accept={float(acc):.2f}"
+    )
+    emit(
+        f"hmc_pallas_samples_per_sec_per_chip_{n_chains}chains",
+        n_chains * n_steps * reps / dt,
+        "samples/sec/chip",
+    )
+
+
 MODES = {
     "hmc": bench_hmc,
+    "hmc_pallas": bench_hmc_pallas,
     "nuts": bench_nuts,
     "pf": bench_pf,
     "sir": bench_sir,
@@ -421,9 +466,9 @@ def main():
     if mode != "all":
         MODES[mode]()
         return
-    # all five BASELINE configs; headline (hmc) last so single-line
-    # parsers record the r01-comparable metric
-    for name in ("sir", "vi", "dp", "pf", "nuts", "hmc"):
+    # all five BASELINE configs (+ the Pallas kernel backend); headline
+    # (hmc) last so single-line parsers record the r01-comparable metric
+    for name in ("sir", "vi", "dp", "pf", "nuts", "hmc_pallas", "hmc"):
         try:
             MODES[name]()
         except Exception as e:  # one config failing must not kill the rest
