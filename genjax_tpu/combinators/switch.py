@@ -25,6 +25,7 @@ from ..core.typing_ import PRNGKey
 from ..generative.choice_map import ChoiceMap
 from ..generative.concepts import (
     EditRequest,
+    EmptyRequest,
     NotSupportedEditRequest,
     Retdiff,
     Update,
@@ -164,19 +165,36 @@ class SwitchCombinator(GenerativeFunction):
                 for tr, ad in zip(trace.subtraces, branch_argdiffs)
             ]
         else:
-            # Changed index: the old subtrace for the newly selected branch is
-            # a zero-filled placeholder — simulate a fresh trace for the
-            # branch, then apply the constraint-edit to it
-            # (reference switch.py:230-255).
-            def make_fresh_edit(f):
-                def fresh_edit(key, req, ad):
+            # Changed index: the old subtrace for the newly selected branch
+            # is a zero-filled placeholder. Generate the branch under the
+            # constraint — constrained addresses contribute their density,
+            # fresh-sampled ones are internal-proposal draws whose density
+            # cancels — so the transition weight is w_generate minus the
+            # old switch score (added below).
+            #
+            # DEVIATION (documented, ARCHITECTURE.md §Deviations): the
+            # reference (switch.py:225-255, :293-298) simulates a fresh
+            # trace, edits it, and adds new_score - old_score ON TOP of the
+            # edit weight — double-counting the new branch's score — and
+            # returns `rets[0][3]` as the backward request with a "totally
+            # wrong, fix in future PR" TODO. Here the weight follows the
+            # Gen update spec and the backward request carries the old
+            # trace's choices, so fully-constrained transitions round-trip
+            # exactly (tests/generative_functions/test_gfi_contract.py).
+            def make_fresh_gen(f):
+                def fresh_gen(key, req, ad):
                     p = Diff.tree_primal(ad)
-                    new_trace = f.simulate(key, p)
-                    return f.edit(key, new_trace, req, Diff.tree_diff_no_change(p))
+                    tr, w_gen = f.generate(key, req.constraint, p)
+                    return (
+                        tr,
+                        w_gen,
+                        Diff.tree_diff_unknown_change(tr.get_retval()),
+                        EmptyRequest(),
+                    )
 
-                return fresh_edit
+                return fresh_gen
 
-            fs = [make_fresh_edit(f) for f in self.branches]
+            fs = [make_fresh_gen(f) for f in self.branches]
             ops = [(key, request, ad) for ad in branch_argdiffs]
 
         rets = multi_switch(new_idx, fs, ops)
@@ -185,14 +203,15 @@ class SwitchCombinator(GenerativeFunction):
             new_idx,
             [(tr.get_score(), w, Diff.tree_primal(rd)) for tr, w, rd, _ in rets],
         )
-        if not idx_unchanged:
-            weight = weight + score - trace.get_score()
-
-        bwd_chms = [
-            b.constraint if isinstance(b, Update) else ChoiceMap.empty()
-            for _, _, _, b in rets
-        ]
-        bwd = Update(ChoiceMap.switch(new_idx, bwd_chms))
+        if idx_unchanged:
+            bwd_chms = [
+                b.constraint if isinstance(b, Update) else ChoiceMap.empty()
+                for _, _, _, b in rets
+            ]
+            bwd = Update(ChoiceMap.switch(new_idx, bwd_chms))
+        else:
+            weight = weight - trace.get_score()
+            bwd = Update(trace.get_choices())
         new_tr = SwitchTrace(self, primals, subtraces, retval, score)
         return new_tr, weight, Diff.tree_diff_unknown_change(retval), bwd
 

@@ -143,9 +143,30 @@ class TestSwitchIndexChange:
         m = new_tr.get_choices()["m"]
         m = m.unmask() if isinstance(m, g.Mask) else m
         assert abs(float(m) - 5.0) < 5.0
-        # weight accounts for the branch swap: new score - old score
-        assert w == pytest.approx(
-            float(new_tr.get_score() - tr.get_score()), rel=1e-4
+        # branch-swap weight, Gen update spec: the unconstrained new-branch
+        # value is an internal-proposal draw whose density cancels, leaving
+        # minus the old branch's score. (The reference adds the new score
+        # on top — its own switch.py:293-298 double-count; deviation
+        # documented in ARCHITECTURE.md §Deviations.)
+        assert w == pytest.approx(float(-tr.get_score()), rel=1e-4)
+        # a fully-constrained swap DOES satisfy the score-delta identity
+        donor = sw.simulate(jr.key(9), (1, (), ()))
+        full_tr, full_w, _, full_bwd = sw.edit(
+            jr.key(2), tr, g.Update(donor.get_choices()), argdiffs
+        )
+        assert full_w == pytest.approx(
+            float(full_tr.get_score() - tr.get_score()), rel=1e-4
+        )
+        # and round-trips exactly through the backward request
+        back_argdiffs = (
+            g.Diff(0, g.UnknownChange),
+            g.Diff((), g.NoChange),
+            g.Diff((), g.NoChange),
+        )
+        back, wb, _, _ = sw.edit(jr.key(3), full_tr, full_bwd, back_argdiffs)
+        assert float(full_w + wb) == pytest.approx(0.0, abs=1e-5)
+        assert float(back.get_score()) == pytest.approx(
+            float(tr.get_score()), abs=1e-5
         )
 
 

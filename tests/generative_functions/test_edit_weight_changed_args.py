@@ -268,4 +268,12 @@ class TestSubstitutionIdentityDeepCompositions:
         args = (0, (0.5,), (0.5,))
         tr = jax.jit(sw.simulate)(KEY, args)
         new_args = (0, (1.5,), (0.5,))
-        self._check(sw, args, new_args, tr, g.C.empty())
+        # index stated unchanged: an UnknownChange index takes the
+        # branch-transition semantics (fresh internal-proposal draws whose
+        # density cancels), for which the score-delta identity doesn't hold
+        argdiffs = (
+            Diff.no_change(0),
+            Diff.unknown_change((1.5,)),
+            Diff.no_change((0.5,)),
+        )
+        self._check(sw, args, new_args, tr, g.C.empty(), argdiffs=argdiffs)
