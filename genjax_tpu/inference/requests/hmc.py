@@ -151,43 +151,87 @@ class HMC(EditRequest):
             raise NotImplementedError("HMC requires unchanged arguments.")
 
         original_model_score = tr.get_score()
-        values, gradients = selection_gradient(self.selection, tr, argdiffs)
+
+        # One differentiable log-joint over the selected values; the
+        # leapfrog scan carries ONLY (values, gradients, momenta) — flat
+        # arrays, no trace pytree — and each step costs one
+        # value_and_grad of assess instead of the round-1 structure
+        # (an Update edit re-scoring every address PLUS a separate
+        # grad-of-assess ≈ 4 model evaluations per step). The trace is
+        # materialized once at the end.
+        chm = tr.get_choices()
+        complement = chm.filter(~self.selection)
+        filtered = chm.filter(self.selection)
+        gen_fn = tr.get_gen_fn()
+        primal_args = Diff.tree_primal(argdiffs)
+
+        def assess_at(grad_tree, nongrad_tree):
+            zipped = grad_tree_zip(grad_tree, nongrad_tree)
+            full_choices = zipped.merge(complement)
+            weight, _ = gen_fn.assess(full_choices, primal_args)
+            return weight
+
+        val_and_grad = jax.value_and_grad(assess_at, argnums=0)
+
+        def full_gradients(values):
+            grad_tree, nongrad_tree = grad_tree_unzip(values)
+            score, g = val_and_grad(grad_tree, nongrad_tree)
+
+            def _grad_or_zero(gv, v):
+                if gv is not None:
+                    return gv
+                if v is None:
+                    return None
+                return jnp.zeros_like(
+                    jnp.asarray(v, dtype=jnp.result_type(float))
+                )
+
+            gradients = jtu.tree_map(
+                _grad_or_zero, g, nongrad_tree, is_leaf=lambda x: x is None
+            )
+            return score, grad_tree_zip(grad_tree, nongrad_tree), gradients
+
+        _, values, gradients = full_gradients(filtered)
         key, sub_key = jr.split(key)
         momenta, original_momenta_score = sample_momenta(sub_key, gradients)
 
-        def leapfrog(carry, step):
-            trace, values, gradients, momenta = carry
+        def _move(v, m):
+            # only differentiable leaves integrate; non-grad leaves (e.g.
+            # discrete choices riding in the lazily-filtered tree, masked
+            # out at read time) stay fixed so the scan carry keeps dtypes
+            if static_check_supports_grad(v):
+                return v + self.eps * m
+            return v
+
+        def leapfrog(carry, _step):
+            values, gradients, momenta = carry
             # half-step momentum, full-step position
             momenta = jtu.tree_map(
                 lambda m, g: m + (self.eps / 2) * g, momenta, gradients
             )
-            values = jtu.tree_map(lambda v, m: v + self.eps * m, values, momenta)
-            new_key = jr.fold_in(key, step)
-            new_trace, _, retdiff, _ = Update(values).edit(new_key, trace, argdiffs)
-            values, gradients = selection_gradient(
-                self.selection, new_trace, argdiffs
-            )
+            values = jtu.tree_map(_move, values, momenta)
+            _score, values, gradients = full_gradients(values)
             # second half-step momentum
             momenta = jtu.tree_map(
                 lambda m, g: m + (self.eps / 2) * g, momenta, gradients
             )
-            return (new_trace, values, gradients, momenta), Diff.tree_primal(retdiff)
+            return (values, gradients, momenta), None
 
-        (final_trace, _, _, final_momenta), rets = lax.scan(
+        (values, _, final_momenta), _ = lax.scan(
             leapfrog,
-            (tr, values, gradients, momenta),
+            (values, gradients, momenta),
             jnp.arange(1, self.L + 1),
             length=self.L,
         )
 
+        final_trace, _, retdiff, _ = Update(values).edit(
+            jr.fold_in(key, 0), tr, argdiffs
+        )
         alpha = (
             final_trace.get_score()
             - original_model_score
             + assess_momenta(final_momenta, mul=-1.0)
             - original_momenta_score
-        )
-        retdiff = Diff.tree_diff_unknown_change(
-            jtu.tree_map(lambda v: v[-1], rets)
         )
         return final_trace, alpha, retdiff, HMC(self.selection, self.eps, self.L)
 
