@@ -104,7 +104,7 @@ from .inference import (
     Target,
     marginal,
 )
-from .inference.requests import HMC, MALA, Rejuvenate, SafeHMC, mh_accept
+from .inference.requests import HMC, MALA, NUTS, Rejuvenate, SafeHMC, mh_accept
 from .inference.mcmc import mh, run_chain, run_chains
 from .inference import vi
 
@@ -157,6 +157,7 @@ __all__ = [
     "ChangeTarget",
     "HMC",
     "MALA",
+    "NUTS",
     "Importance",
     "ImportanceK",
     "Marginal",

@@ -7,6 +7,7 @@ Parity: reference ``/root/reference/src/genjax/_src/inference/requests/``
 
 from .hmc import HMC, SafeHMC, mh_accept, selection_gradient
 from .mala import MALA
+from .nuts import NUTS
 from .rejuvenate import Rejuvenate
 
-__all__ = ["HMC", "MALA", "Rejuvenate", "SafeHMC", "mh_accept", "selection_gradient"]
+__all__ = ["HMC", "MALA", "NUTS", "Rejuvenate", "SafeHMC", "mh_accept", "selection_gradient"]

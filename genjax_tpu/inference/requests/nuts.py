@@ -1,0 +1,97 @@
+"""No-U-Turn sampling as an edit request over arbitrary traces.
+
+No reference counterpart (the reference ships plain HMC only,
+hmc.py:139). This lifts the fused column NUTS transition
+(``kernels/nuts.py`` — iterative, fixed-shape, checkpoint-stack U-turn
+detection) to the GFI: the selected continuous choices are raveled to one
+position vector, the log-joint comes from ``assess``, and the resulting
+kernel leaves the model posterior invariant.
+
+As an ``EditRequest`` the move is its own reverse and the target is
+stationary under it, so the SMCP3 weight is 0 (unlike ``HMC``, which
+returns the MH log-α for an external accept step — NUTS's multinomial
+trajectory sampling has acceptance built in). Use directly with
+``tr.edit``/``run_chain(s)``; ``mh()`` composes too (the α=0 accept is a
+no-op).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+from jax.flatten_util import ravel_pytree
+
+from ...core.diff import Diff
+from ...core.pytree import Pytree
+from ...core.typing_ import PRNGKey
+from ...generative.concepts import (
+    Argdiffs,
+    EditRequest,
+    Retdiff,
+    Update,
+    Weight,
+)
+from ...generative.selection import Selection
+from ...generative.trace import Trace
+from .hmc import grad_tree_unzip, grad_tree_zip
+
+
+@Pytree.dataclass
+class NUTS(EditRequest):
+    """One No-U-Turn transition over the selected (continuous) choices."""
+
+    selection: Selection
+    eps: Any
+    max_depth: int = Pytree.static(default=8)
+    divergence_threshold: float = Pytree.static(default=1000.0)
+
+    def edit(
+        self, key: PRNGKey, tr: Trace, argdiffs: Argdiffs
+    ) -> tuple[Trace, Weight, Retdiff, EditRequest]:
+        if not Diff.static_check_no_change(argdiffs):
+            raise NotImplementedError("NUTS requires unchanged arguments.")
+        from ...kernels.nuts import nuts_transition
+
+        chm = tr.get_choices()
+        complement = chm.filter(~self.selection)
+        filtered = chm.filter(self.selection)
+        grad_tree, nongrad_tree = grad_tree_unzip(filtered)
+        gen_fn = tr.get_gen_fn()
+        primal_args = Diff.tree_primal(argdiffs)
+
+        z0, unravel = ravel_pytree(grad_tree)
+
+        def logdensity(z):
+            zipped = grad_tree_zip(unravel(z), nongrad_tree)
+            full_choices = zipped.merge(complement)
+            weight, _ = gen_fn.assess(full_choices, primal_args)
+            return weight
+
+        k_move, k_update = jr.split(key)
+        z_new, _info = nuts_transition(
+            logdensity,
+            jax.grad(logdensity),
+            z0.astype(jnp.float32),
+            k_move,
+            self.eps,
+            max_depth=self.max_depth,
+            divergence_threshold=self.divergence_threshold,
+        )
+        values = grad_tree_zip(unravel(z_new), nongrad_tree)
+        new_tr, _w, retdiff, _bwd = Update(values).edit(
+            k_update, tr, argdiffs
+        )
+        return (
+            new_tr,
+            jnp.asarray(0.0),
+            retdiff,
+            NUTS(
+                self.selection,
+                self.eps,
+                self.max_depth,
+                self.divergence_threshold,
+            ),
+        )
