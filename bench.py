@@ -240,10 +240,11 @@ def bench_pf():
     K = int(os.environ.get("BENCH_PARTICLES", 131072))
     T = int(os.environ.get("BENCH_T", 100))
     reps = int(os.environ.get("BENCH_REPS", 20))
+    thresh = float(os.environ.get("BENCH_PF_THRESH", 0.5))
     kernel, _ = linear_gaussian_ssm()
     ys = jnp.zeros(T)
     obs = g.C[:, "y"].set(ys)
-    pf = SSMParticleFilter(kernel, n_particles=K)
+    pf = SSMParticleFilter(kernel, n_particles=K, ess_threshold=thresh)
     run = jax.jit(
         lambda s: pf.run(jr.fold_in(jr.key(0), s), 0.0, jnp.zeros(T), obs)
     )
