@@ -192,16 +192,58 @@ def resample_indices(key, log_weights, n=None, method: str = "systematic"):
     return _METHODS[method](key, log_weights, n)
 
 
+def packed_take(particles, idx, k: int):
+    """Row-gather a particle pytree at ``idx`` with all 4-byte leaves
+    bit-packed into one (k, >=8) matrix — the same vectorized-row-movement
+    trick as ``redistribute`` (1-D gathers are element-serial on TPU)."""
+    total = jnp.shape(idx)[0]
+    leaves, treedef = jtu.tree_flatten(particles)
+
+    def _packable(v):
+        return (
+            hasattr(v, "dtype")
+            and jnp.ndim(v) >= 1
+            and v.shape[0] == k
+            and v.dtype.itemsize == 4
+        )
+
+    pack_idx = [i for i, v in enumerate(leaves) if _packable(v)]
+    out = list(leaves)
+    if len(pack_idx) >= 1:
+        cols = []
+        spans = []
+        start = 0
+        for i in pack_idx:
+            v = leaves[i]
+            u = jax.lax.bitcast_convert_type(
+                jnp.reshape(v, (k, -1)), jnp.uint32
+            )
+            cols.append(u)
+            spans.append((i, start, u.shape[1], v.dtype, v.shape))
+            start += u.shape[1]
+        if start < 8:
+            cols.append(jnp.zeros((k, 8 - start), jnp.uint32))
+        packed = jnp.concatenate(cols, axis=1)
+        moved = packed[idx]
+        for i, c0, nc, dtype, shape in spans:
+            v = jax.lax.bitcast_convert_type(moved[:, c0 : c0 + nc], dtype)
+            out[i] = jnp.reshape(v, (total,) + shape[1:])
+    for i, v in enumerate(leaves):
+        if i not in pack_idx:
+            out[i] = v[idx]
+    return jtu.tree_unflatten(treedef, out)
+
+
 def resample_particles(key, particles, log_weights, n=None, method="systematic"):
     """Resample a particle pytree: monotonic methods use the gather-free
-    counts+repeat path; others fall back to index gathers."""
+    counts+repeat path; others use a packed row-gather."""
     k = log_weights.shape[0]
     n = k if n is None else n
     if method in _COUNT_METHODS:
         counts = _COUNT_METHODS[method](key, log_weights, n)
         return redistribute(particles, counts, n)
     idx = _METHODS[method](key, log_weights, n)
-    return jtu.tree_map(lambda v: v[idx], particles)
+    return packed_take(particles, idx, k)
 
 
 # ----------------------------------------------------------------------
@@ -269,7 +311,9 @@ def collective_resample(
             ),
             particles,
         )
-        new_particles = jtu.tree_map(lambda v: v[my_slice], all_particles)
+        new_particles = packed_take(
+            all_particles, my_slice, flat_lw.shape[0]
+        )
         new_log_weights = jnp.zeros((k_local,))
         return new_particles, new_log_weights, log_z_inc
 
