@@ -155,21 +155,34 @@ def bench_hmc():
 
     samples_per_sec = n_chains * n_steps * reps / dt
 
-    # ESS/sec (north-star unit), measured in a SEPARATE timed phase so the
-    # per-sweep draw collection doesn't perturb the throughput number:
-    # draws are one param-0 slice per sweep (thinning = n_steps).
+    # ESS/sec (north-star unit), measured in a SEPARATE timed phase: one
+    # jitted scan runs ess_reps sweeps and collects a param-0 slice per
+    # sweep (thinning = n_steps), so the collection adds no per-sweep
+    # dispatch overhead to the measurement.
     try:
         from genjax_tpu.inference.diagnostics import ess
 
         ess_reps = min(reps, 25)
-        draws = []
+
+        @jax.jit
+        def collect(q):
+            def one(q, s):
+                q, _acc = pallas_hmc(
+                    ld, q, s, n_steps=n_steps, eps=0.02, L=L, backend=backend
+                )
+                return q, q[0, :]
+
+            return jax.lax.scan(
+                one, q, 1000 + jnp.arange(ess_reps, dtype=jnp.int32)
+            )
+
+        q2, draws = collect(q)  # compile + warm
+        _ = float(draws[0, 0])
         t1 = time.perf_counter()
-        for i in range(1, ess_reps + 1):
-            q, acc = sweep(q, 1000 + i)
-            draws.append(q[0, :])
-        _ = float(acc)
+        q2, draws = collect(q2)
+        _ = float(draws[0, 0])
         dt_ess = time.perf_counter() - t1
-        stacked = jnp.stack(draws, axis=1)  # (chains, ess_reps)
+        stacked = jnp.transpose(draws)  # (chains, ess_reps)
         total_ess = float(ess(stacked, max_lag=min(ess_reps - 1, 32)))
         emit("hmc_ess_per_sec_per_chip", total_ess / dt_ess, "ESS/sec/chip")
     except Exception as e:  # pragma: no cover

@@ -41,12 +41,17 @@ from .hmc import grad_tree_unzip, grad_tree_zip
 
 @Pytree.dataclass
 class NUTS(EditRequest):
-    """One No-U-Turn transition over the selected (continuous) choices."""
+    """One No-U-Turn transition over the selected (continuous) choices.
+
+    ``inv_mass``: optional diagonal inverse mass over the *raveled*
+    selected-choice vector (e.g. from ``inference.adaptation.
+    cross_chain_inv_mass`` on a batch of raveled positions)."""
 
     selection: Selection
     eps: Any
     max_depth: int = Pytree.static(default=8)
     divergence_threshold: float = Pytree.static(default=1000.0)
+    inv_mass: Any = None
 
     def edit(
         self, key: PRNGKey, tr: Trace, argdiffs: Argdiffs
@@ -79,6 +84,7 @@ class NUTS(EditRequest):
             self.eps,
             max_depth=self.max_depth,
             divergence_threshold=self.divergence_threshold,
+            inv_mass=self.inv_mass,
         )
         values = grad_tree_zip(unravel(z_new), nongrad_tree)
         new_tr, _w, retdiff, _bwd = Update(values).edit(
@@ -93,5 +99,6 @@ class NUTS(EditRequest):
                 self.eps,
                 self.max_depth,
                 self.divergence_threshold,
+                self.inv_mass,
             ),
         )

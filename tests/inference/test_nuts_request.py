@@ -68,6 +68,36 @@ class TestNUTSRequest:
         assert jnp.std(a_f) == pytest.approx(2.0, rel=0.15)
         assert jnp.std(b_f) == pytest.approx(0.5, rel=0.2)
 
+    def test_inv_mass_recovers_anisotropic_scales(self):
+        """A 100x-conditioned target mixes with few doublings when the
+        diagonal inverse mass matches the posterior variances."""
+        scales = jnp.array([0.1, 10.0])
+
+        @g.gen
+        def model():
+            _ = g.mv_normal_diag(jnp.zeros(2), scales) @ "x"
+
+        inv_mass = scales**2
+
+        def one_chain(k):
+            k0, k1 = jax.random.split(k)
+            tr = model.simulate(k0, ())
+
+            def step(tr, kk):
+                new_tr, _, _, _ = tr.edit(
+                    kk,
+                    g.NUTS(g.S["x"], 0.15, max_depth=6, inv_mass=inv_mass),
+                )
+                return new_tr, new_tr.get_choices()["x"]
+
+            _, draws = jax.lax.scan(step, tr, jax.random.split(k1, 30))
+            return draws[-1]
+
+        finals = jax.jit(jax.vmap(one_chain))(jax.random.split(KEY, 384))
+        assert jnp.allclose(
+            jnp.std(finals, axis=0), scales, rtol=0.2
+        ), jnp.std(finals, axis=0)
+
     def test_weight_zero_and_untouched_choices_fixed(self):
         @g.gen
         def model():
