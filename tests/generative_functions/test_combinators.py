@@ -262,17 +262,53 @@ class TestMask:
         assert float(tr.get_score()) != 0.0
 
     def test_edit_flag_transitions(self):
+        """All four flag transitions of the Mask edit (reference
+        mask.py:179): the weight is the masked-score delta."""
         mm = two_normals.mask()
+
+        def argdiffs(flag):
+            return (
+                g.Diff(jnp.asarray(flag), g.UnknownChange),
+                g.Diff(0.0, g.NoChange),
+            )
+
+        # True -> False: weight = -inner score
         tr = mm.simulate(KEY, (jnp.asarray(True), 0.0))
         inner_score = tr.inner.get_score()
-        # True -> False: weight = -inner score
-        argdiffs = (
-            g.Diff(jnp.asarray(False), g.UnknownChange),
-            g.Diff(0.0, g.NoChange),
+        new_tr, w, _rd, _bwd = mm.edit(
+            KEY, tr, g.Update(g.C.empty()), argdiffs(False)
         )
-        new_tr, w, _rd, _bwd = mm.edit(KEY, tr, g.Update(g.C.empty()), argdiffs)
         assert w == pytest.approx(-inner_score, rel=1e-5)
         assert new_tr.get_score() == pytest.approx(0.0)
+
+        # False -> False: no score either side, weight 0
+        tr_off = mm.simulate(KEY, (jnp.asarray(False), 0.0))
+        new_tr, w, _, _ = mm.edit(
+            KEY, tr_off, g.Update(g.C.empty()), argdiffs(False)
+        )
+        assert float(w) == pytest.approx(0.0, abs=1e-6)
+        assert float(new_tr.get_score()) == pytest.approx(0.0)
+
+        # False -> True: the dormant inner trace's score turns on
+        new_tr, w, _, _ = mm.edit(
+            KEY, tr_off, g.Update(g.C.empty()), argdiffs(True)
+        )
+        assert float(w) == pytest.approx(
+            float(new_tr.get_score()), rel=1e-5
+        )
+        assert float(new_tr.get_score()) != 0.0
+
+        # True -> True with a constraint: masked substitution, weight =
+        # score delta (same identity as the unmasked combinator)
+        new_tr, w, _, _ = mm.edit(
+            KEY, tr, g.Update(g.C["x"].set(0.7)), argdiffs(True)
+        )
+        assert float(w) == pytest.approx(
+            float(new_tr.get_score() - tr.get_score()), rel=1e-4
+        )
+        got = new_tr.get_choices()["x"]
+        got = got.unmask() if isinstance(got, g.Mask) else got
+        assert float(got) == pytest.approx(0.7)
 
     def test_assess(self):
         mm = two_normals.mask()
