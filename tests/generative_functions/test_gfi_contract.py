@@ -64,6 +64,14 @@ def model_zoo():
         ("or_else", b0.or_else(b1), (True, (), ())),
         ("mix", g.mix(b0, b1), (jnp.zeros(2), (), ())),
         ("iterate", _iter_model(), (0.5,)),
+        ("iterate_final", _iter_final_model(), (0.5,)),
+        ("accumulate", _accumulate_model(), (0.0, jnp.ones(3))),
+        ("reduce", _reduce_model(), (0.0, jnp.ones(3))),
+        (
+            "masked_iterate_final",
+            _masked_iter_model(),
+            (0.5, jnp.asarray([True, False, True])),
+        ),
     ]
 
 
@@ -92,6 +100,38 @@ def _iter_model():
         return g.normal(0.5 * x, 1.0) @ "w"
 
     return step.iterate(n=3)
+
+
+def _iter_final_model():
+    @g.gen
+    def step(x):
+        return g.normal(0.5 * x, 1.0) @ "w"
+
+    return step.iterate_final(n=3)
+
+
+def _accumulate_model():
+    @g.gen
+    def step(c, x):
+        return g.normal(c + x, 1.0) @ "w"
+
+    return step.accumulate()
+
+
+def _reduce_model():
+    @g.gen
+    def step(c, x):
+        return g.normal(c + x, 1.0) @ "w"
+
+    return step.reduce()
+
+
+def _masked_iter_model():
+    @g.gen
+    def step(x):
+        return g.normal(0.5 * x, 1.0) @ "w"
+
+    return step.masked_iterate_final()
 
 
 IDS = [name for name, _, _ in model_zoo()]
