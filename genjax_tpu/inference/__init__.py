@@ -4,10 +4,11 @@ Parity: reference ``/root/reference/src/genjax/_src/inference/`` and the
 facade ``/root/reference/src/genjax/inference/__init__.py``.
 """
 
-from . import adaptation, diagnostics, mcmc, requests, smc, tempered
+from . import adaptation, diagnostics, mcmc, requests, sample, smc, tempered
 from .sp import Algorithm, Marginal, SampleDistribution, Target, marginal
 from .mcmc import MHChainResult, mh, run_chain, run_chains
 from .tempered import TemperedSMCResult, geometric_ladder, tempered_smc
+from .sample import PosteriorSamples, sample_posterior
 from .smc import ChangeTarget, Importance, ImportanceK, ParticleCollection, SMCAlgorithm
 
 __all__ = [
@@ -21,8 +22,12 @@ __all__ = [
     "SampleDistribution",
     "Target",
     "MHChainResult",
+    "PosteriorSamples",
+    "adaptation",
     "marginal",
     "mh",
+    "sample",
+    "sample_posterior",
     "diagnostics",
     "mcmc",
     "requests",

@@ -1,0 +1,222 @@
+"""``sample_posterior``: the one-call production sampling driver.
+
+No reference counterpart (the reference ships moves, not drivers —
+mcmc.py docstring). This ties the framework's pieces into the workflow a
+practitioner actually runs: prior-initialize a chain batch, adapt step
+size (and diagonal mass) during warmup, draw thinned samples, and report
+split-R̂ / ESS per parameter — all as a handful of compiled programs whose
+chain axis shards over a ``Mesh`` for multi-chip runs.
+
+TPU-first structure: chains are a vmapped batch (leading axis on every
+leaf); warmup is one ``lax.scan`` of windows (``inference.adaptation``);
+sampling is one ``lax.scan`` of transitions recording the selected
+choices; diagnostics are cross-chain reductions (ICI collectives when
+sharded).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import jax.tree_util as jtu
+from jax import lax
+from jax.flatten_util import ravel_pytree
+
+from ..core.pytree import Pytree
+from ..core.typing_ import PRNGKey
+from ..generative.choice_map import ChoiceMap
+from ..generative.gfi import GenerativeFunction
+from ..generative.selection import Selection
+from .adaptation import cross_chain_inv_mass, multiplicative_nudge
+from .diagnostics import ess, split_rhat
+
+
+@Pytree.dataclass
+class PosteriorSamples(Pytree):
+    """Thinned posterior draws plus convergence diagnostics.
+
+    ``positions``: dict of selected address path -> array with shape
+    ``(n_chains, n_samples, *event_shape)``. ``rhat``/``ess`` hold the
+    same paths' split-R̂ and bulk effective sample size (over the raveled
+    event dims). ``eps``/``inv_mass`` are the adapted kernel settings.
+    """
+
+    positions: Any
+    rhat: Any
+    ess: Any
+    accept_rate: Any
+    eps: Any
+    inv_mass: Any
+
+    @staticmethod
+    def _read(tree, addr):
+        from ..generative.mask import Mask
+
+        path = addr if isinstance(addr, tuple) else (addr,)
+        v = tree.get_submap(*path).get_value()
+        if isinstance(v, Mask):
+            return v.value
+        return v
+
+    def __getitem__(self, addr):
+        """Draws at ``addr``: shape (n_chains, n_samples, *event)."""
+        return self._read(self.positions, addr)
+
+    def rhat_of(self, addr):
+        return self._read(self.rhat, addr)
+
+    def ess_of(self, addr):
+        return self._read(self.ess, addr)
+
+
+def sample_posterior(
+    key: PRNGKey,
+    model: GenerativeFunction,
+    constraint: ChoiceMap,
+    args: tuple,
+    selection: Selection,
+    *,
+    n_chains: int = 1024,
+    n_warmup: int = 300,
+    n_samples: int = 100,
+    thin: int = 1,
+    algorithm: str = "nuts",
+    eps0: float = 0.1,
+    L: int = 8,
+    max_depth: int = 8,
+    target_accept: float = 0.8,
+    mesh=None,
+    axis: str = "batch",
+) -> PosteriorSamples:
+    """Sample ``p(selection | constraint)`` with adaptive NUTS or HMC.
+
+    Warmup splits into 6 windows: each window runs transitions at the
+    current settings, nudges the step size toward ``target_accept``, and
+    re-estimates the diagonal inverse mass from cross-chain variance of
+    the raveled selected choices. Sampling then records one draw per
+    ``thin`` transitions. With ``mesh``, the chain batch shards over it.
+    """
+    from .mcmc import mh
+    from .requests.hmc import HMC
+    from .requests.nuts import NUTS
+
+    k_init, k_warm, k_run = jr.split(key, 3)
+    init_keys = jr.split(k_init, n_chains)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        init_keys = jax.device_put(init_keys, NamedSharding(mesh, P(axis)))
+
+    def make_request(eps, inv_mass):
+        if algorithm == "nuts":
+            return NUTS(selection, eps, max_depth=max_depth, inv_mass=inv_mass)
+        if algorithm == "hmc":
+            return HMC(selection, eps, L=L)
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+
+    def transition(k, tr, eps, inv_mass):
+        if algorithm == "nuts":
+            new_tr, _w, _rd, _ = tr.edit(k, make_request(eps, inv_mass))
+            return new_tr, jnp.asarray(1.0)  # acceptance is internal
+        new_tr, accepted = mh(k, tr, make_request(eps, inv_mass))
+        return new_tr, jnp.asarray(accepted, jnp.float32)
+
+    def ravel_selected(tr):
+        from .requests.hmc import grad_tree_unzip
+
+        grad_tree, _ = grad_tree_unzip(tr.get_choices().filter(selection))
+        flat, _ = ravel_pytree(grad_tree)
+        return flat
+
+    @jax.jit
+    def run(init_keys, k_warm, k_run):
+        traces = jax.vmap(
+            lambda k: model.generate(k, constraint, args)[0]
+        )(init_keys)
+        d = jax.vmap(ravel_selected)(traces).shape[1]
+
+        # ---- warmup: 6 windows of step-size + mass adaptation ----
+        n_windows = 6
+        steps_per_window = max(n_warmup // n_windows, 1)
+
+        def window(carry, wk):
+            traces, eps, inv_mass = carry
+
+            def step(traces, kk):
+                ks = jr.split(kk, n_chains)
+                traces, accs = jax.vmap(
+                    lambda k, t: transition(k, t, eps, inv_mass)
+                )(ks, traces)
+                return traces, jnp.mean(accs)
+
+            traces, accs = lax.scan(
+                step, traces, jr.split(wk, steps_per_window)
+            )
+            eps = multiplicative_nudge(
+                eps, jnp.mean(accs), target_accept=target_accept
+            )
+            positions = jax.vmap(ravel_selected)(traces)
+            inv_mass = cross_chain_inv_mass(positions, chain_axis=0)
+            return (traces, eps, inv_mass), jnp.mean(accs)
+
+        init = (traces, jnp.asarray(eps0, jnp.float32), jnp.ones((d,)))
+        (traces, eps, inv_mass), _ = lax.scan(
+            window, init, jr.split(k_warm, n_windows)
+        )
+
+        # ---- sampling: record one draw per `thin` transitions ----
+        def sample_step(traces, kk):
+            def inner(traces, k2):
+                ks = jr.split(k2, n_chains)
+                traces, accs = jax.vmap(
+                    lambda k, t: transition(k, t, eps, inv_mass)
+                )(ks, traces)
+                return traces, jnp.mean(accs)
+
+            traces, accs = lax.scan(inner, traces, jr.split(kk, thin))
+            return traces, (jax.vmap(ravel_selected)(traces), jnp.mean(accs))
+
+        traces, (draws, accs) = lax.scan(
+            sample_step, traces, jr.split(k_run, n_samples)
+        )
+        # draws: (n_samples, n_chains, d) -> (n_chains, n_samples, d)
+        draws = jnp.transpose(draws, (1, 0, 2))
+        return traces, draws, jnp.mean(accs), eps, inv_mass
+
+    traces, draws, accept_rate, eps, inv_mass = run(init_keys, k_warm, k_run)
+
+    # unpack draws back to per-address arrays + diagnostics (host-side
+    # bookkeeping over static structure; the heavy reductions stay jitted)
+    template = jtu.tree_map(lambda l: l[0], traces)
+    from .requests.hmc import grad_tree_unzip
+
+    grad_tree, _ = grad_tree_unzip(template.get_choices().filter(selection))
+    _flat0, unravel = ravel_pytree(grad_tree)
+
+    @jax.jit
+    def diagnostics(draws):
+        r = jax.vmap(split_rhat, in_axes=2)(draws)
+        e = jax.vmap(lambda x: ess(x, max_lag=min(n_samples - 1, 64)), in_axes=2)(
+            draws
+        )
+        return r, e
+
+    rhat_flat, ess_flat = diagnostics(draws)
+
+    def unflatten_axis(flat_by_dim, agg=None):
+        """Map per-raveled-dim values back onto the selection's pytree."""
+        tree = unravel(jnp.asarray(flat_by_dim, jnp.float32))
+        return tree
+
+    positions = jax.vmap(jax.vmap(unravel))(draws)
+    return PosteriorSamples(
+        positions=positions,
+        rhat=unflatten_axis(rhat_flat),
+        ess=unflatten_axis(ess_flat),
+        accept_rate=accept_rate,
+        eps=eps,
+        inv_mass=inv_mass,
+    )
