@@ -62,6 +62,26 @@ class TestMaskCombination:
         assert not (~a).flag
 
 
+class TestMaskPytrees:
+    def test_unmask_pytree(self):
+        tree = {"a": jnp.asarray(1.0), "b": (jnp.asarray(2.0), jnp.asarray(3.0))}
+        m = Mask(tree, jnp.asarray(True))
+        out = m.unmask()
+        assert float(out["a"]) == 1.0 and float(out["b"][1]) == 3.0
+
+    def test_combine_different_pytree_shapes_raises(self):
+        a = Mask({"a": jnp.asarray(1.0)}, jnp.asarray(True))
+        b = Mask({"b": jnp.asarray(2.0)}, jnp.asarray(True))
+        with pytest.raises(Exception):
+            _ = a | b
+
+    def test_combine_different_array_shapes_raises(self):
+        a = Mask(jnp.ones((2,)), jnp.asarray(True))
+        b = Mask(jnp.ones((3,)), jnp.asarray(True))
+        with pytest.raises(Exception):
+            _ = a | b
+
+
 @settings(deadline=None, max_examples=50)
 @given(f1=st.booleans(), f2=st.booleans())
 def test_property_or_flag_table(f1, f2):
@@ -73,3 +93,33 @@ def test_property_or_flag_table(f1, f2):
         assert c.value == 1.0
     elif f2:
         assert c.value == 2.0
+
+
+@settings(deadline=None, max_examples=50)
+@given(f1=st.booleans(), f2=st.booleans())
+def test_property_xor_flag_table(f1, f2):
+    a = Mask(jnp.asarray(1.0), jnp.asarray(f1))
+    b = Mask(jnp.asarray(2.0), jnp.asarray(f2))
+    c = a ^ b
+    assert bool(c.flag) == (f1 != f2)
+    if f1 and not f2:
+        assert c.value == 1.0
+    elif f2 and not f1:
+        assert c.value == 2.0
+
+
+@settings(deadline=None, max_examples=60)
+@given(
+    flags=st.lists(st.booleans(), min_size=1, max_size=6),
+    default=st.floats(
+        min_value=-10, max_value=10, allow_nan=False, width=32
+    ),
+)
+def test_property_vectorized_unmask(flags, default):
+    n = len(flags)
+    vals = jnp.arange(float(n))
+    m = Mask(vals, jnp.asarray(flags))
+    out = m.unmask(default=jnp.full((n,), default))
+    for i, f in enumerate(flags):
+        expected = float(i) if f else default
+        assert float(out[i]) == pytest.approx(expected, abs=1e-5)
