@@ -383,7 +383,8 @@ def bench_dp():
     K = int(os.environ.get("BENCH_DP_PARTICLES", 4096))
     n_rungs = int(os.environ.get("BENCH_DP_RUNGS", 10))
     n_data = int(os.environ.get("BENCH_DP_DATA", 60))
-    reps = int(os.environ.get("BENCH_DP_REPS", 5))
+    # enough reps to clear the per-dispatch latency floor of the tunnel
+    reps = int(os.environ.get("BENCH_DP_REPS", 40))
     k_trunc = 8
 
     model = dp_mixture_model(k_trunc)

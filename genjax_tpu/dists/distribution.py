@@ -333,11 +333,11 @@ class LambdaDensity(ExactDensity):
     logpdf_fn: Callable = Pytree.static()
     name: str = Pytree.static(default="exact_density")
 
-    def sample(self, key: PRNGKey, *args) -> Any:
-        return self.sampler(key, *args)
+    def sample(self, key: PRNGKey, *args, **kwargs) -> Any:
+        return self.sampler(key, *args, **kwargs)
 
-    def logpdf(self, v: Any, *args) -> Score:
-        return self.logpdf_fn(v, *args)
+    def logpdf(self, v: Any, *args, **kwargs) -> Score:
+        return self.logpdf_fn(v, *args, **kwargs)
 
     def __repr__(self):
         return f"genjax_tpu.{self.name}"

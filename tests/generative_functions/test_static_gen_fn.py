@@ -203,6 +203,27 @@ class TestArgsAndNesting:
         v = tr.get_choices()["k", "v"]
         assert tr.get_score() == pytest.approx(jss.norm.logpdf(v, 0.0, 2.0), abs=1e-5)
 
+    def test_distribution_kwargs(self):
+        """Distributions accept their TFP-named parameters as keywords,
+        including through the staged edit path."""
+
+        @g.gen
+        def m():
+            return g.normal(0.0, scale=2.0) @ "x"
+
+        tr = m.simulate(jr.key(30), ())
+        x = tr.get_choices()["x"]
+        assert tr.get_score() == pytest.approx(
+            jss.norm.logpdf(x, 0.0, 2.0), abs=1e-5
+        )
+        new_tr, w, _, bwd = tr.edit(jr.key(31), g.Update(g.C["x"].set(0.5)))
+        back, wb, _, _ = new_tr.edit(jr.key(32), bwd)
+        assert float(w + wb) == pytest.approx(0.0, abs=1e-5)
+        score, _ = m.assess(new_tr.get_choices(), ())
+        assert float(new_tr.get_score()) == pytest.approx(
+            float(score), abs=1e-5
+        )
+
     def test_partial_apply(self):
         @g.gen
         def two_arg(a, b):
