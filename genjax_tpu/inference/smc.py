@@ -252,7 +252,17 @@ class ImportanceK(SMCAlgorithm):
 @Pytree.dataclass
 class ChangeTarget(SMCAlgorithm):
     """Reweight an existing particle collection to a new target
-    (reference smc.py:360)."""
+    (reference smc.py:360).
+
+    Contract: ``target`` must constrain the SAME addresses as
+    ``prev``'s final target (typically: same observations, different
+    values or arguments). The reweight divides by the particle's full
+    previous score, which is only the right proposal density when the
+    two targets' unconstrained spaces coincide — retargeting to a target
+    that constrains *previously-unconstrained* addresses yields an
+    improper estimator (use a placeholder-constrained base target
+    instead; see examples/11_stochastic_probabilities.py).
+    """
 
     prev: SMCAlgorithm
     target: Target
