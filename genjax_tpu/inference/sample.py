@@ -7,11 +7,13 @@ size (and diagonal mass) during warmup, draw thinned samples, and report
 split-R̂ / ESS per parameter — all as a handful of compiled programs whose
 chain axis shards over a ``Mesh`` for multi-chip runs.
 
-TPU-first structure: chains are a vmapped batch (leading axis on every
-leaf); warmup is one ``lax.scan`` of windows (``inference.adaptation``);
-sampling is one ``lax.scan`` of transitions recording the selected
-choices; diagnostics are cross-chain reductions (ICI collectives when
-sharded).
+TPU-first structure: chains batch with the chain axis on the LANES
+(last axis internally — 20× over chains-leading vmap on small models,
+see ``inference.mcmc.run_chains``), restored to the conventional
+chains-leading shape on the outputs; warmup is one ``lax.scan`` of
+windows (``inference.adaptation``); sampling is one ``lax.scan`` of
+transitions recording the selected choices; diagnostics are cross-chain
+reductions (ICI collectives when sharded).
 """
 
 from __future__ import annotations
@@ -133,10 +135,13 @@ def sample_posterior(
 
     @jax.jit
     def run(init_keys, k_warm, k_run):
+        # chains-on-lanes internal layout: the chain axis batches LAST so
+        # small per-chain event dims ride sublanes and the 128 lanes fill
+        # with chains (20x on v5e vs chains-leading; see inference.mcmc)
         traces = jax.vmap(
-            lambda k: model.generate(k, constraint, args)[0]
+            lambda k: model.generate(k, constraint, args)[0], out_axes=-1
         )(init_keys)
-        d = jax.vmap(ravel_selected)(traces).shape[1]
+        d = jax.vmap(ravel_selected, in_axes=-1)(traces).shape[1]
 
         # ---- warmup: 6 windows of step-size + mass adaptation ----
         n_windows = 6
@@ -148,7 +153,9 @@ def sample_posterior(
             def step(traces, kk):
                 ks = jr.split(kk, n_chains)
                 traces, accs = jax.vmap(
-                    lambda k, t: transition(k, t, eps, inv_mass)
+                    lambda k, t: transition(k, t, eps, inv_mass),
+                    in_axes=(0, -1),
+                    out_axes=(-1, 0),
                 )(ks, traces)
                 return traces, jnp.mean(accs)
 
@@ -158,7 +165,7 @@ def sample_posterior(
             eps = multiplicative_nudge(
                 eps, jnp.mean(accs), target_accept=target_accept
             )
-            positions = jax.vmap(ravel_selected)(traces)
+            positions = jax.vmap(ravel_selected, in_axes=-1)(traces)
             inv_mass = cross_chain_inv_mass(positions, chain_axis=0)
             return (traces, eps, inv_mass), jnp.mean(accs)
 
@@ -172,12 +179,17 @@ def sample_posterior(
             def inner(traces, k2):
                 ks = jr.split(k2, n_chains)
                 traces, accs = jax.vmap(
-                    lambda k, t: transition(k, t, eps, inv_mass)
+                    lambda k, t: transition(k, t, eps, inv_mass),
+                    in_axes=(0, -1),
+                    out_axes=(-1, 0),
                 )(ks, traces)
                 return traces, jnp.mean(accs)
 
             traces, accs = lax.scan(inner, traces, jr.split(kk, thin))
-            return traces, (jax.vmap(ravel_selected)(traces), jnp.mean(accs))
+            return traces, (
+                jax.vmap(ravel_selected, in_axes=-1)(traces),
+                jnp.mean(accs),
+            )
 
         traces, (draws, accs) = lax.scan(
             sample_step, traces, jr.split(k_run, n_samples)
@@ -190,7 +202,7 @@ def sample_posterior(
 
     # unpack draws back to per-address arrays + diagnostics (host-side
     # bookkeeping over static structure; the heavy reductions stay jitted)
-    template = jtu.tree_map(lambda l: l[0], traces)
+    template = jtu.tree_map(lambda l: l[..., 0], traces)
     from .requests.hmc import grad_tree_unzip
 
     grad_tree, _ = grad_tree_unzip(template.get_choices().filter(selection))

@@ -38,6 +38,8 @@ def run_chains_sharded(
 ) -> MHChainResult:
     """``inference.mcmc.run_chains`` with the chain axis sharded over
     ``mesh`` — same program, multi-chip execution."""
+    import jax.tree_util as jtu
+
     from ..inference.mcmc import run_chain
 
     keys = jr.split(key, n_chains)
@@ -50,7 +52,10 @@ def run_chains_sharded(
             tr = make_trace(k_init)
             return run_chain(k_run, tr, request, n_steps, record=record)
 
-        return jax.vmap(one)(keys)
+        # chains-on-lanes internal layout (see inference.mcmc.run_chains:
+        # 20x on small models), restored to chains-leading on the outputs
+        res = jax.vmap(one, out_axes=-1)(keys)
+        return jtu.tree_map(lambda v: jnp.moveaxis(v, -1, 0), res)
 
     return run(keys)
 
