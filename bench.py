@@ -244,6 +244,58 @@ def bench_nuts():
     )
 
 
+def bench_chains():
+    """Trace-based MH-HMC chains through the full GFI (run_chains with the
+    chains-on-lanes internal layout) on the flagship model."""
+    import genjax_tpu as g
+
+    n_chains = int(os.environ.get("BENCH_TRACE_CHAINS", 16384))
+    n_steps = int(os.environ.get("BENCH_TRACE_STEPS", 20))
+    reps = int(os.environ.get("BENCH_TRACE_REPS", 100))
+    regression, obs, _packer, _ld = _regression_setup()
+
+    def init_one(k):
+        tr, _ = regression.generate(k, obs, ())
+        return tr
+
+    def one_step(k, tr):
+        _k0, k1 = jr.split(k)
+        tr, acc = g.mh(k1, tr, g.HMC(g.S["w"] | g.S["tau"], 0.02, L=5))
+        return tr, acc
+
+    @jax.jit
+    def sweep(key, trs):
+        def body(trs, kk):
+            ks = jr.split(kk, n_chains)
+            trs, accs = jax.vmap(
+                one_step, in_axes=(0, -1), out_axes=(-1, 0)
+            )(ks, trs)
+            return trs, jnp.mean(accs)
+
+        trs, accs = jax.lax.scan(body, trs, jr.split(key, n_steps))
+        return trs, jnp.mean(accs)
+
+    trs = jax.jit(
+        lambda key: jax.vmap(init_one, out_axes=-1)(jr.split(key, n_chains))
+    )(jr.key(0))
+    trs, acc = sweep(jr.key(1), trs)
+    _ = float(acc)
+    t0 = time.perf_counter()
+    for i in range(1, reps + 1):
+        trs, acc = sweep(jr.fold_in(jr.key(2), i), trs)
+    _ = float(acc)
+    dt = time.perf_counter() - t0
+    _log(
+        f"# trace-chains; chains={n_chains} steps={n_steps} reps={reps} "
+        f"wall={dt:.2f}s accept={float(acc):.2f}"
+    )
+    emit(
+        f"trace_mcmc_transitions_per_sec_{n_chains}chains",
+        n_chains * n_steps * reps / dt,
+        "transitions/sec/chip",
+    )
+
+
 def bench_pf():
     """Adaptive systematic-resampling particle filter, linear-Gaussian SSM."""
     import genjax_tpu as g
@@ -466,6 +518,7 @@ def bench_hmc_pallas():
 
 
 MODES = {
+    "chains": bench_chains,
     "hmc": bench_hmc,
     "hmc_pallas": bench_hmc_pallas,
     "nuts": bench_nuts,
@@ -483,7 +536,7 @@ def main():
         return
     # all five BASELINE configs (+ the Pallas kernel backend); headline
     # (hmc) last so single-line parsers record the r01-comparable metric
-    for name in ("sir", "vi", "dp", "pf", "nuts", "hmc_pallas", "hmc"):
+    for name in ("sir", "vi", "dp", "pf", "chains", "nuts", "hmc_pallas", "hmc"):
         try:
             MODES[name]()
         except Exception as e:  # one config failing must not kill the rest
