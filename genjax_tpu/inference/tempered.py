@@ -72,14 +72,24 @@ def tempered_smc(
     # rejuvenation randomness an exact function of particle t's init draw.
     init_key, ladder_key = jr.split(key)
 
-    # initialize at beta = 0: particles from the prior, llh recorded
+    # initialize at beta = 0: particles from the prior, llh recorded.
+    # Particle axis on the LANES (last axis) for the model-evaluation work
+    # (see ARCHITECTURE §2: small per-particle event dims waste VPU lanes
+    # behind a leading batch axis); resampling transposes to rows, where
+    # contiguous movement is fast, and back.
     init_keys = jr.split(init_key, k)
 
     def init_one(kk):
         tr, llh = model.generate(kk, constraint, args)
         return tr, llh
 
-    traces, llhs = jax.vmap(init_one)(init_keys)
+    traces, llhs = jax.vmap(init_one, out_axes=(-1, 0))(init_keys)
+
+    def to_rows(tree):
+        return jtu.tree_map(lambda v: jnp.moveaxis(v, -1, 0), tree)
+
+    def to_lanes(tree):
+        return jtu.tree_map(lambda v: jnp.moveaxis(v, 0, -1), tree)
 
     def rung(state, inp):
         traces, llhs, log_w, log_z = state
@@ -92,10 +102,10 @@ def tempered_smc(
         def do_resample(operand):
             traces, llhs, log_w, log_z = operand
             inc = logsumexp(log_w) - jnp.log(k)
-            traces, llhs = resample_particles(
-                jr.fold_in(rung_key, 1), (traces, llhs), log_w, k, method
+            rows, llhs = resample_particles(
+                jr.fold_in(rung_key, 1), (to_rows(traces), llhs), log_w, k, method
             )
-            return traces, llhs, jnp.zeros((k,)), log_z + inc
+            return to_lanes(rows), llhs, jnp.zeros((k,)), log_z + inc
 
         traces, llhs, log_w, log_z = lax.cond(
             ess < ess_threshold * k,
@@ -140,7 +150,9 @@ def tempered_smc(
                     return out_tr, out_llh, jnp.asarray(accept, jnp.float32)
 
                 pkeys = jr.split(kk, k)
-                traces, llhs, accs = jax.vmap(per_particle)(pkeys, traces, llhs)
+                traces, llhs, accs = jax.vmap(
+                    per_particle, in_axes=(0, -1, 0), out_axes=(-1, 0, 0)
+                )(pkeys, traces, llhs)
                 return (traces, llhs), jnp.mean(accs)
 
             (traces, llhs), accs = lax.scan(
@@ -160,7 +172,10 @@ def tempered_smc(
         (jnp.arange(betas.shape[0]), beta_prevs, betas),
     )
     log_marginal = log_z + logsumexp(log_w) - jnp.log(k)
-    return TemperedSMCResult(traces, log_w, log_marginal, ess_hist, acc_hist)
+    # restore the conventional particles-leading layout on the outputs
+    return TemperedSMCResult(
+        to_rows(traces), log_w, log_marginal, ess_hist, acc_hist
+    )
 
 
 def _constrained_score(constraint, trace):
