@@ -75,20 +75,20 @@ def _prior_values() -> dict:
 _PRIOR = _prior_values()
 
 
+_EMITTED: list = []
+
+
 def emit(metric, value, unit):
     prior = _PRIOR.get(metric)
     vs = round(value / prior, 3) if prior else 1.0
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(value, 1),
-                "unit": unit,
-                "vs_baseline": vs,
-            }
-        ),
-        flush=True,
-    )
+    record = {
+        "metric": metric,
+        "value": round(value, 1),
+        "unit": unit,
+        "vs_baseline": vs,
+    }
+    _EMITTED.append(record)
+    print(json.dumps(record), flush=True)
 
 
 def _regression_setup():
@@ -534,13 +534,18 @@ def main():
     if mode != "all":
         MODES[mode]()
         return
-    # all five BASELINE configs (+ the Pallas kernel backend); headline
-    # (hmc) last so single-line parsers record the r01-comparable metric
-    for name in ("sir", "vi", "dp", "pf", "chains", "nuts", "hmc_pallas", "hmc"):
+    # The headline (hmc, the r01-comparable metric) runs FIRST so it is
+    # recorded even if an external timeout cuts the run short, and is
+    # RE-EMITTED last so single-line parsers that keep only the final
+    # JSON line also pick it up.
+    for name in ("hmc", "sir", "vi", "dp", "pf", "chains", "nuts", "hmc_pallas"):
         try:
             MODES[name]()
         except Exception as e:  # one config failing must not kill the rest
             _log(f"# bench '{name}' FAILED: {type(e).__name__}: {e}")
+    headline = [r for r in _EMITTED if r["metric"].startswith("hmc_samples")]
+    if headline:
+        print(json.dumps(headline[-1]), flush=True)
 
 
 if __name__ == "__main__":
