@@ -275,14 +275,17 @@ def bench_chains():
         trs, accs = jax.lax.scan(body, trs, jr.split(key, n_steps))
         return trs, jnp.mean(accs)
 
+    # rbg root keys: the PRNG impl rides the key array, so every split/
+    # fold_in downstream (handler keys, momenta draws) uses the TPU-native
+    # bit generator
     trs = jax.jit(
         lambda key: jax.vmap(init_one, out_axes=-1)(jr.split(key, n_chains))
-    )(jr.key(0))
-    trs, acc = sweep(jr.key(1), trs)
+    )(jr.key(0, impl="rbg"))
+    trs, acc = sweep(jr.key(1, impl="rbg"), trs)
     _ = float(acc)
     t0 = time.perf_counter()
     for i in range(1, reps + 1):
-        trs, acc = sweep(jr.fold_in(jr.key(2), i), trs)
+        trs, acc = sweep(jr.fold_in(jr.key(2, impl="rbg"), i), trs)
     _ = float(acc)
     dt = time.perf_counter() - t0
     _log(

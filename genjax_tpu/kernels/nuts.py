@@ -281,9 +281,12 @@ def nuts_sweep_cols(
     eps,
     max_depth: int = 8,
     inv_mass=None,
+    rng_impl: str = "rbg",
 ):
     """``n_steps`` NUTS transitions over ``(D, N)`` column-layout chains as
-    one jitted scan (shard the chain axis for multi-chip)."""
+    one jitted scan (shard the chain axis for multi-chip). ``rng_impl``
+    defaults to the TPU-native ``"rbg"`` bit generator (see
+    ``hmc._reference_hmc``)."""
     d, n = q0.shape
 
     def ld_one(z):
@@ -304,6 +307,8 @@ def nuts_sweep_cols(
         return z_new, (jnp.mean(info.accept_prob), jnp.mean(info.num_leapfrogs))
 
     qf, (accs, leaps) = lax.scan(
-        step, q0.astype(jnp.float32), jr.split(jr.key(seed), n_steps)
+        step,
+        q0.astype(jnp.float32),
+        jr.split(jr.key(seed, impl=rng_impl), n_steps),
     )
     return qf, jnp.mean(accs), jnp.mean(leaps)
