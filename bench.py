@@ -275,17 +275,18 @@ def bench_chains():
         trs, accs = jax.lax.scan(body, trs, jr.split(key, n_steps))
         return trs, jnp.mean(accs)
 
-    # rbg root keys: the PRNG impl rides the key array, so every split/
-    # fold_in downstream (handler keys, momenta draws) uses the TPU-native
-    # bit generator
+    # threefry root keys: measured 139M transitions/s vs 20M with rbg
+    # roots here — vmapped per-chain SMALL draws hit RngBitGenerator's
+    # per-call overhead, the opposite regime from the column sweep's
+    # (D, N) bulk draws where rbg wins 1.3x
     trs = jax.jit(
         lambda key: jax.vmap(init_one, out_axes=-1)(jr.split(key, n_chains))
-    )(jr.key(0, impl="rbg"))
-    trs, acc = sweep(jr.key(1, impl="rbg"), trs)
+    )(jr.key(0))
+    trs, acc = sweep(jr.key(1), trs)
     _ = float(acc)
     t0 = time.perf_counter()
     for i in range(1, reps + 1):
-        trs, acc = sweep(jr.fold_in(jr.key(2, impl="rbg"), i), trs)
+        trs, acc = sweep(jr.fold_in(jr.key(2), i), trs)
     _ = float(acc)
     dt = time.perf_counter() - t0
     _log(
