@@ -53,9 +53,11 @@ class NUTS(EditRequest):
     divergence_threshold: float = Pytree.static(default=1000.0)
     inv_mass: Any = None
 
-    def edit(
-        self, key: PRNGKey, tr: Trace, argdiffs: Argdiffs
-    ) -> tuple[Trace, Weight, Retdiff, EditRequest]:
+    def edit_with_info(self, key: PRNGKey, tr: Trace, argdiffs: Argdiffs):
+        """Like ``edit`` but also returns the transition's ``NUTSInfo``
+        (accept statistic, leapfrog count, divergence flag, tree depth) —
+        used by drivers that surface sampler health (``sample_posterior``).
+        """
         if not Diff.static_check_no_change(argdiffs):
             raise NotImplementedError("NUTS requires unchanged arguments.")
         from ...kernels.nuts import nuts_transition
@@ -76,7 +78,7 @@ class NUTS(EditRequest):
             return weight
 
         k_move, k_update = jr.split(key)
-        z_new, _info = nuts_transition(
+        z_new, info = nuts_transition(
             logdensity,
             jax.grad(logdensity),
             z0.astype(jnp.float32),
@@ -90,15 +92,19 @@ class NUTS(EditRequest):
         new_tr, _w, retdiff, _bwd = Update(values).edit(
             k_update, tr, argdiffs
         )
-        return (
-            new_tr,
-            jnp.asarray(0.0),
-            retdiff,
-            NUTS(
-                self.selection,
-                self.eps,
-                self.max_depth,
-                self.divergence_threshold,
-                self.inv_mass,
-            ),
+        bwd = NUTS(
+            self.selection,
+            self.eps,
+            self.max_depth,
+            self.divergence_threshold,
+            self.inv_mass,
         )
+        return new_tr, jnp.asarray(0.0), retdiff, bwd, info
+
+    def edit(
+        self, key: PRNGKey, tr: Trace, argdiffs: Argdiffs
+    ) -> tuple[Trace, Weight, Retdiff, EditRequest]:
+        new_tr, w, retdiff, bwd, _info = self.edit_with_info(
+            key, tr, argdiffs
+        )
+        return new_tr, w, retdiff, bwd

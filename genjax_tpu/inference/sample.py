@@ -27,6 +27,7 @@ import jax.tree_util as jtu
 from jax import lax
 from jax.flatten_util import ravel_pytree
 
+from ..core.diff import Diff
 from ..core.pytree import Pytree
 from ..core.typing_ import PRNGKey
 from ..generative.choice_map import ChoiceMap
@@ -50,6 +51,7 @@ class PosteriorSamples(Pytree):
     rhat: Any
     ess: Any
     accept_rate: Any
+    divergence_rate: Any
     eps: Any
     inv_mass: Any
 
@@ -121,10 +123,20 @@ def sample_posterior(
 
     def transition(k, tr, eps, inv_mass):
         if algorithm == "nuts":
-            new_tr, _w, _rd, _ = tr.edit(k, make_request(eps, inv_mass))
-            return new_tr, jnp.asarray(1.0)  # acceptance is internal
+            req = make_request(eps, inv_mass)
+            nd = Diff.tree_diff_no_change(tr.get_args())
+            new_tr, _w, _rd, _bwd, info = req.edit_with_info(k, tr, nd)
+            # "accept rate" for NUTS is its internal accept statistic;
+            # divergences surface separately
+            return new_tr, (
+                info.accept_prob,
+                jnp.asarray(info.diverged, jnp.float32),
+            )
         new_tr, accepted = mh(k, tr, make_request(eps, inv_mass))
-        return new_tr, jnp.asarray(accepted, jnp.float32)
+        return new_tr, (
+            jnp.asarray(accepted, jnp.float32),
+            jnp.asarray(0.0),
+        )
 
     def ravel_selected(tr):
         from .requests.hmc import grad_tree_unzip
@@ -152,10 +164,10 @@ def sample_posterior(
 
             def step(traces, kk):
                 ks = jr.split(kk, n_chains)
-                traces, accs = jax.vmap(
+                traces, (accs, _divs) = jax.vmap(
                     lambda k, t: transition(k, t, eps, inv_mass),
                     in_axes=(0, -1),
-                    out_axes=(-1, 0),
+                    out_axes=(-1, (0, 0)),
                 )(ks, traces)
                 return traces, jnp.mean(accs)
 
@@ -178,27 +190,32 @@ def sample_posterior(
         def sample_step(traces, kk):
             def inner(traces, k2):
                 ks = jr.split(k2, n_chains)
-                traces, accs = jax.vmap(
+                traces, (accs, divs) = jax.vmap(
                     lambda k, t: transition(k, t, eps, inv_mass),
                     in_axes=(0, -1),
-                    out_axes=(-1, 0),
+                    out_axes=(-1, (0, 0)),
                 )(ks, traces)
-                return traces, jnp.mean(accs)
+                return traces, (jnp.mean(accs), jnp.mean(divs))
 
-            traces, accs = lax.scan(inner, traces, jr.split(kk, thin))
+            traces, (accs, divs) = lax.scan(
+                inner, traces, jr.split(kk, thin)
+            )
             return traces, (
                 jax.vmap(ravel_selected, in_axes=-1)(traces),
                 jnp.mean(accs),
+                jnp.mean(divs),
             )
 
-        traces, (draws, accs) = lax.scan(
+        traces, (draws, accs, divs) = lax.scan(
             sample_step, traces, jr.split(k_run, n_samples)
         )
         # draws: (n_samples, n_chains, d) -> (n_chains, n_samples, d)
         draws = jnp.transpose(draws, (1, 0, 2))
-        return traces, draws, jnp.mean(accs), eps, inv_mass
+        return traces, draws, jnp.mean(accs), jnp.mean(divs), eps, inv_mass
 
-    traces, draws, accept_rate, eps, inv_mass = run(init_keys, k_warm, k_run)
+    traces, draws, accept_rate, divergence_rate, eps, inv_mass = run(
+        init_keys, k_warm, k_run
+    )
 
     # unpack draws back to per-address arrays + diagnostics (host-side
     # bookkeeping over static structure; the heavy reductions stay jitted)
@@ -229,6 +246,7 @@ def sample_posterior(
         rhat=unflatten_axis(rhat_flat),
         ess=unflatten_axis(ess_flat),
         accept_rate=accept_rate,
+        divergence_rate=divergence_rate,
         eps=eps,
         inv_mass=inv_mass,
     )
