@@ -30,6 +30,14 @@ Address: TypeAlias = Any
 StaticAddress: TypeAlias = Union[str, tuple]
 AddressComponent: TypeAlias = Any
 
+#: ``jax.vmap`` in_axes specification (reference typing.py:53).
+InAxes: TypeAlias = Union[int, None, Sequence[Any]]
+
+#: Scalar-shape annotation marker (reference typing.py:61 uses a beartype
+#: validator; without beartype in this image it is documentation-grade
+#: metadata usable with ``Annotated``).
+ScalarShaped = "scalar-shaped"
+
 Callable_: TypeAlias = Callable
 
 

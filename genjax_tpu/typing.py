@@ -5,27 +5,47 @@ internal typing aliases).
 """
 
 from .core.typing_ import (
+    Address,
     AddressComponent,
-    R,
+    Array,
+    ArrayLike,
     BoolArray,
-    FloatArray,
     Flag,
+    FloatArray,
+    InAxes,
     IntArray,
     PRNGKey,
+    R,
     ScalarFlag,
+    ScalarInt,
+    ScalarShaped,
+    StaticAddress,
+    nobeartype,
+    static_check_is_array,
     static_check_is_concrete,
+    static_check_shape_dtype_equivalence,
     static_check_supports_grad,
 )
 
 __all__ = [
+    "Address",
     "AddressComponent",
-    "R",
+    "Array",
+    "ArrayLike",
     "BoolArray",
     "Flag",
     "FloatArray",
+    "InAxes",
     "IntArray",
     "PRNGKey",
+    "R",
     "ScalarFlag",
+    "ScalarInt",
+    "ScalarShaped",
+    "StaticAddress",
+    "nobeartype",
+    "static_check_is_array",
     "static_check_is_concrete",
+    "static_check_shape_dtype_equivalence",
     "static_check_supports_grad",
 ]
