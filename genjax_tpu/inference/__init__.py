@@ -4,10 +4,11 @@ Parity: reference ``/root/reference/src/genjax/_src/inference/`` and the
 facade ``/root/reference/src/genjax/inference/__init__.py``.
 """
 
-from . import adaptation, diagnostics, mcmc, requests, sample, smc, tempered
+from . import adaptation, diagnostics, learning, mcmc, requests, sample, smc, tempered
 from .sp import Algorithm, Marginal, SampleDistribution, Target, marginal
 from .mcmc import MHChainResult, mh, run_chain, run_chains
 from .tempered import TemperedSMCResult, geometric_ladder, tempered_smc
+from .learning import MAPResult, fit_map
 from .sample import PosteriorSamples, sample_posterior
 from .smc import ChangeTarget, Importance, ImportanceK, ParticleCollection, SMCAlgorithm
 
@@ -21,9 +22,12 @@ __all__ = [
     "SMCAlgorithm",
     "SampleDistribution",
     "Target",
+    "MAPResult",
     "MHChainResult",
     "PosteriorSamples",
+    "fit_map",
     "adaptation",
+    "learning",
     "marginal",
     "mh",
     "sample",

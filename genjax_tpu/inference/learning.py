@@ -1,0 +1,112 @@
+"""Gradient-based point estimation over selected choices.
+
+No reference counterpart (the reference ships sampling and VI only).
+``fit_map`` maximizes the model's log-joint over the selected (continuous)
+choices — MAP estimation, or MLE when the selection has a flat prior —
+with optax, reusing the same ravel machinery as the NUTS/HMC requests, so
+it works on any ``@gen`` model through ``assess``. Batched restarts ride
+a vmapped axis; the best restart wins.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+from jax import lax
+from jax.flatten_util import ravel_pytree
+
+from ..core.pytree import Pytree
+from ..core.typing_ import PRNGKey
+from ..generative.choice_map import ChoiceMap
+from ..generative.gfi import GenerativeFunction
+from ..generative.selection import Selection
+from .requests.hmc import grad_tree_unzip, grad_tree_zip
+
+
+@Pytree.dataclass
+class MAPResult(Pytree):
+    """``choices``: the optimized selected choices (a choice-map pytree);
+    ``log_joint``: the achieved log-density; ``trajectory``: per-step
+    best-restart log-joint."""
+
+    choices: Any
+    log_joint: Any
+    trajectory: Any
+
+    def __getitem__(self, addr):
+        from ..generative.mask import Mask
+
+        path = addr if isinstance(addr, tuple) else (addr,)
+        v = self.choices.get_submap(*path).get_value()
+        return v.value if isinstance(v, Mask) else v
+
+
+def fit_map(
+    key: PRNGKey,
+    model: GenerativeFunction,
+    constraint: ChoiceMap,
+    args: tuple,
+    selection: Selection,
+    *,
+    n_steps: int = 300,
+    learning_rate: float = 0.05,
+    n_restarts: int = 8,
+) -> MAPResult:
+    """Maximize ``log p(selection, constraint)`` over the selected choices.
+
+    Initializes ``n_restarts`` points from the prior (vmapped), runs Adam
+    on each, and returns the best. One jitted program.
+    """
+    import optax
+
+    tr, _ = model.generate(key, constraint, args)
+    chm = tr.get_choices()
+    complement = chm.filter(~selection)
+    grad_tree0, nongrad_tree = grad_tree_unzip(chm.filter(selection))
+    _z0, unravel = ravel_pytree(grad_tree0)
+
+    def log_joint(z):
+        zipped = grad_tree_zip(unravel(z), nongrad_tree)
+        full = zipped.merge(complement)
+        w, _ = model.assess(full, args)
+        return w
+
+    opt = optax.adam(learning_rate)
+    neg_val_grad = jax.value_and_grad(lambda z: -log_joint(z))
+
+    @jax.jit
+    def run(key):
+        def init_one(k):
+            t, _ = model.generate(k, constraint, args)
+            g_tree, _ = grad_tree_unzip(t.get_choices().filter(selection))
+            z, _ = ravel_pytree(g_tree)
+            return z.astype(jnp.float32)
+
+        zs = jax.vmap(init_one)(jr.split(key, n_restarts))
+        states = jax.vmap(opt.init)(zs)
+
+        def step(carry, _):
+            zs, states = carry
+
+            def one(z, s):
+                loss, g = neg_val_grad(z)
+                updates, s = opt.update(g, s, z)
+                return optax.apply_updates(z, updates), s, -loss
+
+            zs, states, ljs = jax.vmap(one)(zs, states)
+            return (zs, states), jnp.max(ljs)
+
+        (zs, _), traj = lax.scan(step, (zs, states), None, length=n_steps)
+        ljs = jax.vmap(log_joint)(zs)
+        best = jnp.argmax(ljs)
+        return zs[best], ljs[best], traj
+
+    z_best, lj, traj = run(key)
+    return MAPResult(
+        choices=grad_tree_zip(unravel(z_best), nongrad_tree),
+        log_joint=lj,
+        trajectory=traj,
+    )
