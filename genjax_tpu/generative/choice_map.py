@@ -171,6 +171,15 @@ class ChoiceMap(Pytree):
                 chm = chm.get_inner_map(comp)
         return chm
 
+    def filter_eager(self, selection: Selection) -> "ChoiceMap":
+        """Eagerly prune to the entries covered by ``selection``: unlike
+        the lazy ``filter`` wrapper, statically-unselected subtrees are
+        REMOVED from the result's structure (dynamically-conditioned parts
+        stay as masked entries). Used where the result's *leaf set* is
+        load-bearing — raveling a selection to a flat parameter vector
+        (HMC/NUTS/fit_map) must not carry inert unselected leaves."""
+        return _invalid_extras(self, ~selection)
+
     def filter(self, selection: Selection | Flag) -> "ChoiceMap":
         if not isinstance(selection, Selection):
             return self.mask(selection)

@@ -65,7 +65,7 @@ def fit_map(
     tr, _ = model.generate(key, constraint, args)
     chm = tr.get_choices()
     complement = chm.filter(~selection)
-    grad_tree0, nongrad_tree = grad_tree_unzip(chm.filter(selection))
+    grad_tree0, nongrad_tree = grad_tree_unzip(chm.filter_eager(selection))
     _z0, unravel = ravel_pytree(grad_tree0)
 
     def log_joint(z):
@@ -81,7 +81,7 @@ def fit_map(
     def run(key):
         def init_one(k):
             t, _ = model.generate(k, constraint, args)
-            g_tree, _ = grad_tree_unzip(t.get_choices().filter(selection))
+            g_tree, _ = grad_tree_unzip(t.get_choices().filter_eager(selection))
             z, _ = ravel_pytree(g_tree)
             return z.astype(jnp.float32)
 
@@ -109,4 +109,66 @@ def fit_map(
         choices=grad_tree_zip(unravel(z_best), nongrad_tree),
         log_joint=lj,
         trajectory=traj,
+    )
+
+
+@Pytree.dataclass
+class LaplaceResult(Pytree):
+    """Gaussian posterior approximation at the MAP point: ``mean``/``cov``
+    over the raveled selection (``unpack`` maps a raveled vector back to
+    the selection's choice-map structure), plus the Laplace evidence
+    estimate ``log_marginal`` = log p(y, ẑ) + d/2·log 2π − ½·log|H|."""
+
+    map_result: MAPResult
+    mean: Any
+    cov: Any
+    log_marginal: Any
+
+    def unpack(self, z):
+        from ..generative.mask import Mask
+
+        tree = self.map_result.choices
+        # rebuild through the same ravel structure
+        flat, unravel = ravel_pytree(tree)
+        del flat
+        return unravel(z)
+
+
+def laplace_approximation(
+    key: PRNGKey,
+    model: GenerativeFunction,
+    constraint: ChoiceMap,
+    args: tuple,
+    selection: Selection,
+    **fit_kwargs,
+) -> LaplaceResult:
+    """MAP + Gaussian curvature: fit the mode with ``fit_map``, then invert
+    the negative Hessian of the log-joint at the mode for the approximate
+    posterior covariance and the Laplace evidence estimate. Exact for
+    Gaussian posteriors; the standard fast approximation elsewhere."""
+    res = fit_map(key, model, constraint, args, selection, **fit_kwargs)
+
+    tr, _ = model.generate(key, constraint, args)
+    chm = tr.get_choices()
+    complement = chm.filter(~selection)
+    _g0, nongrad_tree = grad_tree_unzip(chm.filter_eager(selection))
+    z_hat, unravel = ravel_pytree(
+        grad_tree_unzip(res.choices)[0]
+    )
+
+    def log_joint(z):
+        zipped = grad_tree_zip(unravel(z), nongrad_tree)
+        w, _ = model.assess(zipped.merge(complement), args)
+        return w
+
+    h = jax.hessian(log_joint)(z_hat)
+    prec = -h
+    cov = jnp.linalg.inv(prec)
+    d = z_hat.shape[0]
+    sign, logdet = jnp.linalg.slogdet(prec)
+    log_marginal = (
+        res.log_joint + 0.5 * d * jnp.log(2.0 * jnp.pi) - 0.5 * logdet
+    )
+    return LaplaceResult(
+        map_result=res, mean=z_hat, cov=cov, log_marginal=log_marginal
     )

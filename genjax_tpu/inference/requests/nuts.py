@@ -64,7 +64,7 @@ class NUTS(EditRequest):
 
         chm = tr.get_choices()
         complement = chm.filter(~self.selection)
-        filtered = chm.filter(self.selection)
+        filtered = chm.filter_eager(self.selection)
         grad_tree, nongrad_tree = grad_tree_unzip(filtered)
         gen_fn = tr.get_gen_fn()
         primal_args = Diff.tree_primal(argdiffs)

@@ -141,7 +141,9 @@ def sample_posterior(
     def ravel_selected(tr):
         from .requests.hmc import grad_tree_unzip
 
-        grad_tree, _ = grad_tree_unzip(tr.get_choices().filter(selection))
+        grad_tree, _ = grad_tree_unzip(
+            tr.get_choices().filter_eager(selection)
+        )
         flat, _ = ravel_pytree(grad_tree)
         return flat
 
@@ -222,7 +224,9 @@ def sample_posterior(
     template = jtu.tree_map(lambda l: l[..., 0], traces)
     from .requests.hmc import grad_tree_unzip
 
-    grad_tree, _ = grad_tree_unzip(template.get_choices().filter(selection))
+    grad_tree, _ = grad_tree_unzip(
+        template.get_choices().filter_eager(selection)
+    )
     _flat0, unravel = ravel_pytree(grad_tree)
 
     @jax.jit

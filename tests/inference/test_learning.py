@@ -52,6 +52,40 @@ class TestFitMAP:
         # gaussian posterior: mode == mean
         assert jnp.allclose(res["w"], post_mean, atol=0.01)
 
+    def test_laplace_exact_on_gaussian_posterior(self):
+        """Laplace is exact for Gaussian posteriors: mean, covariance, AND
+        the evidence all match the conjugate closed forms (the evidence
+        also cross-checks against the Kalman-style marginal)."""
+        import numpy as np
+
+        from genjax_tpu.inference.learning import laplace_approximation
+        from genjax_tpu.models import linear_regression
+
+        N, D = 20, 3
+        rng = np.random.default_rng(1)
+        X = rng.normal(size=(N, D)).astype(np.float32)
+        y = (X @ np.asarray([1.0, -1.0, 0.5]) + 0.25 * rng.normal(size=N)).astype(
+            np.float32
+        )
+        model, exact_posterior = linear_regression(X)
+        post_mean, post_cov = exact_posterior(jnp.asarray(y))
+
+        lap = laplace_approximation(
+            KEY, model, g.C["y"].set(jnp.asarray(y)), (), g.S["w"],
+            n_steps=400, learning_rate=0.05,
+        )
+        assert jnp.allclose(lap.mean, post_mean, atol=0.01)
+        assert jnp.allclose(lap.cov, post_cov, atol=1e-3)
+        # exact evidence: y ~ N(0, sigma^2 I + X X^T)
+        S = 0.25**2 * jnp.eye(N) + X @ X.T
+        sign, logdet = jnp.linalg.slogdet(2 * jnp.pi * S)
+        exact_lml = -0.5 * (
+            logdet + jnp.asarray(y) @ jnp.linalg.solve(S, jnp.asarray(y))
+        )
+        assert float(lap.log_marginal) == pytest.approx(
+            float(exact_lml), abs=0.01
+        )
+
     def test_restarts_escape_bad_inits(self):
         # bimodal: mu^2 observed; restarts find one of the modes ±2
         @g.gen
