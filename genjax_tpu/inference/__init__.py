@@ -8,7 +8,7 @@ from . import adaptation, diagnostics, learning, mcmc, requests, sample, smc, te
 from .sp import Algorithm, Marginal, SampleDistribution, Target, marginal
 from .mcmc import MHChainResult, mh, run_chain, run_chains
 from .tempered import TemperedSMCResult, geometric_ladder, tempered_smc
-from .learning import MAPResult, fit_map
+from .learning import LaplaceResult, MAPResult, fit_map, laplace_approximation
 from .sample import PosteriorSamples, sample_posterior
 from .smc import ChangeTarget, Importance, ImportanceK, ParticleCollection, SMCAlgorithm
 
@@ -22,10 +22,12 @@ __all__ = [
     "SMCAlgorithm",
     "SampleDistribution",
     "Target",
+    "LaplaceResult",
     "MAPResult",
     "MHChainResult",
     "PosteriorSamples",
     "fit_map",
+    "laplace_approximation",
     "adaptation",
     "learning",
     "marginal",
