@@ -22,7 +22,6 @@ transformed program is one XLA computation.
 from __future__ import annotations
 
 import abc
-import functools
 from typing import Any, Callable
 
 import jax

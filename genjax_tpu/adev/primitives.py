@@ -12,7 +12,7 @@ Parity: reference ``/root/reference/src/genjax/_src/adev/primitives.py``
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

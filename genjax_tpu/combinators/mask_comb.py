@@ -16,7 +16,6 @@ from __future__ import annotations
 from typing import Any
 
 import jax.numpy as jnp
-import jax.tree_util as jtu
 
 from ..core.diff import Diff
 from ..core.pytree import Pytree

@@ -16,7 +16,6 @@ from __future__ import annotations
 
 from typing import Any
 
-import jax.numpy as jnp
 
 from ..core.diff import Diff, NoChange
 from ..core.pytree import Pytree

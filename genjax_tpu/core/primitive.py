@@ -9,7 +9,7 @@ initial_style_primitive.py`` (``InitialStylePrimitive`` :31,
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.tree_util as jtu

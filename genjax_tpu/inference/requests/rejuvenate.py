@@ -8,7 +8,7 @@ trace, score the backward move :45-94.
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Callable
 
 import jax.random as jr
 

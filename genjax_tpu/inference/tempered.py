@@ -14,7 +14,7 @@ resampling uses the gather-free counts+repeat path.
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -29,9 +29,7 @@ from ..generative.choice_map import ChoiceMap
 from ..generative.concepts import EditRequest
 from ..generative.gfi import GenerativeFunction
 from ..generative.selection import Selection
-from ..inference.mcmc import mh
 from ..parallel.resampling import effective_sample_size, resample_particles
-from .sp import Target
 
 
 @Pytree.dataclass

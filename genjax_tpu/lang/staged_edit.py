@@ -43,12 +43,7 @@ from jax.extend.core import Literal, Primitive
 from ..core.diff import Diff, NoChange, UnknownChange
 from ..core.handlers import AddressReuse, TraceHandler, handle
 from ..core.staging import cached_stage_dynamic
-from ..generative.concepts import (
-    EditRequest,
-    EmptyRequest,
-    Regenerate,
-    Update,
-)
+from ..generative.concepts import EditRequest, EmptyRequest
 
 # ----------------------------------------------------------------------
 # the addressed-call primitive

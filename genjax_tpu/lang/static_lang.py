@@ -34,7 +34,7 @@ from ..core.handlers import (
 )
 from ..core.pytree import Closure, Pytree
 from ..core.typing_ import PRNGKey
-from ..generative.choice_map import ChoiceMap, StaticChm
+from ..generative.choice_map import ChoiceMap
 from ..generative.concepts import (
     EditRequest,
     EmptyRequest,

@@ -4,7 +4,6 @@ hierarchical regression via NUTS, 1k-64k parallel chains")."""
 from __future__ import annotations
 
 import jax.numpy as jnp
-import numpy as np
 
 from ..lang.static_lang import gen
 

@@ -22,7 +22,7 @@ from ..core.pytree import Pytree
 from ..core.typing_ import PRNGKey
 from ..generative.concepts import EditRequest
 from ..generative.selection import Selection
-from ..inference.mcmc import MHChainResult, mh
+from ..inference.mcmc import MHChainResult
 
 
 def run_chains_sharded(

@@ -10,7 +10,6 @@ log-normalizers, and resampling use XLA collectives inside one jitted
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any
 
 import jax
@@ -25,7 +24,6 @@ from ..core.pytree import Pytree
 from ..core.typing_ import PRNGKey
 from ..generative.choice_map import ChoiceMap
 from ..generative.gfi import GenerativeFunction
-from ..inference.smc import ParticleCollection
 from .resampling import (
     collective_resample,
     effective_sample_size,
