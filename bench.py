@@ -201,12 +201,16 @@ def bench_hmc():
 
 
 def bench_nuts():
-    """Fused column NUTS at 64k chains on the same flagship model."""
-    from genjax_tpu.kernels.nuts import nuts_sweep_cols
+    """Fused column NUTS at 64k chains on the flagship model, run the way
+    production runs it: windowed warmup adapts the step size and diagonal
+    mass first, so trajectories terminate by U-turn instead of exhausting
+    the depth budget at an unadapted tiny eps."""
+    from genjax_tpu.kernels.nuts import nuts_sweep_cols, warmup_column_nuts
 
     n_chains = int(os.environ.get("BENCH_CHAINS", 65536))
     n_steps = int(os.environ.get("BENCH_NUTS_STEPS", 10))
     reps = int(os.environ.get("BENCH_NUTS_REPS", 5))
+    max_depth = int(os.environ.get("BENCH_NUTS_DEPTH", 8))
     regression, obs, packer, ld = _regression_setup()
 
     def init_one(k):
@@ -217,16 +221,26 @@ def bench_nuts():
     def init(key):
         return jax.vmap(init_one, out_axes=1)(jr.split(key, n_chains))
 
+    q = init(jr.key(3))
+    t_w = time.perf_counter()
+    q, eps, inv_mass = warmup_column_nuts(
+        ld, q, 11, eps0=0.1, max_depth=max_depth
+    )
+    _log(
+        f"# nuts: warmup adapted eps={eps:.4f} in "
+        f"{time.perf_counter()-t_w:.1f}s"
+    )
+
     sweep = jax.jit(
         lambda q, s: nuts_sweep_cols(
-            ld, q, s, n_steps=n_steps, eps=0.02, max_depth=8
+            ld, q, s, n_steps=n_steps, eps=eps, max_depth=max_depth,
+            inv_mass=inv_mass,
         )
     )
-    q = init(jr.key(3))
     t_w = time.perf_counter()
     q, acc, leaps = sweep(q, 0)
     _ = float(acc)
-    _log(f"# nuts: warmup synced {time.perf_counter()-t_w:.1f}s")
+    _log(f"# nuts: sweep compiled+synced {time.perf_counter()-t_w:.1f}s")
     t0 = time.perf_counter()
     for i in range(1, reps + 1):
         q, acc, leaps = sweep(q, i)

@@ -179,10 +179,10 @@ def column_nuts(
         jr.split(jr.fold_in(jr.key(seed), 0xC0FFEE), n_chains)
     )
     if warmup:
-        from .hmc import warmup_column
+        from .nuts import warmup_column_nuts
 
-        q0, eps, inv_mass = warmup_column(
-            logdensity_cols, q0, seed, eps0=eps
+        q0, eps, inv_mass = warmup_column_nuts(
+            logdensity_cols, q0, seed, eps0=eps, max_depth=max_depth
         )
     q, accept, leaps = nuts_sweep_cols(
         logdensity_cols, q0, seed, n_steps=n_steps, eps=eps,

@@ -154,6 +154,9 @@ def nuts_transition(
             ckz = save(s.ckpt_z, z_new)
             ckr = save(s.ckpt_r, r_new)
             energy = -logdensity(z_new) + kinetic(r_new)
+            # an overflowed/NaN leapfrog state is a divergence, not a NaN
+            # that poisons the accept statistic and trajectory weights
+            energy = jnp.where(jnp.isnan(energy), jnp.inf, energy)
             lw_leaf = -energy
             diverged = jnp.logical_and(
                 active, energy - energy0 > divergence_threshold
@@ -270,6 +273,46 @@ def nuts_transition(
         depth=t.depth,
     )
     return t.z_prop, info
+
+
+def warmup_column_nuts(
+    logdensity_cols: Callable,
+    q0,
+    seed: int,
+    *,
+    n_phases: int = 10,
+    steps_per_phase: int = 10,
+    eps0: float = 0.1,
+    max_depth: int = 8,
+    target_accept: float = 0.8,
+):
+    """Windowed warmup driven by NUTS's OWN accept statistic (the unified
+    adaptation interface, ``inference.adaptation``): per phase, run a short
+    NUTS sweep, nudge the step size toward ``target_accept``, re-estimate
+    the diagonal inverse mass from cross-chain variance. One compiled
+    ``lax.scan``. HMC-driven warmup (``hmc.warmup_column``) over-shrinks
+    eps for NUTS — its L-step accept rate saturates near 1 where NUTS's
+    trajectory-averaged statistic sits at the target.
+
+    Returns ``(q, eps, inv_mass)``.
+    """
+    from ..inference.adaptation import windowed_warmup
+
+    def sweep(q, idx, eps, inv_mass):
+        q, acc, _leaps = nuts_sweep_cols(
+            logdensity_cols, q, seed * 1000 + idx,
+            n_steps=steps_per_phase, eps=eps, max_depth=max_depth,
+            inv_mass=inv_mass,
+        )
+        return q, acc
+
+    q, eps, inv_mass, _accs = jax.jit(
+        lambda q0: windowed_warmup(
+            sweep, q0.astype(jnp.float32),
+            n_windows=n_phases, eps0=eps0, target_accept=target_accept,
+        )
+    )(q0)
+    return q, float(eps), inv_mass
 
 
 def nuts_sweep_cols(
