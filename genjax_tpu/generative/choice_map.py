@@ -78,6 +78,10 @@ def _slice_leaves(chm: "ChoiceMap", i) -> "ChoiceMap":
 
     def ix(leaf):
         if _is_dynamic(leaf) and jnp.ndim(leaf) >= 1:
+            if isinstance(leaf, np.ndarray) and _is_dynamic(i):
+                # host-numpy leaves (the recommended carrier for TPU model
+                # constants) cannot be indexed by a tracer directly
+                return jnp.asarray(leaf)[i]
             return leaf[i]
         return leaf
 

@@ -19,7 +19,6 @@ from __future__ import annotations
 
 from typing import Any
 
-import jax
 import jax.numpy as jnp
 import jax.random as jr
 from jax.flatten_util import ravel_pytree
@@ -80,7 +79,6 @@ class NUTS(EditRequest):
         k_move, k_update = jr.split(key)
         z_new, info = nuts_transition(
             logdensity,
-            jax.grad(logdensity),
             z0.astype(jnp.float32),
             k_move,
             self.eps,

@@ -116,44 +116,45 @@ def _hmc_kernel(
     mom_std = jnp.sqrt(1.0 / inv_mass)
     consts = [ref[:] for ref in const_refs]
 
-    def logp_cols(q):
-        return logdensity_cols(q, *consts)  # (NB,)
-
-    def grad_cols(q):
-        return jax.grad(lambda qq: jnp.sum(logdensity_cols(qq, *consts)))(q)
+    def lp_g(q):
+        # per-chain log-density and its gradient in one fwd+bwd pass
+        lp, pullback = jax.vjp(lambda qq: logdensity_cols(qq, *consts), q)
+        (g,) = pullback(jnp.ones_like(lp))
+        return lp, g
 
     def kinetic(p):
         return 0.5 * jnp.sum(inv_mass * p * p, axis=0)
 
-    def mh_step(i, q):
+    def mh_step(i, carry):
+        q, lp, g = carry
         salt = i * 4
         p = mom_std * _normal(rand_bits, shape, salt)
-        lp0 = logp_cols(q)
         ke0 = kinetic(p)
 
-        # leapfrog: half kick, L-1 (drift, kick), final drift + half kick
-        g = grad_cols(q)
-
-        def leap(_, carry):
-            q, p, g = carry
+        # leapfrog with the carried gradient: L evaluations per MH step
+        def leap(_, c):
+            q, p, g, lp = c
             p = p + (eps / 2.0) * g
             q = q + eps * inv_mass * p
-            g = grad_cols(q)
+            lp, g = lp_g(q)
             p = p + (eps / 2.0) * g
-            return (q, p, g)
+            return (q, p, g, lp)
 
-        q_new, p_new, _ = jax.lax.fori_loop(0, L, leap, (q, p, g))
+        q_new, p_new, g_new, lp_new = jax.lax.fori_loop(
+            0, L, leap, (q, p, g, lp)
+        )
 
-        lp1 = logp_cols(q_new)
-        ke1 = kinetic(p_new)
-        log_alpha = (lp1 - ke1) - (lp0 - ke0)
+        log_alpha = (lp_new - kinetic(p_new)) - (lp - ke0)
         u = _uniform_01(rand_bits, (1, shape[1]), salt + 2)[0]
         accept = jnp.log(u) < log_alpha  # (NB,)
         q = jnp.where(accept[None, :], q_new, q)
+        lp = jnp.where(accept, lp_new, lp)
+        g = jnp.where(accept[None, :], g_new, g)
         accept_ref[0, :] += accept.astype(jnp.float32)
-        return q
+        return (q, lp, g)
 
-    q_final = jax.lax.fori_loop(0, n_steps, mh_step, q0)
+    lp0, g0 = lp_g(q0)
+    q_final, _, _ = jax.lax.fori_loop(0, n_steps, mh_step, (q0, lp0, g0))
     out_q_ref[:] = q_final
 
 
@@ -310,35 +311,48 @@ def _reference_hmc(
     else:
         inv_mass = jnp.reshape(jnp.asarray(inv_mass, jnp.float32), (d, 1))
     mom_std = 1.0 / jnp.sqrt(inv_mass)
-    grad_cols = jax.grad(lambda q: jnp.sum(logdensity_cols(q)))
+    # One vjp per evaluation yields the per-chain log-density primal AND
+    # its gradient in a single forward+backward pass; carrying (lp, grad)
+    # across MH steps then makes a sweep cost exactly L evaluations per
+    # step — the standalone lp0/lp1 passes of the textbook formulation
+    # fold away (the cotangent is all-ones because chains are independent:
+    # column j of the gradient is d lp[j] / d q[:, j])
+    def lp_g(q):
+        lp, pullback = jax.vjp(logdensity_cols, q)
+        (g,) = pullback(jnp.ones_like(lp))
+        return lp, g
 
     def kinetic(p):
         return 0.5 * jnp.sum(inv_mass * p * p, axis=0)
 
     def mh_step(carry, key):
-        q, acc = carry
+        q, lp, g, acc = carry
         kp, ku = jr.split(key)
         p = mom_std * jr.normal(kp, (d, n))
-        lp0 = logdensity_cols(q)
         ke0 = kinetic(p)
-        g = grad_cols(q)
 
         def leap(_, c):
-            q, p, g = c
+            q, p, g, lp = c
             p = p + (eps / 2.0) * g
             q = q + eps * inv_mass * p
-            g = grad_cols(q)
+            lp, g = lp_g(q)
             p = p + (eps / 2.0) * g
-            return (q, p, g)
+            return (q, p, g, lp)
 
-        q_new, p_new, _ = jax.lax.fori_loop(0, L, leap, (q, p, g))
-        log_alpha = (logdensity_cols(q_new) - kinetic(p_new)) - (lp0 - ke0)
+        q_new, p_new, g_new, lp_new = jax.lax.fori_loop(
+            0, L, leap, (q, p, g, lp)
+        )
+        log_alpha = (lp_new - kinetic(p_new)) - (lp - ke0)
         accept = jnp.log(jr.uniform(ku, (n,))) < log_alpha
         q = jnp.where(accept[None, :], q_new, q)
-        return (q, acc + jnp.mean(accept.astype(jnp.float32))), None
+        lp = jnp.where(accept, lp_new, lp)
+        g = jnp.where(accept[None, :], g_new, g)
+        return (q, lp, g, acc + jnp.mean(accept.astype(jnp.float32))), None
 
     keys = jr.split(jr.key(seed, impl=rng_impl), n_steps)
-    (q, acc), _ = jax.lax.scan(mh_step, (q0.astype(jnp.float32), 0.0), keys)
+    q0 = q0.astype(jnp.float32)
+    lp0, g0 = lp_g(q0)
+    (q, _, _, acc), _ = jax.lax.scan(mh_step, (q0, lp0, g0, 0.0), keys)
     return q, acc / n_steps
 
 

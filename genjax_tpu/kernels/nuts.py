@@ -47,7 +47,6 @@ def _uturn(z_from, r_from, z_to, r_to, inv_mass=1.0):
 
 def nuts_transition(
     logdensity: Callable,
-    grad_logdensity: Callable,
     z0,
     key,
     eps,
@@ -58,8 +57,11 @@ def nuts_transition(
     """One NUTS transition for a single chain (vmap over chains).
 
     Args:
-        logdensity: ``(D,) -> scalar``.
-        grad_logdensity: its gradient.
+        logdensity: ``(D,) -> scalar``; its gradient is taken internally
+            with ``jax.value_and_grad`` so every leapfrog leaf costs ONE
+            forward+backward evaluation (the density primal needed for the
+            trajectory weight rides the gradient pass, and the gradient at
+            each trajectory endpoint is carried instead of recomputed).
         z0: current position ``(D,)``.
 
     Returns ``(z_new, NUTSInfo)``.
@@ -68,29 +70,24 @@ def nuts_transition(
     if inv_mass is None:
         inv_mass = jnp.ones((d,), jnp.float32)
     mom_std = 1.0 / jnp.sqrt(inv_mass)
+    vg = jax.value_and_grad(logdensity)
     kr, kd, ku = jr.split(key, 3)
     r0 = mom_std * jr.normal(kr, (d,))
 
     def kinetic(r):
         return 0.5 * jnp.dot(inv_mass * r, r)
 
-    energy0 = -logdensity(z0) + kinetic(r0)
-
-    def leapfrog(z, r, direction):
-        e = eps * direction
-        g = grad_logdensity(z)
-        r = r + 0.5 * e * g
-        z = z + e * inv_mass * r
-        g = grad_logdensity(z)
-        r = r + 0.5 * e * g
-        return z, r
+    ld0, g0 = vg(z0)
+    energy0 = -ld0 + kinetic(r0)
 
     # trajectory state
     class T(NamedTuple):
         z_minus: jnp.ndarray
         r_minus: jnp.ndarray
+        g_minus: jnp.ndarray  # cached gradient at the backward end
         z_plus: jnp.ndarray
         r_plus: jnp.ndarray
+        g_plus: jnp.ndarray  # cached gradient at the forward end
         z_prop: jnp.ndarray
         lw_traj: jnp.ndarray  # log sum of exp(-energy) over trajectory
         turning: jnp.ndarray
@@ -101,7 +98,7 @@ def nuts_transition(
         depth: jnp.ndarray  # doublings completed before termination
 
     t0 = T(
-        z0, r0, z0, r0, z0, -energy0,
+        z0, r0, g0, z0, r0, g0, z0, -energy0,
         jnp.asarray(False), jnp.asarray(False), jnp.asarray(0),
         jnp.asarray(0.0), jnp.asarray(0.0), jnp.asarray(0),
     )
@@ -114,6 +111,7 @@ def nuts_transition(
         z_start = jnp.where(direction > 0, 0.0, 1.0)
         z_cur = t.z_plus * z_end + t.z_minus * z_start
         r_cur = t.r_plus * z_end + t.r_minus * z_start
+        g_cur = t.g_plus * z_end + t.g_minus * z_start
 
         # checkpoint stack: level k holds (z, r) of the start of the open
         # subtree of size 2^(k+1)
@@ -123,6 +121,7 @@ def nuts_transition(
         class S(NamedTuple):
             z: jnp.ndarray
             r: jnp.ndarray
+            g: jnp.ndarray  # gradient at z (cached from its evaluation)
             ckpt_z: jnp.ndarray
             ckpt_r: jnp.ndarray
             z_prop: jnp.ndarray
@@ -138,7 +137,12 @@ def nuts_transition(
                 jnp.logical_not(jnp.logical_or(s.turning, s.diverged)),
             )
 
-            z_new, r_new = leapfrog(s.z, s.r, direction)
+            # leapfrog off the cached gradient: one value_and_grad per leaf
+            e = eps * direction
+            r_half = s.r + 0.5 * e * s.g
+            z_new = s.z + e * inv_mass * r_half
+            ld_new, g_new = vg(z_new)
+            r_new = r_half + 0.5 * e * g_new
 
             # save checkpoints: the POST-leapfrog state (node i) opens the
             # level-k subtree when i % 2^(k+1) == 0, so the close-check at
@@ -153,7 +157,7 @@ def nuts_transition(
 
             ckz = save(s.ckpt_z, z_new)
             ckr = save(s.ckpt_r, r_new)
-            energy = -logdensity(z_new) + kinetic(r_new)
+            energy = -ld_new + kinetic(r_new)
             # an overflowed/NaN leapfrog state is a divergence, not a NaN
             # that poisons the accept statistic and trajectory weights
             energy = jnp.where(jnp.isnan(energy), jnp.inf, energy)
@@ -193,6 +197,7 @@ def nuts_transition(
             return S(
                 jnp.where(active, z_new, s.z),
                 jnp.where(active, r_new, s.r),
+                jnp.where(active, g_new, s.g),
                 ckz,
                 ckr,
                 z_prop,
@@ -204,7 +209,7 @@ def nuts_transition(
             )
 
         s0 = S(
-            z_cur, r_cur, ckpt_z, ckpt_r, z_cur,
+            z_cur, r_cur, g_cur, ckpt_z, ckpt_r, z_cur,
             -jnp.inf, jnp.asarray(False), jnp.asarray(False),
             t.sum_accept, t.sum_count,
         )
@@ -233,17 +238,17 @@ def nuts_transition(
             t.lw_traj,
         )
 
-        # update the moving end
+        # update the moving end (with its cached gradient)
         fwd = direction > 0
         upd = jnp.logical_and(jnp.logical_not(done), sub_ok)
-        z_plus = jnp.where(jnp.logical_and(upd, fwd), s.z, t.z_plus)
-        r_plus = jnp.where(jnp.logical_and(upd, fwd), s.r, t.r_plus)
-        z_minus = jnp.where(
-            jnp.logical_and(upd, jnp.logical_not(fwd)), s.z, t.z_minus
-        )
-        r_minus = jnp.where(
-            jnp.logical_and(upd, jnp.logical_not(fwd)), s.r, t.r_minus
-        )
+        upd_f = jnp.logical_and(upd, fwd)
+        upd_b = jnp.logical_and(upd, jnp.logical_not(fwd))
+        z_plus = jnp.where(upd_f, s.z, t.z_plus)
+        r_plus = jnp.where(upd_f, s.r, t.r_plus)
+        g_plus = jnp.where(upd_f, s.g, t.g_plus)
+        z_minus = jnp.where(upd_b, s.z, t.z_minus)
+        r_minus = jnp.where(upd_b, s.r, t.r_minus)
+        g_minus = jnp.where(upd_b, s.g, t.g_minus)
 
         # global U-turn across the whole trajectory
         global_turn = _uturn(z_minus, r_minus, z_plus, r_plus, inv_mass)
@@ -254,7 +259,7 @@ def nuts_transition(
         )
         n_leap = t.n_leap + jnp.where(done, 0, 1 << j)
         t_new = T(
-            z_minus, r_minus, z_plus, r_plus, z_prop, lw_traj,
+            z_minus, r_minus, g_minus, z_plus, r_plus, g_plus, z_prop, lw_traj,
             jnp.logical_or(t.turning, s.turning),
             jnp.logical_or(t.diverged, s.diverged),
             n_leap,
@@ -335,14 +340,12 @@ def nuts_sweep_cols(
     def ld_one(z):
         return logdensity_cols(z[:, None])[0]
 
-    grad_one = jax.grad(ld_one)
-
     def step(q, key):
         keys = jr.split(key, n)
 
         def one(k, z):
             return nuts_transition(
-                ld_one, grad_one, z, k, eps, max_depth=max_depth,
+                ld_one, z, k, eps, max_depth=max_depth,
                 inv_mass=inv_mass,
             )
 

@@ -232,3 +232,22 @@ def test_property_or_priority(left, right):
     for k in set(left) | set(right):
         expected = left.get(k, right.get(k))
         assert chm[k] == pytest.approx(expected)
+
+
+def test_indexed_numpy_leaf_traced_index():
+    """Dense indexed constraints built from host-numpy arrays (the
+    recommended carrier for TPU model constants) must support traced-index
+    lookup — numpy leaves cannot be indexed by a tracer directly, so
+    _slice_leaves converts them (regression: verify-drive find)."""
+    import numpy as np
+
+    ys = np.arange(8.0, dtype=np.float32)
+    chm = C[:, "y"].set(ys)
+
+    @jax.jit
+    def read(i):
+        v = chm.get_submap(i, "y").get_value()
+        return v.value if isinstance(v, Mask) else v
+
+    assert read(3) == 3.0
+    assert read(7) == 7.0
