@@ -113,10 +113,16 @@ def nuts_transition(
         r_cur = t.r_plus * z_end + t.r_minus * z_start
         g_cur = t.g_plus * z_end + t.g_minus * z_start
 
-        # checkpoint stack: level k holds (z, r) of the start of the open
-        # subtree of size 2^(k+1)
-        ckpt_z = jnp.zeros((max_depth, d))
-        ckpt_r = jnp.zeros((max_depth, d))
+        # Checkpoint STACK (Phan et al. 2019 iterative scheme): node i is
+        # pushed at slot popcount(i); the openers of every balanced
+        # subtree closing at leaf i are exactly the top ntz(i+1) stack
+        # entries, slots [popcount(i)-ntz(i+1), popcount(i)-1]. One
+        # dynamic row write + ~1 row read per leaf, instead of a masked
+        # full-buffer update per level — the buffer traffic, not the
+        # density evaluations, bounds NUTS throughput at 64k chains.
+        # Row max_depth is a scratch slot for masked-out writes.
+        ckpt_z = jnp.zeros((max_depth + 1, d))
+        ckpt_r = jnp.zeros((max_depth + 1, d))
 
         class S(NamedTuple):
             z: jnp.ndarray
@@ -144,19 +150,18 @@ def nuts_transition(
             ld_new, g_new = vg(z_new)
             r_new = r_half + 0.5 * e * g_new
 
-            # save checkpoints: the POST-leapfrog state (node i) opens the
-            # level-k subtree when i % 2^(k+1) == 0, so the close-check at
-            # leaf b compares node_b against node_a — not node_{a-1}
-            # (off-by-one would break NUTS's reversal symmetry)
-            def save(ck, val):
-                def body(k, ck):
-                    cond = jnp.logical_and(active, (i % (1 << (k + 1))) == 0)
-                    return ck.at[k].set(jnp.where(cond, val, ck[k]))
-
-                return lax.fori_loop(0, max_depth, body, ck)
-
-            ckz = save(s.ckpt_z, z_new)
-            ckr = save(s.ckpt_r, r_new)
+            # push the POST-leapfrog state (node i) at stack slot
+            # popcount(i). The write is unconditional: the slot is uniform
+            # across vmapped lanes (a function of the loop index only — a
+            # per-lane slot would lower to an element-serial scatter), and
+            # pushes from inactive/odd-i lanes are harmless — inactive
+            # lanes never read again this subtree, and an odd node's
+            # spurious push is overwritten before any read (nodes between
+            # an opener and its close carry the opener's bits plus extra,
+            # so their popcount exceeds the opener's slot).
+            bc = lax.population_count(i)
+            ckz = lax.dynamic_update_index_in_dim(s.ckpt_z, z_new, bc, 0)
+            ckr = lax.dynamic_update_index_in_dim(s.ckpt_r, r_new, bc, 0)
             energy = -ld_new + kinetic(r_new)
             # an overflowed/NaN leapfrog state is a divergence, not a NaN
             # that poisons the accept statistic and trajectory weights
@@ -178,21 +183,25 @@ def nuts_transition(
             sum_accept = s.sum_accept + jnp.where(active, acc, 0.0)
             sum_count = s.sum_count + jnp.where(active, 1.0, 0.0)
 
-            # U-turn checks against every checkpoint whose subtree closes at
-            # i. Backward integration produces forward-convention momenta, so
-            # only the displacement is direction-sensitive.
-            def check(k, turning):
-                closes = ((i + 1) % (1 << (k + 1))) == 0
-                dz = direction * (z_new - ckz[k])
+            # U-turn checks against the top ntz(i+1) stack entries — the
+            # openers of every subtree closing at i. Backward integration
+            # produces forward-convention momenta, so only the displacement
+            # is direction-sensitive.
+            ip1 = i + 1
+            ntz1 = lax.population_count((ip1 & -ip1) - 1)
+
+            def check(j_off, turning):
+                slot_j = bc - 1 - j_off
+                cz = lax.dynamic_index_in_dim(ckz, slot_j, 0, keepdims=False)
+                cr = lax.dynamic_index_in_dim(ckr, slot_j, 0, keepdims=False)
+                dz = direction * (z_new - cz)
                 ut = jnp.logical_or(
-                    jnp.dot(dz, inv_mass * ckr[k]) < 0.0,
+                    jnp.dot(dz, inv_mass * cr) < 0.0,
                     jnp.dot(dz, inv_mass * r_new) < 0.0,
                 )
-                return jnp.logical_or(
-                    turning, jnp.logical_and(jnp.logical_and(active, closes), ut)
-                )
+                return jnp.logical_or(turning, jnp.logical_and(active, ut))
 
-            turning = lax.fori_loop(0, max_depth, check, s.turning)
+            turning = lax.fori_loop(0, ntz1, check, s.turning)
 
             return S(
                 jnp.where(active, z_new, s.z),
