@@ -117,13 +117,15 @@ def _hmc_kernel(
     consts = [ref[:] for ref in const_refs]
 
     def lp_g(q):
-        # per-chain log-density and its gradient in one fwd+bwd pass
+        # per-chain log-density and its gradient in one fwd+bwd pass.
+        # lp is kept (1, NB): Mosaic rejects rank-1 f32 loop carries
+        # (layout_rank check), and a row vector is the native VPU shape
         lp, pullback = jax.vjp(lambda qq: logdensity_cols(qq, *consts), q)
         (g,) = pullback(jnp.ones_like(lp))
-        return lp, g
+        return lp[None, :], g
 
     def kinetic(p):
-        return 0.5 * jnp.sum(inv_mass * p * p, axis=0)
+        return 0.5 * jnp.sum(inv_mass * p * p, axis=0, keepdims=True)
 
     def mh_step(i, carry):
         q, lp, g = carry
@@ -144,13 +146,13 @@ def _hmc_kernel(
             0, L, leap, (q, p, g, lp)
         )
 
-        log_alpha = (lp_new - kinetic(p_new)) - (lp - ke0)
-        u = _uniform_01(rand_bits, (1, shape[1]), salt + 2)[0]
-        accept = jnp.log(u) < log_alpha  # (NB,)
-        q = jnp.where(accept[None, :], q_new, q)
+        log_alpha = (lp_new - kinetic(p_new)) - (lp - ke0)  # (1, NB)
+        u = _uniform_01(rand_bits, (1, shape[1]), salt + 2)
+        accept = jnp.log(u) < log_alpha  # (1, NB)
+        q = jnp.where(accept, q_new, q)
         lp = jnp.where(accept, lp_new, lp)
-        g = jnp.where(accept[None, :], g_new, g)
-        accept_ref[0, :] += accept.astype(jnp.float32)
+        g = jnp.where(accept, g_new, g)
+        accept_ref[...] += accept.astype(jnp.float32)
         return (q, lp, g)
 
     lp0, g0 = lp_g(q0)

@@ -54,6 +54,49 @@ class TestNUTSCore:
         assert jnp.allclose(emp, cov, atol=0.12)
 
 
+class TestBatchedColsEquivalence:
+    """The explicitly batched transition (scalar loop conditions,
+    collective early exit) must sample the same distribution as the
+    vmapped single-chain transition — different PRNG streams, same
+    posterior moments and trajectory statistics."""
+
+    def test_moment_and_statistic_agreement(self):
+        cov = jnp.array([[1.0, 0.9], [0.9, 1.0]])
+        prec = jnp.linalg.inv(cov)
+
+        def ld(q):
+            return -0.5 * jnp.sum(q * (prec @ q), axis=0)
+
+        out = {}
+        for batched in (False, True):
+            qf, acc, leaps = jax.jit(
+                lambda q, b=batched: nuts_sweep_cols(
+                    ld, q, 7, n_steps=150, eps=0.2, max_depth=7, batched=b
+                )
+            )(jnp.zeros((2, 4096)))
+            out[batched] = (jnp.cov(qf), float(acc), float(leaps))
+        cov_v, acc_v, leaps_v = out[False]
+        cov_b, acc_b, leaps_b = out[True]
+        assert jnp.allclose(cov_v, cov, atol=0.08)
+        assert jnp.allclose(cov_b, cov, atol=0.08)
+        assert acc_b == pytest.approx(acc_v, abs=0.05)
+        assert leaps_b == pytest.approx(leaps_v, rel=0.15)
+
+    def test_batched_inv_mass(self):
+        def ld(q):
+            return jnp.sum(-0.5 * (q / jnp.array([[0.5], [2.0]])) ** 2, axis=0)
+
+        qf, acc, _ = jax.jit(
+            lambda q: nuts_sweep_cols(
+                ld, q, 3, n_steps=60, eps=0.3, max_depth=6,
+                inv_mass=jnp.array([0.25, 4.0]), batched=True,
+            )
+        )(jnp.zeros((2, 1024)))
+        assert float(acc) > 0.7
+        assert jnp.std(qf[0]) == pytest.approx(0.5, abs=0.08)
+        assert jnp.std(qf[1]) == pytest.approx(2.0, abs=0.3)
+
+
 class TestColumnNUTS:
     def test_conjugate_posterior(self):
         @g.gen
