@@ -302,3 +302,48 @@ class TestStepSizeAdaptation:
 
         accs = jax.vmap(one)(jax.random.split(KEY, 256), traces)
         assert 0.6 < float(jnp.mean(accs)) <= 1.0
+
+
+class TestShardedColumnSweeps:
+    """The fused column kernels advertise chain-axis sharding for
+    multi-chip runs (`kernels/hmc.py`, `kernels/nuts.py` docstrings); pin
+    that the sweeps compile and recover the posterior with the chain
+    (lane) axis sharded over the mesh under GSPMD."""
+
+    def _sharded_q0(self, d, n, fill):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = make_mesh()
+        q0 = jnp.full((d, n), fill, jnp.float32)
+        return jax.device_put(q0, NamedSharding(mesh, P(None, "batch")))
+
+    def test_nuts_sweep_sharded_chain_axis(self):
+        from genjax_tpu.kernels.nuts import nuts_sweep_cols
+
+        def ld(q):
+            return jnp.sum(-0.5 * q * q, axis=0)
+
+        q0 = self._sharded_q0(3, 1024, 2.0)
+        qf, acc, _leaps = jax.jit(
+            lambda q: nuts_sweep_cols(
+                ld, q, 5, n_steps=40, eps=0.4, max_depth=6, batched=True
+            )
+        )(q0)
+        assert float(acc) > 0.8
+        assert float(jnp.mean(qf)) == pytest.approx(0.0, abs=0.12)
+        assert float(jnp.std(qf)) == pytest.approx(1.0, abs=0.12)
+
+    def test_column_hmc_sharded_chain_axis(self):
+        from genjax_tpu.kernels.hmc import pallas_hmc
+
+        def ld(q):
+            return jnp.sum(-0.5 * q * q, axis=0)
+
+        q0 = self._sharded_q0(4, 1024, 2.0)
+        qf, acc = jax.jit(
+            lambda q: pallas_hmc(
+                ld, q, 9, n_steps=60, eps=0.4, L=5, backend="xla"
+            )
+        )(q0)
+        assert float(acc) > 0.7
+        assert float(jnp.std(qf)) == pytest.approx(1.0, abs=0.12)
