@@ -272,10 +272,15 @@ def nuts_transition(
             jnp.logical_or(jnp.logical_not(sub_ok), global_turn),
         )
         n_leap = t.n_leap + jnp.where(done, 0, 1 << j)
+        # flags from a subtree built AFTER the chain terminated are
+        # artifacts of the masked-out budget (the fori still integrates
+        # garbage from the frozen ends) — gate them so info.diverged
+        # reports only real trajectory divergences
+        live = jnp.logical_not(done)
         t_new = T(
             z_minus, r_minus, g_minus, z_plus, r_plus, g_plus, z_prop, lw_traj,
-            jnp.logical_or(t.turning, s.turning),
-            jnp.logical_or(t.diverged, s.diverged),
+            jnp.logical_or(t.turning, jnp.logical_and(live, s.turning)),
+            jnp.logical_or(t.diverged, jnp.logical_and(live, s.diverged)),
             n_leap,
             jnp.where(done, t.sum_accept, s.sum_accept),
             jnp.where(done, t.sum_count, s.sum_count),

@@ -82,6 +82,51 @@ class TestBatchedColsEquivalence:
         assert acc_b == pytest.approx(acc_v, abs=0.05)
         assert leaps_b == pytest.approx(leaps_v, rel=0.15)
 
+    def test_divergence_rates_agree_on_funnel(self):
+        """Regression: flags raised by the masked-out leaf budget AFTER a
+        chain terminated must not leak into info.diverged — pre-fix the
+        vmapped transition reported ~6x the true divergence rate on
+        Neal's funnel (0.0170 vs 0.0029 at eps=0.3, depth 7)."""
+        from jax import lax
+        from genjax_tpu.kernels.nuts import nuts_transition, nuts_transition_cols
+
+        def ld_cols(q):
+            v, x = q[0], q[1:]
+            return (
+                -0.5 * (v / 3.0) ** 2
+                - 0.5 * jnp.sum(x * x * jnp.exp(-v), axis=0)
+                - 1.5 * v
+            )
+
+        def ld_one(z):
+            return ld_cols(z[:, None])[0]
+
+        n, steps, eps = 512, 30, 0.3
+        q0 = jnp.zeros((4, n), jnp.float32)
+
+        def sweep_vmap(q0):
+            def step(q, key):
+                keys = jax.random.split(key, n)
+                z, info = jax.vmap(
+                    lambda k, zz: nuts_transition(ld_one, zz, k, eps, max_depth=7),
+                    in_axes=(0, 1), out_axes=(1, 0),
+                )(keys, q)
+                return z, jnp.mean(info.diverged.astype(jnp.float32))
+            return lax.scan(step, q0, jax.random.split(jax.random.key(0), steps))
+
+        def sweep_cols(q0):
+            def step(q, key):
+                z, info = nuts_transition_cols(ld_cols, q, key, eps, max_depth=7)
+                return z, jnp.mean(info.diverged.astype(jnp.float32))
+            return lax.scan(step, q0, jax.random.split(jax.random.key(0), steps))
+
+        _, dv = jax.jit(sweep_vmap)(q0)
+        _, dc = jax.jit(sweep_cols)(q0)
+        rate_v, rate_c = float(jnp.mean(dv)), float(jnp.mean(dc))
+        assert rate_v < 0.008, rate_v
+        assert rate_c < 0.008, rate_c
+        assert abs(rate_v - rate_c) < 0.005, (rate_v, rate_c)
+
     def test_batched_inv_mass(self):
         def ld(q):
             return jnp.sum(-0.5 * (q / jnp.array([[0.5], [2.0]])) ** 2, axis=0)
