@@ -372,6 +372,21 @@ class ScanCombinator(GenerativeFunction):
             return jnp.where(pred, new, old)
 
         new_ys = jtu.tree_map(splice, old_ys, new_y)
+
+        # Slice idx+1 re-ran under the changed carry: only its carry OUT
+        # is pinned by the locality check — its y output may legitimately
+        # change (e.g. a kernel whose y reads the incoming carry), so it
+        # must be spliced into the stacked retval too or the trace's
+        # retval goes stale against its inner traces.
+        next_y = Diff.tree_primal(next_rd[1])
+
+        def splice_next(old, new):
+            pred = jnp.logical_and(has_next, t_axis == nxt).reshape(
+                (n,) + (1,) * (jnp.ndim(old) - 1)
+            )
+            return jnp.where(pred, new, old)
+
+        new_ys = jtu.tree_map(splice_next, new_ys, next_y)
         new_carry_out = jtu.tree_map(
             lambda old, new: jnp.where(idx == n - 1, new, old),
             old_carry_out,

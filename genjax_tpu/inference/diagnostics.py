@@ -36,6 +36,10 @@ def ess(draws, max_lag: int | None = None) -> jnp.ndarray:
     n_chains, n_draws = draws.shape[0], draws.shape[1]
     if max_lag is None:
         max_lag = min(n_draws - 1, 256)
+    if max_lag < 1:
+        # a single draw per chain carries no autocorrelation information:
+        # tau = 1 (jnp.stack on zero lags would crash)
+        return jnp.asarray(float(n_chains * n_draws))
     centered = draws - jnp.mean(draws, axis=1, keepdims=True)
     var = jnp.mean(centered**2, axis=1) + 1e-12
 

@@ -64,10 +64,16 @@ def build_test_against_exact_inference(
     markov_chain = ScanCombinator(kernel, length=max_length)
 
     def inference_test_generator(key: PRNGKey) -> DiscreteHMMInferenceProblem:
-        key, k1, k2 = jax.random.split(key, 3)
-        initial_state = jax.random.categorical(
-            k1, jnp.zeros(config.linear_grid_dim)
-        )
+        key, k2 = jax.random.split(key)
+        # The initial state is the FIXED grid midpoint — the same prior
+        # ``DiscreteHMMConfiguration.log_initial`` bakes into the exact
+        # forward filter — so the returned (initial_state, sequences,
+        # log_posterior, log_data_marginal) all describe ONE model. The
+        # reference samples initial_state uniformly (exact_testbed.py:71)
+        # while its data_logpdf still assumes the midpoint prior, making
+        # the problem's advertised initial_state inconsistent with its
+        # exact values (ARCHITECTURE.md §Deviations).
+        initial_state = jnp.asarray(config.linear_grid_dim // 2)
         tr = markov_chain.simulate(k2, (initial_state, jnp.zeros(max_length)))
         chm = tr.get_choices()
         latent_sequence = jnp.asarray(

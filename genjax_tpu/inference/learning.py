@@ -125,13 +125,14 @@ class LaplaceResult(Pytree):
     log_marginal: Any
 
     def unpack(self, z):
-        from ..generative.mask import Mask
-
+        # mean/cov live on the GRAD-ONLY ravel (the same one fit_map and
+        # the Hessian use); unravel through it and re-zip the fixed
+        # nongrad leaves, or any non-differentiable leaf in the selection
+        # would misalign the vector against the full-tree ravel
         tree = self.map_result.choices
-        # rebuild through the same ravel structure
-        flat, unravel = ravel_pytree(tree)
-        del flat
-        return unravel(z)
+        grad_tree, nongrad_tree = grad_tree_unzip(tree)
+        _flat, unravel = ravel_pytree(grad_tree)
+        return grad_tree_zip(unravel(z), nongrad_tree)
 
 
 def laplace_approximation(

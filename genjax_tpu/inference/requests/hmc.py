@@ -138,11 +138,17 @@ def sample_momenta(key: PRNGKey, choice_gradients):
 class HMC(EditRequest):
     """Leapfrog-integrate Hamiltonian dynamics over the selected (continuous)
     choices; the SMCP3 weight is the MH log-acceptance ratio α
-    (reference hmc.py:139)."""
+    (reference hmc.py:139).
+
+    ``inv_mass``: optional diagonal inverse mass over the *raveled*
+    selected-choice vector (same convention as the ``NUTS`` request and
+    ``inference.adaptation.cross_chain_inv_mass``) — momenta draw from
+    ``N(0, M)`` and the drift is ``eps * M⁻¹ r``."""
 
     selection: Selection
     eps: Any
     L: int = Pytree.static(default=10)
+    inv_mass: Any = None
 
     def edit(
         self, key: PRNGKey, tr: Trace, argdiffs: Argdiffs
@@ -150,90 +156,66 @@ class HMC(EditRequest):
         if not Diff.static_check_no_change(argdiffs):
             raise NotImplementedError("HMC requires unchanged arguments.")
 
-        original_model_score = tr.get_score()
+        from jax.flatten_util import ravel_pytree
 
-        # One differentiable log-joint over the selected values; the
-        # leapfrog scan carries ONLY (values, gradients, momenta) — flat
-        # arrays, no trace pytree — and each step costs one
-        # value_and_grad of assess instead of the round-1 structure
-        # (an Update edit re-scoring every address PLUS a separate
-        # grad-of-assess ≈ 4 model evaluations per step). The trace is
-        # materialized once at the end.
+        # One differentiable log-joint over the RAVELED selected values
+        # (the NUTS-request formulation): the leapfrog scan carries three
+        # flat vectors, each step costs one value_and_grad of assess, and
+        # a diagonal mass matrix is a single elementwise vector op. The
+        # trace is materialized once at the end.
         chm = tr.get_choices()
         complement = chm.filter(~self.selection)
-        filtered = chm.filter(self.selection)
+        filtered = chm.filter_eager(self.selection)
+        grad_tree, nongrad_tree = grad_tree_unzip(filtered)
         gen_fn = tr.get_gen_fn()
         primal_args = Diff.tree_primal(argdiffs)
+        z0, unravel = ravel_pytree(grad_tree)
 
-        def assess_at(grad_tree, nongrad_tree):
-            zipped = grad_tree_zip(grad_tree, nongrad_tree)
-            full_choices = zipped.merge(complement)
-            weight, _ = gen_fn.assess(full_choices, primal_args)
+        def logdensity(z):
+            zipped = grad_tree_zip(unravel(z), nongrad_tree)
+            weight, _ = gen_fn.assess(zipped.merge(complement), primal_args)
             return weight
 
-        val_and_grad = jax.value_and_grad(assess_at, argnums=0)
-
-        def full_gradients(values):
-            grad_tree, nongrad_tree = grad_tree_unzip(values)
-            score, g = val_and_grad(grad_tree, nongrad_tree)
-
-            def _grad_or_zero(gv, v):
-                if gv is not None:
-                    return gv
-                if v is None:
-                    return None
-                return jnp.zeros_like(
-                    jnp.asarray(v, dtype=jnp.result_type(float))
-                )
-
-            gradients = jtu.tree_map(
-                _grad_or_zero, g, nongrad_tree, is_leaf=lambda x: x is None
+        vg = jax.value_and_grad(logdensity)
+        if self.inv_mass is None:
+            inv_mass = jnp.ones_like(z0)
+        else:
+            inv_mass = jnp.broadcast_to(
+                jnp.asarray(self.inv_mass, z0.dtype), z0.shape
             )
-            return score, grad_tree_zip(grad_tree, nongrad_tree), gradients
+        mom_std = 1.0 / jnp.sqrt(inv_mass)
+        key, k_mom, k_update = jr.split(key, 3)
+        r0 = mom_std * jr.normal(k_mom, z0.shape)
 
-        _, values, gradients = full_gradients(filtered)
-        key, sub_key = jr.split(key)
-        momenta, original_momenta_score = sample_momenta(sub_key, gradients)
+        def kinetic(r):
+            return 0.5 * jnp.sum(inv_mass * r * r)
 
-        def _move(v, m):
-            # only differentiable leaves integrate; non-grad leaves (e.g.
-            # discrete choices riding in the lazily-filtered tree, masked
-            # out at read time) stay fixed so the scan carry keeps dtypes
-            if static_check_supports_grad(v):
-                return v + self.eps * m
-            return v
+        lp0, g0 = vg(z0)
 
         def leapfrog(carry, _step):
-            values, gradients, momenta = carry
-            # half-step momentum, full-step position
-            momenta = jtu.tree_map(
-                lambda m, g: m + (self.eps / 2) * g, momenta, gradients
-            )
-            values = jtu.tree_map(_move, values, momenta)
-            _score, values, gradients = full_gradients(values)
-            # second half-step momentum
-            momenta = jtu.tree_map(
-                lambda m, g: m + (self.eps / 2) * g, momenta, gradients
-            )
-            return (values, gradients, momenta), None
+            z, g, r = carry
+            r = r + (self.eps / 2) * g
+            z = z + self.eps * inv_mass * r
+            lp, g = vg(z)
+            r = r + (self.eps / 2) * g
+            return (z, g, r), lp
 
-        (values, _, final_momenta), _ = lax.scan(
-            leapfrog,
-            (values, gradients, momenta),
-            jnp.arange(1, self.L + 1),
-            length=self.L,
+        (z1, _g1, r1), lps = lax.scan(
+            leapfrog, (z0, g0, r0), None, length=self.L
         )
+        lp1 = lps[-1]
 
+        values = grad_tree_zip(unravel(z1), nongrad_tree)
         final_trace, _, retdiff, _ = Update(values).edit(
-            jr.fold_in(key, 0), tr, argdiffs
+            k_update, tr, argdiffs
         )
-        alpha = (
-            final_trace.get_score()
-            - original_model_score
-            + assess_momenta(final_momenta, mul=-1.0)
-            - original_momenta_score
+        alpha = lp1 - lp0 + kinetic(r0) - kinetic(r1)
+        return (
+            final_trace,
+            alpha,
+            retdiff,
+            HMC(self.selection, self.eps, self.L, self.inv_mass),
         )
-        return final_trace, alpha, retdiff, HMC(self.selection, self.eps, self.L)
 
 
 def SafeHMC(selection: Selection, eps, L: int = 10) -> DiffAnnotate:

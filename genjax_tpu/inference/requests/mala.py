@@ -25,6 +25,7 @@ from ...core.typing_ import PRNGKey
 from ...generative.concepts import Argdiffs, EditRequest, Retdiff, Update, Weight
 from ...generative.selection import Selection
 from ...generative.trace import Trace
+from ...core.typing_ import static_check_supports_grad
 from .hmc import selection_gradient
 
 
@@ -61,9 +62,16 @@ class MALA(EditRequest):
         fwd_mean = jtu.tree_map(
             lambda v, g_: v + 0.5 * eps * eps * g_, values, grads
         )
-        proposed = jtu.tree_map(lambda m, x: m + eps * x, fwd_mean, noise)
-        # log q(q' | q): Gaussian at fwd_mean with scale eps
-        fwd_lq = -_tree_dot(noise, noise) / 2.0
+
+        def _perturb(v, m, x):
+            # only differentiable leaves take the Langevin move; discrete
+            # choices riding in the lazily-filtered tree stay fixed (the
+            # HMC _move guard), keeping them on-support
+            if static_check_supports_grad(v):
+                return m + eps * x
+            return v
+
+        proposed = jtu.tree_map(_perturb, values, fwd_mean, noise)
 
         new_tr, w, retdiff, _bwd = Update(proposed).edit(key, tr, argdiffs)
 
@@ -71,9 +79,21 @@ class MALA(EditRequest):
         bwd_mean = jtu.tree_map(
             lambda v, g_: v + 0.5 * eps * eps * g_, new_values, new_grads
         )
+        # Both proposal log-densities are computed from residuals of what
+        # is ACTUALLY in the traces, not from the sampled noise: leaves the
+        # Update cannot write (masked-out inert values in the lazy filter
+        # wrapper, fixed discrete choices) read back unchanged with zero
+        # gradient, so their forward and backward residuals are both zero
+        # and cancel — using the raw noise for the forward term instead
+        # counts +||noise_inert||^2/2 into alpha and breaks detailed
+        # balance (over-acceptance growing with the inert dimension).
+        fwd_resid = jtu.tree_map(
+            lambda new, m: (new - m) / eps, new_values, fwd_mean
+        )
         bwd_resid = jtu.tree_map(
             lambda old, m: (old - m) / eps, values, bwd_mean
         )
+        fwd_lq = -_tree_dot(fwd_resid, fwd_resid) / 2.0
         bwd_lq = -_tree_dot(bwd_resid, bwd_resid) / 2.0
 
         alpha = w + bwd_lq - fwd_lq

@@ -118,7 +118,7 @@ def sample_posterior(
         if algorithm == "nuts":
             return NUTS(selection, eps, max_depth=max_depth, inv_mass=inv_mass)
         if algorithm == "hmc":
-            return HMC(selection, eps, L=L)
+            return HMC(selection, eps, L=L, inv_mass=inv_mass)
         raise ValueError(f"unknown algorithm {algorithm!r}")
 
     def transition(k, tr, eps, inv_mass):

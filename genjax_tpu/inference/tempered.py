@@ -64,6 +64,24 @@ def tempered_smc(
     betas = jnp.asarray(betas)
     k = n_particles
 
+    if rejuvenation is not None and not isinstance(rejuvenation, Selection):
+        from .requests.nuts import NUTS as _NUTS
+
+        if isinstance(rejuvenation, _NUTS):
+            # The tempered-target correction alpha = w - (1-beta)*dllh
+            # composes around PROPOSAL-style requests whose returned
+            # weight is the full-posterior MH log-alpha of a not-yet-
+            # accepted move (HMC, MALA, Rejuvenate). NUTS applies its
+            # multinomial accept internally and returns w = 0, so the
+            # composite kernel would silently lose invariance for the
+            # tempered target at beta < 1.
+            raise ValueError(
+                "tempered_smc rejuvenation does not support NUTS: it "
+                "accepts internally, so the tempered-target MH "
+                "correction cannot be composed around it. Use HMC, "
+                "MALA, Rejuvenate, or a Selection (prior Regenerate)."
+            )
+
     # Distinct parents for particle-init keys vs per-rung keys: with
     # fold_in(key, t) == split(key, k)[t] in this JAX version, deriving
     # rung keys directly from ``key`` would make rung t's resampling /

@@ -385,8 +385,11 @@ def warmup_column(
     from ..inference.adaptation import windowed_warmup
 
     def sweep(q, idx, eps, inv_mass):
+        # phase seeds live on a stream disjoint from any plausible main-
+        # sweep seed: seed*1000+idx would make phase 0 of the default
+        # seed=0 bit-identical to the main sweep's jr.key(0) stream
         return _reference_hmc(
-            logdensity_cols, q, seed * 1000 + idx,
+            logdensity_cols, q, (seed + 1) * 1_000_003 + idx,
             n_steps=steps_per_phase, eps=eps, L=L, inv_mass=inv_mass,
         )
 

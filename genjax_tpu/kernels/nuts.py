@@ -583,8 +583,10 @@ def warmup_column_nuts(
     from ..inference.adaptation import windowed_warmup
 
     def sweep(q, idx, eps, inv_mass):
+        # disjoint phase-seed stream — see hmc.warmup_column: seed*1000+idx
+        # collides with the main sweep's stream at the default seed=0
         q, acc, _leaps = nuts_sweep_cols(
-            logdensity_cols, q, seed * 1000 + idx,
+            logdensity_cols, q, (seed + 1) * 1_000_003 + idx,
             n_steps=steps_per_phase, eps=eps, max_depth=max_depth,
             inv_mass=inv_mass,
         )

@@ -63,21 +63,22 @@ def systematic_counts(key, log_weights, n: int | None = None):
     return jnp.diff(jnp.concatenate([jnp.zeros(1, jnp.int32), t]))
 
 
-def redistribute(particles, counts, n: int | None = None):
-    """Copy particle ``i`` ``counts[i]`` times, contiguously — the
-    redistribution step for any *monotonic* resampler (systematic,
-    stratified).
+def _packed_row_move(particles, k: int, total: int, move):
+    """Apply a row-movement op to a particle pytree with all 4-byte leaves
+    bit-packed into one (k, >=8) uint32 matrix.
 
     TPU note (measured, v5e, K=131k): 1-D data movement is element-serial
     (~2 ms per leaf), but ROW movement vectorizes across the minor
     dimension — moving a (K, 8) block costs ~half of moving a (K,) vector.
     So all 4-byte leaves are bit-packed into one (K, >=8) uint32 matrix
-    (zero-padded to 8 lanes), moved with a single row-repeat, and unpacked
+    (zero-padded to 8 lanes), moved with a single row op, and unpacked
     with slices: 1.7x faster for multi-leaf states and 1.3x even for one
-    scalar leaf. Non-4-byte leaves fall back to per-leaf repeats.
+    scalar leaf. Non-4-byte leaves fall back to per-leaf moves.
+
+    ``move(x)`` maps a ``(k, ...)`` array to a ``(total, ...)`` array and
+    must move rows identically for every leaf (a repeat-by-counts or an
+    index gather).
     """
-    total = int(jnp.shape(counts)[0]) if n is None else n
-    k = jnp.shape(counts)[0]
     leaves, treedef = jtu.tree_flatten(particles)
 
     def _packable(v):
@@ -104,15 +105,31 @@ def redistribute(particles, counts, n: int | None = None):
         if start < 8:  # pad to the vectorization-friendly width
             cols.append(jnp.zeros((k, 8 - start), jnp.uint32))
         packed = jnp.concatenate(cols, axis=1)
-        moved = jnp.repeat(packed, counts, axis=0, total_repeat_length=total)
+        moved = move(packed)
         for i, c0, nc, dtype, shape in spans:
             u = moved[:, c0 : c0 + nc]
             v = jax.lax.bitcast_convert_type(u, dtype)
             out[i] = jnp.reshape(v, (total,) + shape[1:])
     for i, v in enumerate(leaves):
         if i not in pack_idx:
-            out[i] = jnp.repeat(v, counts, axis=0, total_repeat_length=total)
+            out[i] = move(v)
     return jtu.tree_unflatten(treedef, out)
+
+
+def redistribute(particles, counts, n: int | None = None):
+    """Copy particle ``i`` ``counts[i]`` times, contiguously — the
+    redistribution step for any *monotonic* resampler (systematic,
+    stratified). Uses the bit-packed row-repeat (``_packed_row_move``);
+    measured ~20x over searchsorted+gather at K=131k on v5e.
+    """
+    total = int(jnp.shape(counts)[0]) if n is None else n
+    k = jnp.shape(counts)[0]
+    return _packed_row_move(
+        particles,
+        k,
+        total,
+        lambda v: jnp.repeat(v, counts, axis=0, total_repeat_length=total),
+    )
 
 
 def systematic_indices(key, log_weights, n: int | None = None):
@@ -193,45 +210,11 @@ def resample_indices(key, log_weights, n=None, method: str = "systematic"):
 
 
 def packed_take(particles, idx, k: int):
-    """Row-gather a particle pytree at ``idx`` with all 4-byte leaves
-    bit-packed into one (k, >=8) matrix — the same vectorized-row-movement
-    trick as ``redistribute`` (1-D gathers are element-serial on TPU)."""
+    """Row-gather a particle pytree at ``idx`` via the bit-packed row
+    movement of ``_packed_row_move`` (1-D gathers are element-serial on
+    TPU)."""
     total = jnp.shape(idx)[0]
-    leaves, treedef = jtu.tree_flatten(particles)
-
-    def _packable(v):
-        return (
-            hasattr(v, "dtype")
-            and jnp.ndim(v) >= 1
-            and v.shape[0] == k
-            and v.dtype.itemsize == 4
-        )
-
-    pack_idx = [i for i, v in enumerate(leaves) if _packable(v)]
-    out = list(leaves)
-    if len(pack_idx) >= 1:
-        cols = []
-        spans = []
-        start = 0
-        for i in pack_idx:
-            v = leaves[i]
-            u = jax.lax.bitcast_convert_type(
-                jnp.reshape(v, (k, -1)), jnp.uint32
-            )
-            cols.append(u)
-            spans.append((i, start, u.shape[1], v.dtype, v.shape))
-            start += u.shape[1]
-        if start < 8:
-            cols.append(jnp.zeros((k, 8 - start), jnp.uint32))
-        packed = jnp.concatenate(cols, axis=1)
-        moved = packed[idx]
-        for i, c0, nc, dtype, shape in spans:
-            v = jax.lax.bitcast_convert_type(moved[:, c0 : c0 + nc], dtype)
-            out[i] = jnp.reshape(v, (total,) + shape[1:])
-    for i, v in enumerate(leaves):
-        if i not in pack_idx:
-            out[i] = v[idx]
-    return jtu.tree_unflatten(treedef, out)
+    return _packed_row_move(particles, k, total, lambda v: v[idx])
 
 
 def resample_particles(key, particles, log_weights, n=None, method="systematic"):

@@ -505,3 +505,45 @@ class TestLosslessBackwardRequests:
                 float(tr.get_choices()[i, "x"]), abs=1e-5
             )
         assert float(w1 + w2) == pytest.approx(0.0, abs=1e-4)
+
+
+class TestScanIndexEditRetvalConsistency:
+    """Regression: an IndexRequest edit re-runs slice idx+1 under the new
+    carry; when the kernel's y output reads the incoming carry, the new y
+    must be spliced into the stacked retval — pre-fix the trace's retval
+    kept the stale value at idx+1 while the inner trace held the new one."""
+
+    def test_next_slice_y_spliced(self):
+        @g.gen
+        def kern(c, x):
+            z = g.normal(c, 1.0) @ "z"
+            return (z, c)  # y is the INCOMING carry
+
+        m = kern.scan(n=6)
+        tr, _ = m.generate(jax.random.key(0), g.ChoiceMap.empty(), (0.0, None))
+        idx, new_val = 2, 7.5
+        req = g.IndexRequest(jnp.asarray(idx), g.Update(g.C["z"].set(new_val)))
+        new_tr, _w, _rd, _bwd = tr.edit(jax.random.key(1), req, ())
+        _, ys = new_tr.get_retval()
+        assert float(ys[idx + 1]) == pytest.approx(new_val)
+        inner_y = jax.tree_util.tree_map(
+            lambda v: v[idx + 1], new_tr.inner
+        ).get_retval()[1]
+        assert float(inner_y) == pytest.approx(new_val)
+
+    def test_last_index_has_no_next_splice(self):
+        @g.gen
+        def kern(c, x):
+            z = g.normal(c, 1.0) @ "z"
+            return (z, c)
+
+        m = kern.scan(n=4)
+        tr, _ = m.generate(jax.random.key(0), g.ChoiceMap.empty(), (0.0, None))
+        old_ys = tr.get_retval()[1]
+        req = g.IndexRequest(jnp.asarray(3), g.Update(g.C["z"].set(2.0)))
+        new_tr, _w, _rd, _bwd = tr.edit(jax.random.key(1), req, ())
+        carry_out, ys = new_tr.get_retval()
+        # editing the LAST slice: no next slice; earlier ys untouched,
+        # final carry becomes the new z
+        assert jnp.allclose(ys[:3], old_ys[:3])
+        assert float(carry_out) == pytest.approx(2.0)

@@ -232,3 +232,67 @@ class TestMALA:
         assert not jnp.allclose(
             new_tr.get_choices()["w"], tr.get_choices()["w"]
         )
+
+
+class TestMALADetailedBalance:
+    """Regression: the forward proposal density must be computed from
+    trace-readback residuals, not the raw noise — otherwise every inert
+    leaf riding in the lazily-filtered values tree (observations,
+    unselected latents) contributes +||noise||^2/2 to alpha. Pre-fix,
+    with 20 observed scalars this accepted 99.9% of proposals and
+    overdispersed the posterior std by 66% (0.363 vs exact 0.218)."""
+
+    def test_exact_posterior_with_many_inert_dims(self):
+        from genjax_tpu.inference.mcmc import mh
+        from genjax_tpu.inference.requests import MALA
+
+        n_obs = 20
+
+        @g.gen
+        def model():
+            mu = g.normal(0.0, 1.0) @ "mu"
+            for i in range(n_obs):
+                _ = g.normal(mu, 1.0) @ f"y{i}"
+
+        obs = g.C.kw(**{f"y{i}": 1.0 for i in range(n_obs)})
+        exact_mean = n_obs / (n_obs + 1)
+        exact_std = float(jnp.sqrt(1.0 / (n_obs + 1)))
+
+        def chain(key, n=400, eps=0.35):
+            tr, _ = model.generate(key, obs, ())
+            req = MALA(g.S["mu"], eps)
+
+            def step(tr, k):
+                tr, acc = mh(k, tr, req)
+                return tr, (tr.get_choices()["mu"], acc)
+
+            _, (mus, accs) = jax.lax.scan(
+                step, tr, jax.random.split(jax.random.fold_in(key, 1), n)
+            )
+            return mus[100:], jnp.mean(accs.astype(jnp.float32))
+
+        keys = jax.random.split(KEY, 256)
+        mus, accs = jax.jit(jax.vmap(chain))(keys)
+        assert float(jnp.mean(accs)) < 0.95  # pre-fix: 0.999
+        assert float(jnp.mean(mus)) == pytest.approx(exact_mean, abs=0.02)
+        assert float(jnp.std(mus)) == pytest.approx(exact_std, abs=0.015)
+
+    def test_discrete_selected_leaf_stays_fixed(self):
+        from genjax_tpu.inference.requests import MALA
+
+        @g.gen
+        def mixed():
+            b = g.flip(0.5) @ "b"
+            mu = g.normal(0.0, 1.0) @ "mu"
+            _ = g.normal(mu, 1.0) @ "y"
+
+        tr, _ = mixed.generate(KEY, g.C["y"].set(1.0), ())
+        new_tr, alpha, _, _ = tr.edit(
+            KEY, MALA(g.S["b"] | g.S["mu"], 0.3)
+        )
+        assert jnp.isfinite(alpha)
+        # the Bernoulli choice must remain on-support (untouched)
+        assert new_tr.get_choices()["b"] == tr.get_choices()["b"]
+        assert not jnp.allclose(
+            new_tr.get_choices()["mu"], tr.get_choices()["mu"]
+        )

@@ -134,7 +134,10 @@ class TestSMCOnScan:
             observation_variance=0.5,
         )
         problem = gen_problem(KEY)
-        init = config.linear_grid_dim // 2
+        # the problem object is self-consistent: its initial_state IS the
+        # fixed midpoint the exact forward filter assumes
+        init = problem.initial_state
+        assert int(init) == config.linear_grid_dim // 2
         obs_constraint = g.C[:, "x"].set(problem.observation_sequence)
         target = Target(chain, (init, jnp.zeros(5)), obs_constraint)
         exact_logZ = g.DiscreteHMM.data_logpdf(
