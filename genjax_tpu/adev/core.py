@@ -29,7 +29,6 @@ import jax.numpy as jnp
 import jax.tree_util as jtu
 from jax import lax
 from jax.extend.core import jaxpr_as_fun
-from jax.interpreters import ad as jax_ad
 
 from ..core.environment import Environment
 from ..core.primitive import initial_style_bind, initial_style_primitive
@@ -123,6 +122,21 @@ class ADEVPrimitive(Pytree):
     def __call__(self, *args):
         return sample_primitive(self, *args)
 
+    def pure_sample(self, key: PRNGKey, *args) -> Any:
+        """Sample inside a PURE continuation, where only the transform's
+        scalar key is available (the key operand that rode in at bind time
+        was consumed). Overridden by batched primitives that need a key per
+        lane."""
+        return self.sample(key, *args)
+
+    def pure_cost(self, *args):
+        """Additive contribution of this primitive to the value of a PURE
+        continuation — ``None`` except for cost-accumulating primitives
+        (``AddCost``), whose effect otherwise lives only in
+        ``jvp_estimate`` and would be silently dropped from the
+        alternative-sample evaluations of enumeration/MVD strategies."""
+        return None
+
 
 class TailCallADEVPrimitive(ADEVPrimitive):
     """A strategy that needs no continuation (e.g. reparameterization): it
@@ -161,6 +175,15 @@ class BatchedTailCallPrimitive(TailCallADEVPrimitive):
         return jax.vmap(
             self.inner.sample, in_axes=(self.key_dim, *self.arg_dims)
         )(key, *args)
+
+    def pure_sample(self, key, *args):
+        # the transform hands a scalar key; the lanes each need one
+        import jax.random as jr
+
+        keys = jr.split(key, self.batch_size)
+        return jax.vmap(
+            self.inner.sample, in_axes=(0, *self.arg_dims)
+        )(keys, *args)
 
     def before_tail_call(self, key, dual_tree):
         # `key` here is the ADEV transform's (scalar) key — the batched key
@@ -263,12 +286,21 @@ _batching.primitive_batchers[sample_p] = _sample_batch_rule
 # ----------------------------------------------------------------------
 
 
+def float0_zero_tangent(x):
+    """The JVP-convention zero tangent for a primal leaf: ``zeros_like``
+    for inexact dtypes, a ``float0`` numpy zero for integer/bool leaves
+    (what ``jax.jvp`` requires)."""
+    import numpy as np
+
+    if jnp.issubdtype(jnp.result_type(x), jnp.inexact):
+        return jnp.zeros_like(x)
+    return np.zeros(jnp.shape(x), dtype=jax.dtypes.float0)
+
+
 def _dual_bind_jvp(eqn, primals, tangents):
     """Default dual propagation for a deterministic equation: re-bind the
     primitive under ``jax.jvp``, which dispatches to JAX's own JVP machinery
     (handles custom_jvp calls, pjit, integer operands via float0)."""
-    import numpy as np
-
     subfuns, params = eqn.primitive.get_bind_params(eqn.params)
 
     def rebind(*vals):
@@ -278,7 +310,7 @@ def _dual_bind_jvp(eqn, primals, tangents):
     def coerce_tangent(p, t):
         if jnp.issubdtype(jnp.result_type(p), jnp.inexact):
             return jnp.asarray(t, dtype=jnp.result_type(p))
-        return np.zeros(jnp.shape(p), dtype=jax.dtypes.float0)
+        return float0_zero_tangent(p)
 
     ts = tuple(coerce_tangent(p, t) for p, t in zip(primals, tangents))
     primal_outs, tangent_outs = jax.jvp(rebind, tuple(primals), ts)
@@ -291,9 +323,12 @@ def _dual_bind_jvp(eqn, primals, tangents):
 
 def _eval_pure(key, eqns, env: Environment, invars, flat_args, outvars):
     """Straight-line pure evaluation of the remaining equations (the 'pure
-    continuation'). Downstream samples are drawn with derived keys."""
+    continuation'). Downstream samples are drawn with derived keys;
+    ``AddCost`` contributions accumulate into the (scalar) loss value just
+    as ``jvp_estimate`` adds them on the dual path."""
     for var, val in zip(invars, flat_args):
         env.write(var, val)
+    cost = None
     for i, eqn in enumerate(eqns):
         in_vals = [env.read(v) for v in eqn.invars]
         if eqn.primitive is sample_p:
@@ -301,8 +336,11 @@ def _eval_pure(key, eqns, env: Environment, invars, flat_args, outvars):
                 eqn.params["in_tree"], in_vals
             )
             outs = jtu.tree_leaves(
-                adev_prim.sample(jax.random.fold_in(key, i), *args)
+                adev_prim.pure_sample(jax.random.fold_in(key, i), *args)
             )
+            c = adev_prim.pure_cost(*args)
+            if c is not None:
+                cost = c if cost is None else cost + c
         else:
             subfuns, params = eqn.primitive.get_bind_params(eqn.params)
             outs = eqn.primitive.bind(*subfuns, *in_vals, **params)
@@ -310,7 +348,11 @@ def _eval_pure(key, eqns, env: Environment, invars, flat_args, outvars):
                 outs = [outs]
         for var, val in zip(eqn.outvars, outs):
             env.write(var, val)
-    return [env.read(v) for v in outvars]
+    res = [env.read(v) for v in outvars]
+    if cost is not None:
+        (out,) = res  # loss programs return one scalar
+        res = [out + cost]
+    return res
 
 
 def _eval_dual(key, eqns, env: Environment, invars, flat_duals, outvars):
@@ -454,7 +496,10 @@ class Expectation(Pytree):
         return self.prog.jvp_estimate(key, dual_tree)
 
     def estimate(self, key: PRNGKey, args):
-        duals = Dual.dual_tree(args, jtu.tree_map(lambda v: 0.0, args))
+        # tangents must match primal shapes (a scalar 0.0 against an array
+        # leaf crashes the first jax.jvp re-bind)
+        zeros = jtu.tree_map(lambda v: jnp.zeros_like(jnp.asarray(v)), args)
+        duals = Dual.dual_tree(args, zeros)
         return self.jvp_estimate(key, duals).primal
 
     def grad_estimate(self, key: PRNGKey, primals: tuple):

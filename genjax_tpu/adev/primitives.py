@@ -20,7 +20,12 @@ import jax.random as jr
 
 from ..core.pytree import Pytree
 from ..core.typing_ import PRNGKey
-from .core import ADEVPrimitive, Dual, TailCallADEVPrimitive
+from .core import (
+    ADEVPrimitive,
+    Dual,
+    TailCallADEVPrimitive,
+    float0_zero_tangent,
+)
 
 
 # ----------------------------------------------------------------------
@@ -47,14 +52,7 @@ class REINFORCE(ADEVPrimitive):
         v = self.sample(sub_key, *primals)
         out = kdual(key, Dual.tree_pure(v))
         (out_primal,), (out_tangent,) = Dual.tree_unzip(out)
-        import numpy as np
-
-        def zero_tangent(x):
-            if jnp.issubdtype(jnp.result_type(x), jnp.inexact):
-                return jnp.zeros_like(x)
-            return np.zeros(jnp.shape(x), dtype=jax.dtypes.float0)
-
-        zero_v = jax.tree_util.tree_map(zero_tangent, v)
+        zero_v = jax.tree_util.tree_map(float0_zero_tangent, v)
         _, lp_tangent = jax.jvp(
             lambda v_, *a: self.differentiable_logpdf(v_, *a),
             (v, *primals),
@@ -368,6 +366,12 @@ class Baseline(ADEVPrimitive):
     def sample(self, key, *args):
         return self.prim.sample(key, *args[1:])
 
+    def pure_sample(self, key, *args):
+        return self.prim.pure_sample(key, *args[1:])
+
+    def pure_cost(self, *args):
+        return self.prim.pure_cost(*args[1:])
+
     def jvp_estimate(self, key, dual_tree, konts):
         kpure, kdual = konts
         (b_primal, *prim_primals) = Dual.tree_primal(dual_tree)
@@ -401,6 +405,13 @@ class AddCost(ADEVPrimitive):
     (reference primitives.py:480)."""
 
     def sample(self, key, *args):
+        (w,) = args
+        return w
+
+    def pure_cost(self, *args):
+        # the cost must also reach PURE continuation values (the
+        # alternative-sample evaluations of enumeration/MVD strategies),
+        # or every estimator upstream of an add_cost is silently biased
         (w,) = args
         return w
 

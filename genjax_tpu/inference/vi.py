@@ -137,14 +137,21 @@ def ELBO(
     (reference vi.py:129)."""
 
     def grad_estimate(key: PRNGKey, args: tuple) -> GradientEstimate:
+        # distinct streams for the closed-over model/SMC randomness and the
+        # ADEV transform key (the tail-call strategies split the transform
+        # key exactly as estimate_normalizing_constant splits the model
+        # key, so sharing one parent correlates guide noise with the
+        # target's importance fills)
+        model_key, adev_key = jax.random.split(key)
+
         @expectation
         def _loss(*args):
             target = make_target(*args)
             alg = Importance(target, guide)
-            w = alg.estimate_normalizing_constant(key, target)
+            w = alg.estimate_normalizing_constant(model_key, target)
             return -w
 
-        return _loss.grad_estimate(key, args)
+        return _loss.grad_estimate(adev_key, args)
 
     return grad_estimate
 
@@ -158,14 +165,17 @@ def IWELBO(
     (reference vi.py:154)."""
 
     def grad_estimate(key: PRNGKey, args: tuple) -> GradientEstimate:
+        # see ELBO: separate the SMC stream from the ADEV transform stream
+        model_key, adev_key = jax.random.split(key)
+
         @expectation
         def _loss(*args):
             target = make_target(*args)
             alg = ImportanceK(target, proposal, N)
-            w = alg.estimate_normalizing_constant(key, target)
+            w = alg.estimate_normalizing_constant(model_key, target)
             return -w
 
-        return _loss.grad_estimate(key, args)
+        return _loss.grad_estimate(adev_key, args)
 
     return grad_estimate
 

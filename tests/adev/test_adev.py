@@ -300,3 +300,67 @@ class TestKeyDiscipline:
             jax.random.split(KEY, 4000)
         )
         assert jnp.mean(ests) == pytest.approx(0.0, abs=0.06)
+
+
+class TestPureContinuationSemantics:
+    """Regression: the PURE continuation (the alternative-sample branch of
+    enumeration/MVD strategies) must see the same program semantics as the
+    dual path — AddCost contributions and batched key operands included."""
+
+    def test_add_cost_downstream_of_flip_mvd(self):
+        # E[1{b} + c] has d/dp = 1 regardless of the constant cost c;
+        # pre-fix the kpure branch dropped c, biasing the estimate to
+        # 2c*p - (c - 1) (measured -2.935 at p=0.3, c=10).
+        @expectation
+        def loss(p):
+            b = flip_mvd(p)
+            add_cost(10.0)
+            return jax.lax.cond(b, lambda: 1.0, lambda: 0.0)
+
+        grads = jax.vmap(lambda k: loss.grad_estimate(k, (0.3,))[0])(
+            jax.random.split(KEY, 2000)
+        )
+        assert jnp.mean(grads) == pytest.approx(1.0, abs=0.05)
+
+    def test_add_cost_downstream_of_flip_enum(self):
+        # enumeration is exact: every key must give d/dp E = 4 - 3 = 1
+        # even with a cost term between the flip and the return
+        @expectation
+        def loss(p):
+            b = flip_enum(p)
+            add_cost(2.0 * p)
+            return jax.lax.cond(b, lambda: 2.0, lambda: 1.0)
+
+        g = loss.grad_estimate(KEY, (0.4,))[0]
+        assert float(g) == pytest.approx(1.0 + 2.0, abs=1e-5)
+
+    def test_estimate_with_array_args(self):
+        # pre-fix: scalar 0.0 tangents crashed jax.jvp on array leaves
+        @expectation
+        def loss(ps):
+            x = normal_reparam(jnp.sum(ps), 1.0)
+            return x * x
+
+        val = loss.estimate(KEY, (jnp.array([0.5, 0.2]),))
+        assert jnp.shape(val) == ()
+        assert jnp.isfinite(val)
+
+    def test_flip_mvd_upstream_of_vmapped_reparam(self):
+        # the kpure branch used to hand a scalar key to the batched
+        # primitive's key_dim=0 vmap and crash
+        from genjax_tpu.adev.core import sample_primitive
+        from genjax_tpu.adev.primitives import NormalREPARAM
+
+        @expectation
+        def loss(p, mus):
+            b = flip_mvd(p)
+            keys = jax.random.split(jax.random.key(7), 4)
+            xs = jax.vmap(
+                lambda k, m: sample_primitive(NormalREPARAM(), m, 1.0, key=k)
+            )(keys, mus)
+            return jax.lax.cond(
+                b, lambda: jnp.sum(xs), lambda: 0.0
+            )
+
+        g = loss.grad_estimate(KEY, (0.5, jnp.zeros(4)))
+        assert all(jnp.all(jnp.isfinite(x)) for x in jax.tree_util.tree_leaves(g))
