@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from typing import Any, Callable
 
-from ..core.diff import Diff
+from ..core.diff import Diff, changed_through
 from ..core.pytree import Pytree
 from ..core.typing_ import PRNGKey
 from ..generative.choice_map import ChoiceMap
@@ -88,22 +88,38 @@ class DimapCombinator(GenerativeFunction):
         argdiffs: Any,
     ) -> tuple[DimapTrace, Weight, Retdiff, EditRequest]:
         primals = Diff.tree_primal(argdiffs)
-        inner_args = self._pre(primals)
         no_change = Diff.static_check_no_change(argdiffs)
-        inner_argdiffs = (
-            Diff.tree_diff_no_change(inner_args)
-            if no_change
-            else Diff.tree_diff_unknown_change(inner_args)
-        )
+        if no_change:
+            inner_argdiffs = Diff.tree_diff_no_change(self._pre(primals))
+        else:
+            # Per-leaf change propagation through the pre mapping (the
+            # reference runs ``pre`` under its incremental interpreter,
+            # dimap.py:148-190): an inner arg stays NoChange unless it
+            # depends on a changed outer leaf. Collapsing to blanket
+            # UnknownChange here made a Switch under ``or_else`` take its
+            # index-CHANGED path (resampling unconstrained choices) when
+            # only a branch argument changed.
+            inner_argdiffs = changed_through(
+                lambda *a: self._pre(a), argdiffs
+            )
+            if inner_argdiffs is None:
+                inner_argdiffs = Diff.tree_diff_unknown_change(
+                    self._pre(primals)
+                )
         new_inner, w, inner_retdiff, bwd = self.gen_fn.edit(
             key, trace.inner, request, inner_argdiffs
         )
-        new_retval = self.post(primals, Diff.tree_primal(inner_retdiff))
-        retdiff = (
-            Diff.tree_diff_no_change(new_retval)
-            if no_change and Diff.static_check_no_change(inner_retdiff)
-            else Diff.tree_diff_unknown_change(new_retval)
+        retdiff = changed_through(
+            lambda a, r: self.post(a, r), (argdiffs, inner_retdiff)
         )
+        if retdiff is None:
+            new_retval = self.post(primals, Diff.tree_primal(inner_retdiff))
+            retdiff = (
+                Diff.tree_diff_no_change(new_retval)
+                if no_change and Diff.static_check_no_change(inner_retdiff)
+                else Diff.tree_diff_unknown_change(new_retval)
+            )
+        new_retval = Diff.tree_primal(retdiff)
         return DimapTrace(self, new_inner, primals, new_retval), w, retdiff, bwd
 
 

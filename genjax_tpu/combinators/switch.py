@@ -196,7 +196,13 @@ class SwitchCombinator(GenerativeFunction):
             fs = [make_fresh_gen(f) for f in self.branches]
             ops = [(key, request, ad) for ad in branch_argdiffs]
 
-        rets = multi_switch(new_idx, fs, ops)
+        # as in generate/assess: every branch sees the whole constraint
+        # (and multi_switch shape-traces even unselected branches), so a
+        # sibling branch's addresses must not trip address validation
+        from ..checkify_ import suppress_constraint_validation
+
+        with suppress_constraint_validation():
+            rets = multi_switch(new_idx, fs, ops)
         subtraces = tuple(t[0] for t in rets)
         score, weight, retval = tree_choose(
             new_idx,

@@ -110,6 +110,86 @@ class Diff(Pytree):
         return jtu.tree_map(lambda p: Diff(p, NoChange), tree)
 
 
+def flat_changed(diff_tree, treedef=None) -> list[bool]:
+    """Per-primal-leaf changed flags of a Diff-annotated tree.
+
+    Handles both per-leaf Diffs and a single Diff wrapping a subtree (each
+    primal leaf under it inherits the wrapper's tangent). Unannotated leaves
+    are conservatively ``changed``.
+    """
+    out: list[bool] = []
+
+    def walk(x):
+        if isinstance(x, Diff):
+            n = len(jtu.tree_leaves(x.primal))
+            out.extend([x.tangent is not NoChange] * n)
+        else:
+            kids = jtu.tree_leaves(x, is_leaf=lambda y: isinstance(y, Diff))
+            if any(isinstance(k, Diff) for k in kids):
+                for k in kids:
+                    walk(k)
+            else:
+                out.extend([True] * len(kids))
+
+    walk(diff_tree)
+    return out
+
+
+def changed_through(fn, diff_args):
+    """Propagate per-leaf change tangents through a PURE function.
+
+    Stages ``fn(*primal_args)`` and marks an output leaf changed iff it
+    transitively depends on a changed input leaf — the Jaxpr-level analog
+    of the reference incremental interpreter's propagation rule
+    (incremental.py:300) for the deterministic pre/post mappings of
+    ``Dimap``. Returns the Diff-annotated output, or ``None`` when the
+    function cannot be staged abstractly (concrete-control-flow bodies) —
+    callers then fall back to all-``UnknownChange``.
+    """
+    import jax
+    from jax.extend.core import Literal
+
+    args = Diff.tree_primal(diff_args)
+    changed_in = flat_changed(diff_args)
+    flat, in_tree = jtu.tree_flatten(args)
+    if len(changed_in) != len(flat):
+        return None
+
+    def flat_fn(*leaves):
+        return fn(*jtu.tree_unflatten(in_tree, leaves))
+
+    try:
+        closed, out_shape = jax.make_jaxpr(flat_fn, return_shape=True)(*flat)
+        out = flat_fn(*flat)
+    except Exception:
+        return None
+    jaxpr = closed.jaxpr
+    chg: dict = {}
+    for v in jaxpr.constvars:
+        chg[v] = False
+    for v, c in zip(jaxpr.invars, changed_in):
+        chg[v] = bool(c)
+
+    def read(v) -> bool:
+        return False if isinstance(v, Literal) else chg.get(v, True)
+
+    for eqn in jaxpr.eqns:
+        c = any(read(v) for v in eqn.invars)
+        for ov in eqn.outvars:
+            chg[ov] = c
+    out_changed = [read(v) for v in jaxpr.outvars]
+    out_leaves, out_tree = jtu.tree_flatten(out)
+    if len(out_changed) != len(out_leaves):
+        return None
+    return jtu.tree_unflatten(
+        out_tree,
+        [
+            Diff(p, UnknownChange if c else NoChange)
+            for p, c in zip(out_leaves, out_changed)
+        ],
+    )
+
+
 # Short aliases used throughout combinator edit code.
 def tree_diff_primal(v: Any) -> Any:
     return Diff.tree_primal(v)

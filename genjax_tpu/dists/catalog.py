@@ -58,6 +58,26 @@ def _bshape(sample_shape, *params):
     return jnp.broadcast_shapes(tuple(sample_shape), *shapes)
 
 
+def _iid(sampler):
+    """Lift a single-draw sampler to honor ``sample_shape`` by vmapping
+    over split keys — for samplers (directional families) with no native
+    batch-shape parameter; silently dropping the kwarg would hand callers
+    one draw where they asked for many."""
+
+    def f(key, *args, **kw):
+        s = tuple(_shape(kw))
+        if not s:
+            return sampler(key, *args)
+        import numpy as np
+
+        n = int(np.prod(s))
+        keys = jr.split(key, n)
+        out = jax.vmap(lambda k: sampler(k, *args))(keys)
+        return jnp.reshape(out, s + out.shape[1:])
+
+    return f
+
+
 # ----------------------------------------------------------------------
 # continuous scalar families
 # ----------------------------------------------------------------------
@@ -503,12 +523,19 @@ flip = _register(
 
 def _categorical_logpmf(v, logits, **kw):
     logits = jnp.asarray(logits)
-    lse = logsumexp(logits, axis=-1)
     vi = jnp.asarray(v, jnp.int32)
+    # TFP batch semantics: a batched value against one logits vector
+    # scores elementwise — broadcast the batch shapes before the gather
+    batch = jnp.broadcast_shapes(jnp.shape(vi), jnp.shape(logits)[:-1])
+    logits_b = jnp.broadcast_to(logits, batch + jnp.shape(logits)[-1:])
+    vi_b = jnp.broadcast_to(vi, batch)
+    lse = logsumexp(logits_b, axis=-1)
     picked = jnp.take_along_axis(
-        logits, vi[..., None], axis=-1
+        logits_b, vi_b[..., None], axis=-1
     ).squeeze(-1)
-    return jnp.where((vi >= 0) & (vi < logits.shape[-1]), picked - lse, -jnp.inf)
+    return jnp.where(
+        (vi_b >= 0) & (vi_b < logits.shape[-1]), picked - lse, -jnp.inf
+    )
 
 
 categorical = _register(
@@ -733,8 +760,11 @@ def _dirichlet_multinomial_logpmf(v, total_count, concentration, **kw):
 
 def _dirichlet_multinomial_sample(key, total_count, concentration, **kw):
     k1, k2 = jr.split(key)
-    p = jr.dirichlet(k1, concentration)
-    return jr.multinomial(k2, total_count, p)
+    s = _shape(kw)
+    batch = _bshape(s, jnp.shape(concentration)[:-1])
+    p = jr.dirichlet(k1, concentration, shape=batch or None)
+    n = jnp.broadcast_to(jnp.asarray(total_count), batch)
+    return jr.multinomial(k2, n, p)
 
 
 dirichlet_multinomial = _register(
@@ -768,9 +798,7 @@ mv_normal = _register(
 
 power_spherical = _register(
     "power_spherical",
-    lambda key, mean_direction, concentration, **kw: special.power_spherical_sample(
-        key, mean_direction, concentration
-    ),
+    _iid(special.power_spherical_sample),
     lambda v, mean_direction, concentration, **kw: special.power_spherical_logpdf(
         v, mean_direction, concentration
     ),
@@ -778,9 +806,7 @@ power_spherical = _register(
 
 von_mises_fisher = _register(
     "von_mises_fisher",
-    lambda key, mean_direction, concentration, **kw: special.von_mises_fisher_sample(
-        key, mean_direction, concentration
-    ),
+    _iid(special.von_mises_fisher_sample),
     lambda v, mean_direction, concentration, **kw: special.von_mises_fisher_logpdf(
         v, mean_direction, concentration
     ),

@@ -145,8 +145,8 @@ def backward_sample(key: PRNGKey, config: DiscreteHMMConfiguration, filters):
     return zs_rev[::-1]
 
 
-def exact_path_log_posterior(config: DiscreteHMMConfiguration, zs, observations):
-    """``log p(z_{1:T} | y_{1:T})`` exactly: joint minus data marginal."""
+def path_log_joint(config: DiscreteHMMConfiguration, zs, observations):
+    """``log p(z_{1:T}, y_{1:T})`` — one O(T·N) scan over the path."""
     log_init = config.log_initial()
     log_trans = config.log_transition()
     log_obs = config.log_observation()
@@ -158,8 +158,18 @@ def exact_path_log_posterior(config: DiscreteHMMConfiguration, zs, observations)
 
     T = observations.shape[0]
     _, lps = lax.scan(step, jnp.asarray(0), (jnp.arange(T), zs, observations))
-    joint = jnp.sum(lps)
-    _, log_marginal = forward_filter(config, observations)
+    return jnp.sum(lps)
+
+
+def exact_path_log_posterior(
+    config: DiscreteHMMConfiguration, zs, observations, log_marginal=None
+):
+    """``log p(z_{1:T} | y_{1:T})`` exactly: joint minus data marginal.
+    Pass ``log_marginal`` when the forward filter already ran (sampling
+    runs it for the filters — recomputing doubles the O(T·N²) cost)."""
+    joint = path_log_joint(config, zs, observations)
+    if log_marginal is None:
+        _, log_marginal = forward_filter(config, observations)
     return joint - log_marginal, log_marginal
 
 
@@ -170,9 +180,11 @@ class _DiscreteHMMLatentSequencePosterior(Distribution):
 
     def random_weighted(self, key: PRNGKey, *args):
         config, observations = args
-        filters, _ = forward_filter(config, observations)
+        filters, log_marginal = forward_filter(config, observations)
         zs = backward_sample(key, config, filters)
-        w, _ = exact_path_log_posterior(config, zs, observations)
+        w, _ = exact_path_log_posterior(
+            config, zs, observations, log_marginal
+        )
         return w, zs
 
     def estimate_logpdf(self, key: PRNGKey, v, *args):

@@ -16,22 +16,76 @@ from jax.scipy.special import gammaln
 import jax.random as jr
 
 
-def log_bessel_iv(v, x, num_terms: int = 256):
-    """log I_v(x) for v >= 0, x >= 0 via the ascending series
-    ``I_v(x) = sum_m (x/2)^(2m+v) / (m! Gamma(m+v+1))`` evaluated in log space
-    with a ``logsumexp`` over ``num_terms`` terms. Accurate for x up to a few
-    hundred; all shapes static."""
+def _log_iv_hankel(v, x, num_terms: int = 10):
+    """Hankel's large-argument expansion ``I_v(x) ~ e^x/sqrt(2 pi x) *
+    sum_k (-1)^k a_k(v)/x^k`` — accurate for ``x >> v^2`` (used for
+    small orders)."""
+    t = jnp.ones_like(x)
+    s = t
+    for k in range(1, num_terms):
+        t = t * -(4.0 * v * v - (2.0 * k - 1.0) ** 2) / (k * 8.0 * x)
+        s = s + t
+    return x - 0.5 * jnp.log(2.0 * jnp.pi * x) + jnp.log(jnp.maximum(s, 1e-30))
+
+
+def _log_iv_uniform(v, x):
+    """Olver's uniform large-order expansion (A&S 9.7.7): valid uniformly
+    in ``x/v`` for large ``v`` (rel. error ~ v^-4 with three u_k terms)."""
+    z = x / v
+    s = jnp.sqrt(1.0 + z * z)
+    t = 1.0 / s
+    eta = s + jnp.log(z / (1.0 + s))
+    u1 = (3.0 * t - 5.0 * t**3) / 24.0
+    u2 = (81.0 * t**2 - 462.0 * t**4 + 385.0 * t**6) / 1152.0
+    u3 = (
+        30375.0 * t**3
+        - 369603.0 * t**5
+        + 765765.0 * t**7
+        - 425425.0 * t**9
+    ) / 414720.0
+    corr = 1.0 + u1 / v + u2 / v**2 + u3 / v**3
+    return (
+        -0.5 * jnp.log(2.0 * jnp.pi * v)
+        + v * eta
+        - 0.5 * jnp.log(s)
+        + jnp.log(jnp.maximum(corr, 1e-30))
+    )
+
+
+def log_bessel_iv(v, x, num_terms: int = 512):
+    """log I_v(x) for v >= 0, x >= 0, accurate across the whole range:
+
+    - ``x < 400``: the ascending series ``I_v(x) = sum_m (x/2)^(2m+v) /
+      (m! Gamma(m+v+1))`` in log space (``logsumexp`` over ``num_terms``
+      static terms; the term peak sits at m* <= x/2, so 512 terms cover
+      x < 400 for every order),
+    - ``x >= 400``: Hankel's expansion for orders ``v <= 10`` and Olver's
+      uniform large-order expansion otherwise — the series would need
+      ~x/2 terms and silently underestimates beyond its budget (skellam /
+      von_mises_fisher with large parameters hit this).
+
+    All shapes static; branches are clamp-guarded so the unselected
+    ``where`` branch stays finite (NaN-safe gradients)."""
     v = jnp.asarray(v, jnp.float32)
     x = jnp.asarray(x, jnp.float32)
     m = jnp.arange(num_terms, dtype=jnp.float32)
     # broadcast: terms over a new leading axis
+    bshape = jnp.broadcast_shapes(jnp.shape(v), jnp.shape(x))
     log_half_x = jnp.log(jnp.maximum(x, 1e-30) / 2.0)
+    mb = m[(...,) + (None,) * len(bshape)]
     terms = (
-        (2.0 * m[(...,) + (None,) * jnp.ndim(x)] + v) * log_half_x
-        - gammaln(m[(...,) + (None,) * jnp.ndim(x)] + 1.0)
-        - gammaln(m[(...,) + (None,) * jnp.ndim(x)] + v + 1.0)
+        (2.0 * mb + v) * log_half_x
+        - gammaln(mb + 1.0)
+        - gammaln(mb + v + 1.0)
     )
-    out = jax.scipy.special.logsumexp(terms, axis=0)
+    series = jax.scipy.special.logsumexp(terms, axis=0)
+    x_lg = jnp.maximum(x, 1.0)
+    large = jnp.where(
+        v <= 10.0,
+        _log_iv_hankel(v, x_lg),
+        _log_iv_uniform(jnp.maximum(v, 1.0), x_lg),
+    )
+    out = jnp.where(x < 400.0, series, large)
     # I_v(0) = 1 if v == 0 else 0
     at_zero = jnp.where(v == 0.0, 0.0, -jnp.inf)
     return jnp.where(x == 0.0, at_zero, out)

@@ -135,29 +135,9 @@ def stage_body(source, args):
 # ----------------------------------------------------------------------
 
 
-def flat_changed(diff_tree, treedef=None) -> list[bool]:
-    """Per-primal-leaf changed flags of a Diff-annotated tree.
-
-    Handles both per-leaf Diffs and a single Diff wrapping a subtree (each
-    primal leaf under it inherits the wrapper's tangent). Unannotated leaves
-    are conservatively ``changed``.
-    """
-    out: list[bool] = []
-
-    def walk(x):
-        if isinstance(x, Diff):
-            n = len(jtu.tree_leaves(x.primal))
-            out.extend([x.tangent is not NoChange] * n)
-        else:
-            kids = jtu.tree_leaves(x, is_leaf=lambda y: isinstance(y, Diff))
-            if any(isinstance(k, Diff) for k in kids):
-                for k in kids:
-                    walk(k)
-            else:
-                out.extend([True] * len(kids))
-
-    walk(diff_tree)
-    return out
+# flat_changed moved to core.diff (shared with Dimap's pre/post change
+# propagation); re-exported here for existing importers.
+from ..core.diff import flat_changed  # noqa: E402, F401
 
 
 def _tangent_tree(primal_tree, changed_leaves):

@@ -285,3 +285,66 @@ class TestDiscreteSamplerDensityConsistency:
             emp = float(np.mean(samples == s))
             pmf = float(np.exp(float(dist.logpdf(jnp.asarray(s), *args))))
             assert emp == pytest.approx(pmf, abs=0.012), (name, s)
+
+
+from genjax_tpu.dists import (
+    categorical,
+    dirichlet_multinomial,
+    power_spherical,
+    skellam,
+    von_mises_fisher,
+)
+
+
+class TestBatchAndSampleShapeRegressions:
+    """Round-2 review regressions: TFP batch/sample-shape semantics."""
+
+    def test_categorical_batched_value_unbatched_logits(self):
+        # pre-fix: take_along_axis ndim mismatch crash
+        s, _ = categorical.assess(
+            g.ChoiceMap.choice(jnp.array([0, 1, 2])), (jnp.ones(5),)
+        )
+        assert s.shape == (3,)
+        assert jnp.allclose(s, -jnp.log(5.0))
+
+    def test_dirichlet_multinomial_sample_shape(self):
+        x = dirichlet_multinomial.sample(
+            jax.random.key(0), 10, jnp.ones(3), sample_shape=(4,)
+        )
+        assert x.shape == (4, 3)
+        assert jnp.all(jnp.sum(x, -1) == 10)
+
+    def test_directional_sample_shape(self):
+        y = power_spherical.sample(
+            jax.random.key(1), jnp.array([1.0, 0.0, 0.0]), 5.0,
+            sample_shape=(4,),
+        )
+        assert y.shape == (4, 3)
+        assert jnp.allclose(jnp.linalg.norm(y, axis=-1), 1.0, atol=1e-5)
+        z = von_mises_fisher.sample(
+            jax.random.key(2), jnp.array([1.0, 0.0, 0.0]), 5.0,
+            sample_shape=(2, 3),
+        )
+        assert z.shape == (2, 3, 3)
+
+    def test_skellam_large_rates(self):
+        # pre-fix: the 256-term ascending Bessel series underflowed for
+        # x = 2*sqrt(mu1*mu2) beyond a few hundred
+        from scipy import stats as sstats
+
+        for mu1, mu2, k in [(1e4, 1e4, 0), (1e4, 9e3, 50), (500.0, 700.0, -30)]:
+            got = float(skellam.logpdf(jnp.asarray(k), mu1, mu2))
+            exact = float(sstats.skellam.logpmf(k, mu1, mu2))
+            # float32 floor: eps(2e4) ~ 2e-3 in the x - (mu1+mu2)
+            # cancellation; pre-fix the error was hundreds of nats
+            assert got == pytest.approx(exact, abs=5e-3), (mu1, mu2, k)
+
+    def test_von_mises_fisher_large_concentration(self):
+        # log C_d(kappa) uses log I_{d/2-1}(kappa); check normalization by
+        # quadrature-free identity: density at the mean minus density at
+        # the antipode equals 2*kappa
+        mu = jnp.array([1.0, 0.0, 0.0])
+        for kappa in [10.0, 500.0, 5000.0]:
+            lp_mu = float(von_mises_fisher.logpdf(mu, mu, kappa))
+            lp_anti = float(von_mises_fisher.logpdf(-mu, mu, kappa))
+            assert lp_mu - lp_anti == pytest.approx(2 * kappa, rel=1e-4)

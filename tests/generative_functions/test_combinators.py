@@ -547,3 +547,81 @@ class TestScanIndexEditRetvalConsistency:
         # final carry becomes the new z
         assert jnp.allclose(ys[:3], old_ys[:3])
         assert float(carry_out) == pytest.approx(2.0)
+
+
+class TestDimapDiffPropagation:
+    """Regression: Dimap.edit must propagate per-leaf change tangents
+    through the pre mapping. Pre-fix it collapsed to blanket
+    UnknownChange, so a Switch under or_else took its index-CHANGED path
+    (resampling unconstrained choices, generate-style weight) whenever any
+    outer arg changed — even with the flag untouched."""
+
+    def _model(self):
+        @g.gen
+        def branch_if(mu):
+            x = g.normal(mu, 1.0) @ "x"
+            y = g.normal(x, 1.0) @ "y"
+            return y
+
+        @g.gen
+        def branch_else(mu):
+            z = g.normal(mu, 2.0) @ "z"
+            return z
+
+        return g.or_else(branch_if, branch_else)
+
+    def test_unchanged_flag_changed_arg_keeps_choices(self):
+        from genjax_tpu.core.diff import Diff, NoChange, UnknownChange
+
+        m = self._model()
+        tr = m.simulate(jax.random.key(0), (True, (0.0,), (0.0,)))
+        old_x = float(tr.get_choices()["x"])
+        argdiffs = (
+            Diff(True, NoChange),
+            (Diff(0.5, UnknownChange),),
+            (Diff(0.0, NoChange),),
+        )
+        new_tr, w, _rd, _bwd = m.edit(
+            jax.random.key(1), tr, g.Update(g.C.kw(y=1.0)), argdiffs
+        )
+        # Update semantics: the unconstrained choice is retained and the
+        # weight is the update density ratio
+        assert float(new_tr.get_choices()["x"]) == pytest.approx(old_x)
+        assert float(w) == pytest.approx(
+            float(new_tr.get_score() - tr.get_score()), abs=1e-5
+        )
+
+    def test_concrete_bool_keeps_inner_trace_access(self):
+        m = self._model()
+        tr = m.simulate(jax.random.key(0), (True, (0.0,), (0.0,)))
+        # a concrete Python bool flag keeps the concrete-index fast path
+        assert tr.get_inner_trace("x") is not None
+
+
+class TestSwitchEditCheckify:
+    """Regression: the index-changed edit path must suppress constraint
+    validation like generate/assess do — multi_switch shape-traces every
+    branch, so sibling-branch addresses in the constraint are not typos."""
+
+    def test_index_change_edit_under_checkify(self):
+        from genjax_tpu.core.diff import Diff, NoChange, UnknownChange
+        from genjax_tpu.checkify import do_checkify
+
+        @g.gen
+        def b0():
+            _ = g.normal(0.0, 1.0) @ "a"
+
+        @g.gen
+        def b1():
+            _ = g.normal(0.0, 1.0) @ "b"
+
+        sw = g.switch(b0, b1)
+        tr = sw.simulate(jax.random.key(0), (0, (), ()))
+        argdiffs = (Diff(1, UnknownChange), (), ())
+        with do_checkify():
+            new_tr, _w, _rd, _bwd = sw.edit(
+                jax.random.key(1), tr, g.Update(g.C.kw(b=0.3)), argdiffs
+            )
+        v = new_tr.get_choices()["b"]
+        v = v.unmask() if hasattr(v, "unmask") else v
+        assert float(v) == pytest.approx(0.3)
