@@ -60,27 +60,30 @@ class DiscreteHMMConfiguration(Pytree):
     sigma_obs: float = Pytree.static()
 
     def transition_tensor(self):
+        # host numpy, NOT an eager device array: callers close over these
+        # tensors as jit constants, and eager constants stall lowering on
+        # the tunneled TPU (CLAUDE.md / ARCHITECTURE §TPU rules)
         s = self.sigma_trans
-        return jnp.asarray(
+        return np.asarray(
             scaled_circulant(
                 self.linear_grid_dim,
                 self.adjacency_distance_trans,
                 s if s > 0.0 else -np.inf,
                 1 / s if s > 0.0 else -np.inf,
             ),
-            dtype=jnp.float32,
+            dtype=np.float32,
         )
 
     def observation_tensor(self):
         s = self.sigma_obs
-        return jnp.asarray(
+        return np.asarray(
             scaled_circulant(
                 self.linear_grid_dim,
                 self.adjacency_distance_obs,
                 s if s > 0.0 else -np.inf,
                 1 / s if s > 0.0 else np.inf,
             ),
-            dtype=jnp.float32,
+            dtype=np.float32,
         )
 
     def log_initial(self):

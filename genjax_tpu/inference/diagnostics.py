@@ -8,6 +8,7 @@ compile to ICI collectives when the chain axis is sharded.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -30,30 +31,60 @@ def split_rhat(draws) -> jnp.ndarray:
 
 
 def ess(draws, max_lag: int | None = None) -> jnp.ndarray:
-    """Bulk effective sample size via autocorrelation (Geyer initial
-    positive sequence, vectorized with a fixed lag budget).
-    ``draws``: (n_chains, n_draws)."""
+    """Bulk effective sample size (Vehtari et al. 2021): split chains,
+    cross-chain pooled-variance autocorrelations, Geyer initial positive
+    sequence with a fixed lag budget. ``draws``: (n_chains, n_draws).
+
+    The lag-t correlation is ``rho_t = 1 - (W - mean_acov_t) / var_plus``
+    with ``var_plus = (n-1)/n W + B/n`` — between-chain disagreement
+    (chains stuck at different modes) inflates ``var_plus`` and drives the
+    estimate toward zero, where a within-chain-only normalization would
+    report maximal ESS for an unconverged run."""
     n_chains, n_draws = draws.shape[0], draws.shape[1]
+    half = n_draws // 2
+    if half >= 2:
+        # split each chain in two so within-chain drift also registers
+        split = jnp.concatenate(
+            [draws[:, :half], draws[:, half : 2 * half]], axis=0
+        )
+    else:
+        split = draws
+    m, n = split.shape[0], split.shape[1]
     if max_lag is None:
-        max_lag = min(n_draws - 1, 256)
+        max_lag = min(n - 1, 256)
+    else:
+        max_lag = min(max_lag, n - 1)
     if max_lag < 1:
         # a single draw per chain carries no autocorrelation information:
         # tau = 1 (jnp.stack on zero lags would crash)
         return jnp.asarray(float(n_chains * n_draws))
-    centered = draws - jnp.mean(draws, axis=1, keepdims=True)
-    var = jnp.mean(centered**2, axis=1) + 1e-12
+    centered = split - jnp.mean(split, axis=1, keepdims=True)
+    chain_vars = jnp.sum(centered**2, axis=1) / (n - 1)
+    w = jnp.mean(chain_vars) + 1e-12
+    b_over_n = jnp.var(jnp.mean(split, axis=1), ddof=1) if m > 1 else 0.0
+    var_plus = (n - 1) / n * w + b_over_n
 
-    def acf(lag):
-        a = centered[:, : n_draws - lag]
-        b = centered[:, lag:]
-        return jnp.mean(jnp.mean(a * b, axis=1) / var)
+    # all-lag autocovariance as ONE compiled loop (roll + prefix mask) —
+    # a fixed-size graph, vs. an unrolled per-lag Python loop that
+    # dominates trace time. (Not FFT: XLA's CPU fft thunk rejects the
+    # transposed layouts vmap feeds it.)
+    positions = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
 
-    rhos = jnp.stack([acf(int(l)) for l in range(1, max_lag + 1)])
+    def acov_at(_, lag):
+        shifted = jnp.roll(centered, -lag, axis=1)
+        valid = (positions < n - lag).astype(centered.dtype)
+        return None, jnp.mean(jnp.sum(centered * shifted * valid, axis=1) / n)
+
+    _, mean_acovs = jax.lax.scan(
+        acov_at, None, jnp.arange(1, max_lag + 1)
+    )
+    rhos = 1.0 - (w - mean_acovs) / var_plus
     # Geyer: sum consecutive pairs while positive
     pair_sums = rhos[0::2][: max_lag // 2] + rhos[1::2][: max_lag // 2]
     positive = jnp.cumprod(pair_sums > 0)
     tau = 1.0 + 2.0 * jnp.sum(jnp.where(positive, pair_sums, 0.0))
-    return n_chains * n_draws / tau
+    total = n_chains * n_draws
+    return jnp.clip(total / tau, 0.0, float(total))
 
 
 __all__ = ["ess", "split_rhat"]

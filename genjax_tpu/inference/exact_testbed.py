@@ -57,8 +57,10 @@ def build_test_against_exact_inference(
 
     @gen
     def kernel(state, _x):
-        z = categorical(transition[state, :]) @ "z"
-        _ = categorical(observation[z, :]) @ "x"
+        # host-numpy tensors become jaxpr constants here at trace
+        # time (tracer indexing needs the jnp view)
+        z = categorical(jnp.asarray(transition)[state, :]) @ "z"
+        _ = categorical(jnp.asarray(observation)[z, :]) @ "x"
         return (z, None)
 
     markov_chain = ScanCombinator(kernel, length=max_length)

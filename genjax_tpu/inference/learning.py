@@ -164,9 +164,17 @@ def laplace_approximation(
 
     h = jax.hessian(log_joint)(z_hat)
     prec = -h
-    cov = jnp.linalg.inv(prec)
     d = z_hat.shape[0]
-    sign, logdet = jnp.linalg.slogdet(prec)
+    # The Gaussian approximation only exists where -H is positive
+    # definite; at a saddle (or an unconverged fit) slogdet's sign goes
+    # non-positive and log|det| would be a finite but meaningless number.
+    # Check definiteness via the Cholesky route (sign alone misses
+    # even-signature saddles) and surface NaN instead of garbage.
+    chol = jnp.linalg.cholesky(prec)
+    pos_def = jnp.all(jnp.isfinite(chol))
+    _sign, logdet = jnp.linalg.slogdet(prec)
+    logdet = jnp.where(pos_def, logdet, jnp.nan)
+    cov = jnp.where(pos_def, jnp.linalg.inv(prec), jnp.nan)
     log_marginal = (
         res.log_joint + 0.5 * d * jnp.log(2.0 * jnp.pi) - 0.5 * logdet
     )

@@ -97,8 +97,10 @@ def sample_posterior(
 ) -> PosteriorSamples:
     """Sample ``p(selection | constraint)`` with adaptive NUTS or HMC.
 
-    Warmup splits into 6 windows: each window runs transitions at the
-    current settings, nudges the step size toward ``target_accept``, and
+    Warmup splits into up to 6 windows totalling exactly ``n_warmup``
+    transitions (``n_warmup=0`` disables adaptation, keeping ``eps0`` and
+    the identity mass): each window runs transitions at the current
+    settings, nudges the step size toward ``target_accept``, and
     re-estimates the diagonal inverse mass from cross-chain variance of
     the raveled selected choices. Sampling then records one draw per
     ``thin`` transitions. With ``mesh``, the chain batch shards over it.
@@ -157,36 +159,37 @@ def sample_posterior(
         )(init_keys)
         d = jax.vmap(ravel_selected, in_axes=-1)(traces).shape[1]
 
-        # ---- warmup: 6 windows of step-size + mass adaptation ----
-        n_windows = 6
-        steps_per_window = max(n_warmup // n_windows, 1)
+        # ---- warmup: step-size + mass adaptation over up to 6 windows
+        # totalling exactly n_warmup transitions. n_warmup=0 disables
+        # adaptation entirely (the caller's eps0 and identity mass are
+        # kept); window sizes differ by at most one, so the Python-level
+        # unroll stays tiny while honoring the requested budget. ----
+        n_windows = min(6, n_warmup)
+        eps = jnp.asarray(eps0, jnp.float32)
+        inv_mass = jnp.ones((d,))
+        if n_windows > 0:
+            base, rem = divmod(n_warmup, n_windows)
+            wkeys = jr.split(k_warm, n_windows)
+            for wi in range(n_windows):
+                steps_this_window = base + (1 if wi < rem else 0)
 
-        def window(carry, wk):
-            traces, eps, inv_mass = carry
+                def step(traces, kk, eps=eps, inv_mass=inv_mass):
+                    ks = jr.split(kk, n_chains)
+                    traces, (accs, _divs) = jax.vmap(
+                        lambda k, t: transition(k, t, eps, inv_mass),
+                        in_axes=(0, -1),
+                        out_axes=(-1, (0, 0)),
+                    )(ks, traces)
+                    return traces, jnp.mean(accs)
 
-            def step(traces, kk):
-                ks = jr.split(kk, n_chains)
-                traces, (accs, _divs) = jax.vmap(
-                    lambda k, t: transition(k, t, eps, inv_mass),
-                    in_axes=(0, -1),
-                    out_axes=(-1, (0, 0)),
-                )(ks, traces)
-                return traces, jnp.mean(accs)
-
-            traces, accs = lax.scan(
-                step, traces, jr.split(wk, steps_per_window)
-            )
-            eps = multiplicative_nudge(
-                eps, jnp.mean(accs), target_accept=target_accept
-            )
-            positions = jax.vmap(ravel_selected, in_axes=-1)(traces)
-            inv_mass = cross_chain_inv_mass(positions, chain_axis=0)
-            return (traces, eps, inv_mass), jnp.mean(accs)
-
-        init = (traces, jnp.asarray(eps0, jnp.float32), jnp.ones((d,)))
-        (traces, eps, inv_mass), _ = lax.scan(
-            window, init, jr.split(k_warm, n_windows)
-        )
+                traces, accs = lax.scan(
+                    step, traces, jr.split(wkeys[wi], steps_this_window)
+                )
+                eps = multiplicative_nudge(
+                    eps, jnp.mean(accs), target_accept=target_accept
+                )
+                positions = jax.vmap(ravel_selected, in_axes=-1)(traces)
+                inv_mass = cross_chain_inv_mass(positions, chain_axis=0)
 
         # ---- sampling: record one draw per `thin` transitions ----
         def sample_step(traces, kk):
@@ -239,10 +242,9 @@ def sample_posterior(
 
     rhat_flat, ess_flat = diagnostics(draws)
 
-    def unflatten_axis(flat_by_dim, agg=None):
+    def unflatten_axis(flat_by_dim):
         """Map per-raveled-dim values back onto the selection's pytree."""
-        tree = unravel(jnp.asarray(flat_by_dim, jnp.float32))
-        return tree
+        return unravel(jnp.asarray(flat_by_dim, jnp.float32))
 
     positions = jax.vmap(jax.vmap(unravel))(draws)
     return PosteriorSamples(

@@ -64,8 +64,9 @@ class ParticleCollection(Pytree):
 
     def effective_sample_size(self):
         """ESS = (Σw)² / Σw² of the normalized weights."""
-        lw = self.log_weights - logsumexp(self.log_weights)
-        return jnp.exp(-logsumexp(2.0 * lw))
+        from ..parallel.resampling import effective_sample_size
+
+        return effective_sample_size(self.log_weights)
 
     def __getitem__(self, idx):
         return jtu.tree_map(lambda v: v[idx], (self.particles, self.log_weights))

@@ -65,9 +65,13 @@ def tempered_smc(
     k = n_particles
 
     if rejuvenation is not None and not isinstance(rejuvenation, Selection):
+        from ..generative.concepts import DiffAnnotate
         from .requests.nuts import NUTS as _NUTS
 
-        if isinstance(rejuvenation, _NUTS):
+        inner_req = rejuvenation
+        while isinstance(inner_req, DiffAnnotate):
+            inner_req = inner_req.request
+        if isinstance(inner_req, _NUTS):
             # The tempered-target correction alpha = w - (1-beta)*dllh
             # composes around PROPOSAL-style requests whose returned
             # weight is the full-posterior MH log-alpha of a not-yet-
@@ -151,13 +155,23 @@ def tempered_smc(
                     new_llh = _constrained_score(constraint, new_tr)
                     dllh = new_llh - llh
                     if is_prior_regen:
-                        # prior-proposal MH on the tempered target: the
-                        # prior terms cancel, leaving beta * dllh
-                        alpha = beta * dllh
-                    else:
-                        # w is the full-posterior alpha (HMC/Rejuvenate);
-                        # remove the untempered likelihood share
-                        alpha = w - (1.0 - beta) * dllh
+                        # Regenerate returns the joint-density ratio;
+                        # subtracting the selected choices' own score
+                        # change converts it to the full-posterior MH
+                        # alpha (same conversion as inference.mcmc.mh) —
+                        # this keeps the prior-density change of any
+                        # UNSELECTED latents that depend on the
+                        # regenerated choices, which does not cancel
+                        # against the prior proposal in hierarchies
+                        sel = request.selection
+                        w = w - (
+                            new_tr.project(jr.fold_in(kp, 2), sel)
+                            - tr.project(jr.fold_in(kp, 3), sel)
+                        )
+                    # w is now the full-posterior alpha (HMC/Rejuvenate
+                    # return it directly); remove the untempered
+                    # likelihood share for the rung's target
+                    alpha = w - (1.0 - beta) * dllh
                     accept = jnp.log(jr.uniform(jr.fold_in(kp, 1))) < alpha
                     out_tr = jtu.tree_map(
                         lambda a, b: jnp.where(accept, a, b), new_tr, tr

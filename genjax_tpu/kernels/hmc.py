@@ -103,7 +103,10 @@ def _hmc_kernel(
 ):
     *const_refs, out_q_ref, accept_ref = rest_refs
     if hw_rng:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        # non-additive block mixing: seed + i would make block i of seed s
+        # bit-identical to block i-1 of seed s+1, correlating replicate
+        # sweeps run with adjacent seeds (same constant as the sw path)
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * jnp.int32(0x3504F333))
         rand_bits = _hw_rand_bits
     else:
         rand_bits = _sw_rand_bits_factory(

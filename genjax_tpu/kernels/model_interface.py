@@ -116,6 +116,10 @@ def column_hmc(
     main sweep (``eps`` then seeds the adaptation). Returns ``(positions,
     accept_rate, packer)``; decode single chains with
     ``packer.unpack(positions[:, i])``."""
+    if constraint is None:
+        # unconstrained use (pure prior sweeps) is advertised: normalize
+        # here so generate/assess downstream see a real ChoiceMap
+        constraint = ChoiceMap.empty()
     packer = ColumnPacker(model, constraint, args, addresses)
     logdensity_cols = column_logdensity(model, constraint, args, packer)
 
@@ -168,6 +172,10 @@ def column_nuts(
     packer)``."""
     from .nuts import nuts_sweep_cols
 
+    if constraint is None:
+        # unconstrained use (pure prior sweeps) is advertised: normalize
+        # here so generate/assess downstream see a real ChoiceMap
+        constraint = ChoiceMap.empty()
     packer = ColumnPacker(model, constraint, args, addresses)
     logdensity_cols = column_logdensity(model, constraint, args, packer)
 

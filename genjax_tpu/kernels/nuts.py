@@ -69,6 +69,9 @@ def nuts_transition(
     d = z0.shape[0]
     if inv_mass is None:
         inv_mass = jnp.ones((d,), jnp.float32)
+    else:
+        # accept the (D, 1) column-layout shape the batched path takes
+        inv_mass = jnp.reshape(jnp.asarray(inv_mass, jnp.float32), (d,))
     mom_std = 1.0 / jnp.sqrt(inv_mass)
     vg = jax.value_and_grad(logdensity)
     kr, kd, ku = jr.split(key, 3)

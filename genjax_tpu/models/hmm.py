@@ -23,8 +23,10 @@ def discrete_hmm_model(config: DiscreteHMMConfiguration, max_length: int):
 
     @gen
     def kernel(state, _x):
-        z = categorical(transition[state, :]) @ "z"
-        _ = categorical(observation[z, :]) @ "x"
+        # host-numpy tensors become jaxpr constants here at trace
+        # time (tracer indexing needs the jnp view)
+        z = categorical(jnp.asarray(transition)[state, :]) @ "z"
+        _ = categorical(jnp.asarray(observation)[z, :]) @ "x"
         return (z, None)
 
     return ScanCombinator(kernel, length=max_length), config

@@ -10,6 +10,7 @@ over the sharded axis.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable
 
 import jax
@@ -44,20 +45,29 @@ def run_chains_sharded(
 
     keys = jr.split(key, n_chains)
     keys = jax.device_put(keys, NamedSharding(mesh, P(axis)))
+    return _run_chains_jit(keys, request, make_trace, n_steps, record)
 
-    @jax.jit
-    def run(keys):
-        def one(k):
-            k_init, k_run = jr.split(k)
-            tr = make_trace(k_init)
-            return run_chain(k_run, tr, request, n_steps, record=record)
 
-        # chains-on-lanes internal layout (see inference.mcmc.run_chains:
-        # 20x on small models), restored to chains-leading on the outputs
-        res = jax.vmap(one, out_axes=-1)(keys)
-        return jtu.tree_map(lambda v: jnp.moveaxis(v, -1, 0), res)
+@functools.partial(
+    jax.jit, static_argnames=("make_trace", "n_steps", "record")
+)
+def _run_chains_jit(keys, request, make_trace, n_steps, record):
+    # module-level jit (NOT a per-call closure): repeat calls with the
+    # same callables and shapes hit the compile cache instead of paying
+    # the 10–400 s remote re-compile per invocation (CLAUDE.md)
+    import jax.tree_util as jtu
 
-    return run(keys)
+    from ..inference.mcmc import run_chain
+
+    def one(k):
+        k_init, k_run = jr.split(k)
+        tr = make_trace(k_init)
+        return run_chain(k_run, tr, request, n_steps, record=record)
+
+    # chains-on-lanes internal layout (see inference.mcmc.run_chains:
+    # 20x on small models), restored to chains-leading on the outputs
+    res = jax.vmap(one, out_axes=-1)(keys)
+    return jtu.tree_map(lambda v: jnp.moveaxis(v, -1, 0), res)
 
 
 # Step-size adaptation lives in the unified adaptation module
@@ -97,7 +107,13 @@ def warmup_adapt_step_size(
             # must come from a separate split (advisor round-1 finding).
             k_edit, k_acc = jr.split(k)
             new_tr, alpha, _, _ = tr.edit(k_edit, make_request(eps))
-            accept_prob = jnp.minimum(1.0, jnp.exp(alpha))
+            # a diverged leapfrog yields alpha = NaN; count it as a
+            # rejection (prob 0) or one poisoned chain makes mean_accept
+            # — and then the dual-averaged eps — NaN for the rest of
+            # warmup (the column kernels guard this in-kernel)
+            accept_prob = jnp.where(
+                jnp.isnan(alpha), 0.0, jnp.minimum(1.0, jnp.exp(alpha))
+            )
             log_u = jnp.log(jr.uniform(k_acc))
             accept = log_u < alpha
             out = jax.tree_util.tree_map(

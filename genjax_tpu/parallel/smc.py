@@ -10,6 +10,7 @@ log-normalizers, and resampling use XLA collectives inside one jitted
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import jax
@@ -154,100 +155,118 @@ class SSMParticleFilter(Pytree):
         assert self.n_particles % n_shards == 0, (
             f"n_particles={self.n_particles} must divide over {n_shards} shards"
         )
-        k_local = self.n_particles // n_shards
-        k = self.n_particles
-
-        def shard_program(key, init_carry, xs, constraint):
-            shard = lax.axis_index(axis)
-            xs_leaves = jtu.tree_leaves(xs)
-            t_count = xs_leaves[0].shape[0] if xs_leaves else n_steps
-            if t_count is None:
-                raise ValueError(
-                    "run_sharded: xs is None/empty — pass n_steps."
-                )
-
-            def broadcast(c):
-                return jtu.tree_map(
-                    lambda v: jnp.broadcast_to(
-                        jnp.asarray(v), (k_local,) + jnp.shape(v)
-                    ),
-                    c,
-                )
-
-            def step(state, inp):
-                carries, log_w, log_z = state
-                t, x = inp
-                # Same aliasing fix as ``run``: distinct parents for
-                # particle-extension keys and the resampling key.
-                extend_key, resample_key = jr.split(jr.fold_in(key, t))
-
-                def extend(pkey, c):
-                    submap = constraint.get_submap(t)
-                    tr, w = self.kernel.generate(pkey, submap, (c, x))
-                    c_new, _y = tr.get_retval()
-                    return c_new, w
-
-                pkeys = jr.split(jr.fold_in(extend_key, shard), k_local)
-                carries, ws = jax.vmap(extend)(pkeys, carries)
-                log_w = log_w + ws
-
-                # global ESS via collectives
-                g_max = lax.pmax(jnp.max(log_w), axis)
-                s1 = lax.psum(jnp.sum(jnp.exp(log_w - g_max)), axis)
-                s2 = lax.psum(jnp.sum(jnp.exp(2.0 * (log_w - g_max))), axis)
-                ess = s1 * s1 / s2
-
-                def do_resample(args):
-                    carries, log_w, log_z = args
-                    new_c, new_lw, inc = collective_resample(
-                        resample_key,
-                        carries,
-                        log_w,
-                        axis,
-                        method=self.method,
-                        mode=resample_mode,
-                    )
-                    return new_c, new_lw, log_z + inc
-
-                carries, log_w, log_z = lax.cond(
-                    ess < self.ess_threshold * k,
-                    do_resample,
-                    lambda a: a,
-                    (carries, log_w, log_z),
-                )
-                return (carries, log_w, log_z), ess
-
-            init = (broadcast(init_carry), jnp.zeros((k_local,)), jnp.asarray(0.0))
-            (carries, log_w, log_z), ess_hist = lax.scan(
-                step, init, (jnp.arange(t_count), xs)
-            )
-            # final global normalizer
-            g_max = lax.pmax(jnp.max(log_w), axis)
-            total = lax.psum(jnp.sum(jnp.exp(log_w - g_max)), axis)
-            log_marginal = log_z + g_max + jnp.log(total) - jnp.log(k)
-            return carries, log_w, log_marginal, ess_hist
-
-        import inspect
-
-        try:
-            from jax import shard_map
-        except ImportError:  # older jax
-            from jax.experimental.shard_map import shard_map
-
-        # the replication-check kwarg was renamed check_rep -> check_vma
-        _params = inspect.signature(shard_map).parameters
-        _check_kw = {"check_vma": False} if "check_vma" in _params else {"check_rep": False}
-        program = shard_map(
-            shard_program,
-            mesh=mesh,
-            in_specs=(P(), P(), P(), P()),
-            out_specs=(P(axis), P(axis), P(), P()),
-            **_check_kw,
-        )
-        carries, log_w, log_marginal, ess_hist = jax.jit(program)(
-            key, init_carry, xs, constraint
+        carries, log_w, log_marginal, ess_hist = _pf_run_sharded(
+            self, key, init_carry, xs, constraint,
+            mesh=mesh, axis=axis, resample_mode=resample_mode,
+            n_steps=n_steps,
         )
         return ParticleFilterResult(carries, log_w, log_marginal, ess_hist)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "axis", "resample_mode", "n_steps"),
+)
+def _pf_run_sharded(
+    pf, key, init_carry, xs, constraint, *, mesh, axis, resample_mode, n_steps
+):
+    # Module-level jit, with the filter riding along as a pytree argument
+    # (its static fields and kernel land in the treedef cache key) — NOT a
+    # per-call closure, so repeat calls with the same model/shapes reuse
+    # the compiled program instead of paying the 10-400 s remote
+    # re-compile each time (CLAUDE.md).
+    n_shards = mesh.shape[axis]
+    k = pf.n_particles
+    k_local = k // n_shards
+
+    def shard_program(key, init_carry, xs, constraint):
+        shard = lax.axis_index(axis)
+        xs_leaves = jtu.tree_leaves(xs)
+        t_count = xs_leaves[0].shape[0] if xs_leaves else n_steps
+        if t_count is None:
+            raise ValueError(
+                "run_sharded: xs is None/empty — pass n_steps."
+            )
+
+        def broadcast(c):
+            return jtu.tree_map(
+                lambda v: jnp.broadcast_to(
+                    jnp.asarray(v), (k_local,) + jnp.shape(v)
+                ),
+                c,
+            )
+
+        def step(state, inp):
+            carries, log_w, log_z = state
+            t, x = inp
+            # Same aliasing fix as ``run``: distinct parents for
+            # particle-extension keys and the resampling key.
+            extend_key, resample_key = jr.split(jr.fold_in(key, t))
+
+            def extend(pkey, c):
+                submap = constraint.get_submap(t)
+                tr, w = pf.kernel.generate(pkey, submap, (c, x))
+                c_new, _y = tr.get_retval()
+                return c_new, w
+
+            pkeys = jr.split(jr.fold_in(extend_key, shard), k_local)
+            carries, ws = jax.vmap(extend)(pkeys, carries)
+            log_w = log_w + ws
+
+            # global ESS via collectives
+            g_max = lax.pmax(jnp.max(log_w), axis)
+            s1 = lax.psum(jnp.sum(jnp.exp(log_w - g_max)), axis)
+            s2 = lax.psum(jnp.sum(jnp.exp(2.0 * (log_w - g_max))), axis)
+            ess = s1 * s1 / s2
+
+            def do_resample(args):
+                carries, log_w, log_z = args
+                new_c, new_lw, inc = collective_resample(
+                    resample_key,
+                    carries,
+                    log_w,
+                    axis,
+                    method=pf.method,
+                    mode=resample_mode,
+                )
+                return new_c, new_lw, log_z + inc
+
+            carries, log_w, log_z = lax.cond(
+                ess < pf.ess_threshold * k,
+                do_resample,
+                lambda a: a,
+                (carries, log_w, log_z),
+            )
+            return (carries, log_w, log_z), ess
+
+        init = (broadcast(init_carry), jnp.zeros((k_local,)), jnp.asarray(0.0))
+        (carries, log_w, log_z), ess_hist = lax.scan(
+            step, init, (jnp.arange(t_count), xs)
+        )
+        # final global normalizer
+        g_max = lax.pmax(jnp.max(log_w), axis)
+        total = lax.psum(jnp.sum(jnp.exp(log_w - g_max)), axis)
+        log_marginal = log_z + g_max + jnp.log(total) - jnp.log(k)
+        return carries, log_w, log_marginal, ess_hist
+
+    import inspect
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    # the replication-check kwarg was renamed check_rep -> check_vma
+    _params = inspect.signature(shard_map).parameters
+    _check_kw = {"check_vma": False} if "check_vma" in _params else {"check_rep": False}
+    program = shard_map(
+        shard_program,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=(P(axis), P(axis), P(), P()),
+        **_check_kw,
+    )
+    return program(key, init_carry, xs, constraint)
 
 
 def sharded_importance(
@@ -266,11 +285,13 @@ def sharded_importance(
     """
     keys = jr.split(key, k_particles)
     keys = jax.device_put(keys, NamedSharding(mesh, P(axis)))
+    return _sharded_importance_jit(keys, target_importance)
 
-    @jax.jit
-    def run(keys):
-        trs, ws = jax.vmap(target_importance)(keys)
-        log_z = logsumexp(ws) - jnp.log(k_particles)
-        return trs, ws, log_z
 
-    return run(keys)
+@functools.partial(jax.jit, static_argnames=("target_importance",))
+def _sharded_importance_jit(keys, target_importance):
+    # module-level jit: repeat calls with the same callable reuse the
+    # compiled program (see _pf_run_sharded)
+    trs, ws = jax.vmap(target_importance)(keys)
+    log_z = logsumexp(ws) - jnp.log(keys.shape[0])
+    return trs, ws, log_z

@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import pytest
 
 import genjax_tpu as g
-from genjax_tpu.inference.learning import fit_map
+from genjax_tpu.inference.learning import fit_map, laplace_approximation
 
 KEY = jax.random.key(0)
 
@@ -100,3 +100,21 @@ class TestFitMAP:
         assert abs(abs(float(res["mu"])) - 2.0) < 0.05
         # trajectory is monotone-ish toward the optimum
         assert float(res.trajectory[-1]) >= float(res.trajectory[0])
+
+
+def test_laplace_non_positive_definite_surfaces_nan():
+    """At a point where -H is not positive definite (here a local MINIMUM
+    of the log-joint along z), the Gaussian approximation does not exist:
+    log_marginal and cov must come back NaN, not silently-finite garbage."""
+
+    @g.gen
+    def saddle():
+        z = g.uniform(-1e-3, 1e-3) @ "z"  # flat prior, zero curvature
+        _ = g.normal(z * z, 0.1) @ "y"  # y=4: loglik curvature at 0 is +800
+
+    lap = laplace_approximation(
+        KEY, saddle, g.C["y"].set(4.0), (), g.S["z"],
+        n_steps=0, n_restarts=2,
+    )
+    assert jnp.isnan(float(lap.log_marginal))
+    assert bool(jnp.all(jnp.isnan(lap.cov)))

@@ -73,3 +73,27 @@ class TestSamplePosterior:
         )
         draws = res["mu"][:, -15:]
         assert jnp.mean(draws) == pytest.approx(1.0, abs=0.12)
+
+
+class TestWarmupBudget:
+    def test_zero_warmup_keeps_caller_settings(self):
+        """n_warmup=0 must disable adaptation entirely: eps stays eps0 and
+        the inverse mass stays the identity (previously 6 windows of 1
+        step ran anyway, overwriting both with 6-transition noise)."""
+        res = sample_posterior(
+            KEY, conjugate, OBS, (), g.S["mu"],
+            n_chains=32, n_warmup=0, n_samples=5,
+            algorithm="hmc", eps0=0.237, L=3,
+        )
+        assert float(res.eps) == pytest.approx(0.237)
+        assert jnp.all(res.inv_mass == 1.0)
+
+    def test_small_warmup_budgets_run(self):
+        # budgets that don't divide 6 evenly must still work (and adapt)
+        for n_warmup in (1, 5, 7):
+            res = sample_posterior(
+                KEY, conjugate, OBS, (), g.S["mu"],
+                n_chains=32, n_warmup=n_warmup, n_samples=4,
+                algorithm="hmc", eps0=0.1, L=3,
+            )
+            assert jnp.isfinite(float(res.eps))

@@ -62,6 +62,45 @@ class TestTemperedSMC:
         mean = jnp.sum(w * mus)
         assert mean == pytest.approx(1.2, abs=0.1)
 
+    def test_hierarchical_prior_regenerate_invariance(self):
+        """Prior-Regenerate rejuvenation of a latent with a LATENT child:
+        the tempered MH alpha must include the child's prior-density change
+        Δ log p(z2|z1) (it does not cancel against the prior proposal).
+        Exact check: z1→z2→y chain with unit variances, y=2.0 observed —
+        marginal y ~ N(0,3), E[z1|y] = y/3. A broken alpha (the old
+        ``beta*dllh`` — identically 0 here, since y depends only on z2)
+        always accepts, leaving z1 prior-distributed with mean ≈ 0."""
+
+        @g.gen
+        def chain3():
+            z1 = g.normal(0.0, 1.0) @ "z1"
+            z2 = g.normal(z1, 1.0) @ "z2"
+            _ = g.normal(z2, 1.0) @ "y"
+
+        obs = g.C["y"].set(2.0)
+        res = jax.jit(
+            lambda k: tempered_smc(
+                k,
+                chain3,
+                obs,
+                (),
+                n_particles=4096,
+                betas=geometric_ladder(10),
+                rejuvenation=g.S["z1"],
+                n_rejuvenation=3,
+            )
+        )(KEY)
+        import jax.scipy.stats as jss
+
+        assert res.log_marginal == pytest.approx(
+            float(jss.norm.logpdf(2.0, 0.0, jnp.sqrt(3.0))), abs=0.05
+        )
+        w = jax.nn.softmax(res.log_weights)
+        z1s = res.traces.get_choices()["z1"]
+        # E[z1|y=2] = 2/3; the broken kernel gives ≈ E[z1] ≈ 0... well,
+        # ≈ E[z1 | z2] mixed toward the prior — measurably below 2/3
+        assert jnp.sum(w * z1s) == pytest.approx(2.0 / 3.0, abs=0.1)
+
     def test_multimodal_benefit(self):
         """Tempering + rejuvenation populates both modes of a bimodal
         posterior, where plain importance sampling collapses."""

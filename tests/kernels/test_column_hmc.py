@@ -207,3 +207,18 @@ class TestMassAdaptation:
         assert float(acc) > 0.6
         assert jnp.mean(mus) == pytest.approx(1.0, abs=0.1)
         assert jnp.std(mus) == pytest.approx(1.0 / np.sqrt(2.0), abs=0.1)
+
+
+class TestEntryContracts:
+    def test_none_constraint_is_unconstrained_prior(self):
+        # None advertises pure-prior sweeps; must not crash in generate.
+        # All addresses must be packed (assess needs a full assignment).
+        q, acc, packer = column_hmc(
+            conjugate, None, (), ["mu", "y"],
+            n_chains=256, n_steps=100, eps=0.5, L=5, backend="xla",
+        )
+        mus = q[0, :]
+        assert float(acc) > 0.5
+        # unconstrained target = the prior N(0, 1)
+        assert abs(float(jnp.mean(mus))) < 0.15
+        assert float(jnp.std(mus)) == pytest.approx(1.0, abs=0.12)

@@ -158,3 +158,19 @@ class TestColumnNUTS:
         assert float(acc) > 0.8
         assert jnp.mean(mus) == pytest.approx(1.0, abs=0.1)
         assert jnp.std(mus) == pytest.approx(1 / np.sqrt(2.0), abs=0.1)
+
+
+def test_unbatched_accepts_column_inv_mass_shape():
+    """nuts_transition must take the same (D, 1) inv_mass contract as the
+    batched nuts_transition_cols path."""
+    import jax.random as jr
+
+    from genjax_tpu.kernels.nuts import nuts_transition
+
+    def ld(z):
+        return -0.5 * jnp.sum(z * z)
+
+    z0 = jnp.zeros((3,))
+    z1, info = nuts_transition(ld, z0, jr.key(0), 0.5, inv_mass=jnp.ones((3, 1)))
+    assert z1.shape == (3,)
+    assert jnp.all(jnp.isfinite(z1))

@@ -347,3 +347,30 @@ class TestShardedColumnSweeps:
         )(q0)
         assert float(acc) > 0.7
         assert float(jnp.std(qf)) == pytest.approx(1.0, abs=0.12)
+
+
+class TestCompileCaching:
+    def test_run_chains_sharded_reuses_compiled_program(self):
+        """Repeat calls with the same callables/shapes must hit the jit
+        cache (per-call closures re-traced + re-compiled the full
+        multi-chip program every call: 10-400 s each on the TPU tunnel)."""
+        import genjax_tpu as g
+        from genjax_tpu.parallel import make_mesh
+        from genjax_tpu.parallel.mcmc import _run_chains_jit, run_chains_sharded
+
+        @g.gen
+        def model():
+            mu = g.normal(0.0, 1.0) @ "mu"
+            _ = g.normal(mu, 0.5) @ "y"
+
+        def make_trace(k):
+            tr, _ = model.generate(k, g.C["y"].set(1.0), ())
+            return tr
+
+        mesh = make_mesh()
+        req = g.HMC(g.S["mu"], 0.2, L=3)
+        before = _run_chains_jit._cache_size()
+        run_chains_sharded(jax.random.key(0), make_trace, req, 5, 16, mesh)
+        after_first = _run_chains_jit._cache_size()
+        run_chains_sharded(jax.random.key(1), make_trace, req, 5, 16, mesh)
+        assert _run_chains_jit._cache_size() == after_first > before
