@@ -29,6 +29,7 @@ from ..core.pytree import Pytree
 from ..core.typing_ import PRNGKey
 from ..generative.choice_map import ChoiceMap, IndexedChm
 from ..generative.concepts import (
+    dispatch_edit,
     EditRequest,
     IndexRequest,
     NotSupportedEditRequest,
@@ -226,8 +227,11 @@ class ScanCombinator(GenerativeFunction):
         keys = jax.vmap(lambda i: jr.fold_in(key, i))(idx_arr)
 
         def edit_one(k_, tr_, chm_):
-            return Update(chm_).edit(
-                k_, tr_, Diff.tree_diff_no_change(tr_.get_args())
+            # score under the combinator's CURRENT kernel (the slice
+            # trace's recorded gen_fn may carry stale closure leaves)
+            return dispatch_edit(
+                self.gen_fn, k_, tr_, Update(chm_),
+                Diff.tree_diff_no_change(tr_.get_args()),
             )
 
         new_slices, ws, retdiffs, bwds = jax.vmap(edit_one)(
@@ -276,8 +280,9 @@ class ScanCombinator(GenerativeFunction):
         def step(c, inp):
             t, x, sub_tr = inp
             sub_argdiffs = Diff.tree_diff_unknown_change((c, x))
-            new_tr, w, _rd, bwd = subrequest_at(t).edit(
-                jr.fold_in(key, t), sub_tr, sub_argdiffs
+            new_tr, w, _rd, bwd = dispatch_edit(
+                self.gen_fn, jr.fold_in(key, t), sub_tr, subrequest_at(t),
+                sub_argdiffs,
             )
             c_new, y = new_tr.get_retval()
             return c_new, (new_tr, y, w, bwd)
@@ -312,8 +317,9 @@ class ScanCombinator(GenerativeFunction):
         old_carry_out, old_ys = trace.get_retval()
 
         slice_tr = jtu.tree_map(lambda v: v[idx], trace.inner)
-        new_slice, w, retdiff, bwd = request.edit(
-            key, slice_tr, Diff.tree_diff_no_change(slice_tr.get_args())
+        new_slice, w, retdiff, bwd = dispatch_edit(
+            self.gen_fn, key, slice_tr, request,
+            Diff.tree_diff_no_change(slice_tr.get_args()),
         )
         carry_rd, y_rd = retdiff
 
@@ -321,8 +327,9 @@ class ScanCombinator(GenerativeFunction):
         nxt = jnp.clip(idx + 1, 0, n - 1)
         next_slice = jtu.tree_map(lambda v: v[nxt], trace.inner)
         (_c, next_x) = next_slice.get_args()
-        next_new, next_w, next_rd, _ = Update(ChoiceMap.empty()).edit(
-            jr.fold_in(key, 1), next_slice, (carry_rd, Diff.no_change(next_x))
+        next_new, next_w, next_rd, _ = dispatch_edit(
+            self.gen_fn, jr.fold_in(key, 1), next_slice,
+            Update(ChoiceMap.empty()), (carry_rd, Diff.no_change(next_x)),
         )
         # The carry flowing out of slice idx+1 must equal the old one — the
         # edit's locality assumption. Checked at runtime under

@@ -27,6 +27,7 @@ from ..core.pytree import Pytree
 from ..core.typing_ import PRNGKey
 from ..generative.choice_map import ChoiceMap, IndexedChm
 from ..generative.concepts import (
+    dispatch_edit,
     EditRequest,
     IndexRequest,
     NotSupportedEditRequest,
@@ -240,7 +241,7 @@ class VmapCombinator(GenerativeFunction):
         keys = jr.split(key, n)
 
         def _edit(key, req, sub_tr, ad):
-            new_tr, w, _rd, bwd = req.edit(key, sub_tr, ad)
+            new_tr, w, _rd, bwd = dispatch_edit(self.gen_fn, key, sub_tr, req, ad)
             return new_tr, w, bwd
 
         new_inner, ws, bwds = self._vmap(_edit, (0, 0, 0))(
@@ -260,7 +261,9 @@ class VmapCombinator(GenerativeFunction):
             )
         slice_tr = jtu.tree_map(lambda v: v[idx], trace.inner)
         sub_argdiffs = Diff.tree_diff_no_change(slice_tr.get_args())
-        new_slice, w, _rd, bwd = request.edit(key, slice_tr, sub_argdiffs)
+        new_slice, w, _rd, bwd = dispatch_edit(
+            self.gen_fn, key, slice_tr, request, sub_argdiffs
+        )
         new_inner = jtu.tree_map(
             lambda v, s: v.at[idx].set(s), trace.inner, new_slice
         )

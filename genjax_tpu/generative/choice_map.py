@@ -370,6 +370,10 @@ class IndexedChm(ChoiceMap):
     - 1-D ``idx`` of shape (N,): ``inner``'s array leaves carry a leading axis
       N; lookup finds the matching position and masks on mismatch
       (reference's argwhere trick, choice_map.py:1501-1531).
+
+    Negative indices are a READ convenience (Python semantics, concrete or
+    traced) on the dense mode only; ``Selection``s always address
+    canonical non-negative indices.
     """
 
     inner: ChoiceMap
@@ -415,6 +419,9 @@ class IndexedChm(ChoiceMap):
                     return _slice_leaves(self.inner, addr)
                 return _EMPTY
             j = jnp.asarray(addr)
+            # normalize negatives (Python indexing semantics) so traced
+            # and eager reads of the same index agree
+            j = jnp.where(j < 0, j + size, j)
             valid = (j >= 0) & (j < size)
             jc = jnp.clip(j, 0, size - 1)
             return _slice_leaves(self.inner, jc).mask(valid)
@@ -621,13 +628,53 @@ def _invalid_extras(chm: ChoiceMap, sel: Selection) -> ChoiceMap:
                 out[k] = ex
         return StaticChm.build(out)
     if isinstance(chm, IndexedChm):
-        # all indices share one structure; shape selections are uniform
-        # over the integer level (``...``), so one representative suffices
-        rep = chm.idx if (chm.idx is not None and jnp.ndim(chm.idx) == 0) else 0
-        ex = _invalid_extras(chm.inner, sel.get_subselection(rep))
-        if ex.static_is_empty():
-            return _EMPTY
-        return IndexedChm(ex, chm.idx)
+        if chm.idx is not None and jnp.ndim(chm.idx) == 0:
+            # scalar index (concrete or traced): resolve AT that index
+            ex = _invalid_extras(chm.inner, sel.get_subselection(chm.idx))
+            if ex.static_is_empty():
+                return _EMPTY
+            return IndexedChm(ex, chm.idx)
+        if chm.idx is None:
+            size = _leading_axis_size(chm.inner)
+            if size is None:
+                ex = _invalid_extras(chm.inner, sel.get_subselection(0))
+                return _EMPTY if ex.static_is_empty() else IndexedChm(ex, None)
+            if size == 0:
+                return _EMPTY  # a zero-length dense map stores nothing
+            # selections resolve at CANONICAL (non-negative) indices;
+            # negative indices are a read-time convenience only (see
+            # IndexedChm docstring) — aliasing cannot be pushed through
+            # an opaque selection (complements invert the union)
+            subsels = [sel.get_subselection(j) for j in range(size)]
+            if _sels_uniform(subsels):
+                # index-independent selection (the common wildcard /
+                # shape-selection case): one representative keeps the
+                # dense leaf sharing
+                ex = _invalid_extras(chm.inner, subsels[0])
+                return _EMPTY if ex.static_is_empty() else IndexedChm(ex, None)
+            # index-dependent selection (e.g. S["steps", 3]): resolve
+            # slice by slice so the verdict at index 0 is not applied to
+            # every slice
+            acc: ChoiceMap = _EMPTY
+            for j in range(size):
+                ex = _invalid_extras(_slice_leaves(chm.inner, j), subsels[j])
+                if not ex.static_is_empty():
+                    acc = _or_build(acc, IndexedChm(ex, j))
+            return acc
+        # sparse 1-D index array: resolve each stored position at its own
+        # (possibly traced) index value
+        npos = jnp.shape(chm.idx)[0]
+        acc = _EMPTY
+        for pos in range(npos):
+            iv = chm.idx[pos]
+            if not _is_dynamic(iv):
+                iv = int(iv)
+            ex = _invalid_extras(
+                _slice_leaves(chm.inner, pos), sel.get_subselection(iv)
+            )
+            if not ex.static_is_empty():
+                acc = _or_build(acc, IndexedChm(ex, iv))
+        return acc
     if isinstance(chm, MaskedChm):
         ex = _invalid_extras(chm.inner, sel)
         return ex.mask(chm.flag)
@@ -647,6 +694,29 @@ def _invalid_extras(chm: ChoiceMap, sel: Selection) -> ChoiceMap:
         return _or_build(e1, e2)
     # unknown node: conservatively report it whole
     return chm
+
+
+def _sels_uniform(sels) -> bool:
+    """Are these selections structurally identical (same verdict at every
+    index)? Conservative: any dynamic leaf or structural difference says
+    no — callers then fall back to per-index resolution."""
+    if not sels:
+        return True
+    s0 = jtu.tree_structure(sels[0])
+    l0 = jtu.tree_leaves(sels[0])
+    for s in sels[1:]:
+        if s is sels[0]:
+            continue
+        if jtu.tree_structure(s) != s0:
+            return False
+        for a, b in zip(l0, jtu.tree_leaves(s)):
+            if a is b:
+                continue
+            if _is_dynamic(a) or _is_dynamic(b):
+                return False
+            if a != b:
+                return False
+    return True
 
 
 def exists_flag(chm: ChoiceMap) -> Flag:

@@ -93,6 +93,144 @@ class PrimitiveEditRequest(EditRequest):
         return gen_fn.edit(key, tr, self, argdiffs)
 
 
+def _leaf_same(a, b) -> bool:
+    """Can these two pytree leaves be proven identical without tracing?
+    (Concrete device arrays are NOT value-compared: that would force a
+    device readback per edit — expensive on the TPU tunnel; under jit the
+    shared-tracer identity check covers the unchanged case.)"""
+    if a is b:
+        return True
+    import numpy as np
+
+    if isinstance(a, (int, float, bool, str)) and isinstance(
+        b, (int, float, bool, str)
+    ):
+        return a == b
+    if isinstance(a, np.ndarray) and isinstance(b, np.ndarray):
+        return a.shape == b.shape and bool(np.array_equal(a, b))
+    return False
+
+
+def source_changed_flags(new_source, old_source) -> list:
+    """Per-leaf changed flags between a callee's current closure and the
+    one recorded in the previous trace (conservative: unprovable ⇒
+    changed)."""
+    import jax.tree_util as jtu
+
+    new_leaves = jtu.tree_leaves(new_source)
+    old_leaves = jtu.tree_leaves(old_source)
+    if len(new_leaves) != len(old_leaves):
+        return [True] * len(new_leaves)
+    return [not _leaf_same(a, b) for a, b in zip(new_leaves, old_leaves)]
+
+
+def merge_gen_fn(old_gf, new_gf):
+    """The CURRENT callee's dynamic leaves in the PREVIOUS trace's static
+    structure. A body that defines a local ``@gen`` function creates a
+    fresh function object (a static treedef field) on every execution;
+    recording it verbatim would make the edited trace's treedef differ
+    from the original's, breaking old-vs-new ``tree_map`` (MH
+    accept/reject, SMC resampling). Keeping the old treedef with the new
+    dynamic leaves preserves both the fresh closure VALUES and treedef
+    stability. Falls back to ``old_gf`` when the structures are
+    incompatible (pre-existing behavior)."""
+    import jax.tree_util as jtu
+
+    new_leaves, new_td = jtu.tree_flatten(new_gf)
+    old_td = jtu.tree_structure(old_gf)
+    if new_td == old_td:
+        return new_gf
+    if old_td.num_leaves == len(new_leaves):
+        try:
+            return jtu.tree_unflatten(old_td, new_leaves)
+        except Exception:
+            return old_gf
+    return old_gf
+
+
+def python_closure_mismatch(old, new, depth: int = 0) -> bool:
+    """Do ``old`` and ``new`` differ in values reachable only through
+    PYTHON closures (``fn.__closure__`` cells) — invisible to the pytree
+    system? Distinct function objects with captures cannot be proven
+    equal (each execution of a body that defines a local ``@gen`` creates
+    a fresh function whose cells hold the current upstream samples), so
+    the walk conservatively reports a mismatch for them."""
+    import dataclasses
+    import types
+
+    if depth > 8 or old is new:
+        return False
+    if isinstance(old, types.FunctionType) and isinstance(
+        new, types.FunctionType
+    ):
+        oc = old.__closure__ or ()
+        nc = new.__closure__ or ()
+        if len(oc) != len(nc):
+            return True
+        return len(nc) > 0
+    if type(old) is not type(new):
+        return True
+    if dataclasses.is_dataclass(new) and not isinstance(new, type):
+        return any(
+            python_closure_mismatch(
+                getattr(old, f.name, None), getattr(new, f.name, None),
+                depth + 1,
+            )
+            for f in dataclasses.fields(new)
+        )
+    if isinstance(new, (tuple, list)):
+        if len(old) != len(new):
+            return True
+        return any(
+            python_closure_mismatch(a, b, depth + 1)
+            for a, b in zip(old, new)
+        )
+    return False
+
+
+def dispatch_edit(gen_fn, key, tr, request: "EditRequest", argdiffs):
+    """Run ``request`` on ``tr``, scoring under the CURRENT ``gen_fn``.
+
+    Combinators and the static language route sub-edits through this so a
+    callee whose dynamic closure leaves changed (e.g. a re-``partial_apply``-ed
+    kernel) scores under the new values — the trace's recorded gen_fn is
+    stale in that case. The callee is structurally merged with the
+    trace's (see ``merge_gen_fn``) so per-execution local function
+    objects don't destabilize trace treedefs; when the callee reaches
+    values through PYTHON closures (a local ``@gen`` capturing upstream
+    samples), the new callee must score the edit verbatim — the result's
+    recorded gen_fn is then rebound to the old structure to keep treedefs
+    stable (its closure snapshot is stale, but every future edit again
+    receives the fresh callee through this dispatcher)."""
+    old_gf = tr.get_gen_fn()
+    merged = merge_gen_fn(old_gf, gen_fn)
+    capture_mismatch = python_closure_mismatch(old_gf, gen_fn)
+    scored_gf = gen_fn if capture_mismatch else merged
+    if isinstance(request, EmptyRequest):
+        # preserve EmptyRequest's no-op shortcut, but treat a changed
+        # callee closure like changed argdiffs: fall through to an empty
+        # Update so the stale-closure comparison reaches the callee's
+        # edit (rebinding the trace would hide it)
+        if (
+            Diff.static_check_no_change(argdiffs)
+            and not capture_mismatch
+            and not any(source_changed_flags(scored_gf, old_gf))
+        ):
+            retdiff = Diff.tree_diff_no_change(tr.get_retval())
+            return tr, 0.0, retdiff, EmptyRequest()
+        from .choice_map import ChoiceMap
+
+        request = Update(ChoiceMap.empty())
+    if isinstance(request, PrimitiveEditRequest):
+        out = scored_gf.edit(key, tr, request, argdiffs)
+    else:
+        out = request.edit(key, tr.with_gen_fn(scored_gf), argdiffs)
+    if capture_mismatch:
+        new_tr, w, rd, bwd = out
+        out = (new_tr.with_gen_fn(merge_gen_fn(old_gf, gen_fn)), w, rd, bwd)
+    return out
+
+
 @Pytree.dataclass
 class Update(PrimitiveEditRequest):
     """Constraint-driven edit: overwrite addressed choices with the values in

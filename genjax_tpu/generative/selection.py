@@ -89,10 +89,16 @@ class Selection(Pytree):
         return MaskedSel(self, flag)
 
     def extend(self, *addrs) -> "Selection":
-        """Prefix this selection with address components (outermost first)."""
+        """Prefix this selection with address components (outermost first).
+        Traced/array integer components route to ``IdxSel`` (a dynamic
+        value must not land in ``StaticSel``'s static treedef — same
+        dispatch as the ``S[...]`` builder)."""
         sel = self
         for addr in reversed(addrs):
-            sel = StaticSel(sel, addr)
+            if _is_dynamic_int(addr):
+                sel = IdxSel(sel, jnp.atleast_1d(jnp.asarray(addr)))
+            else:
+                sel = StaticSel(sel, addr)
         return sel
 
     # ----- sugar -----
@@ -108,7 +114,22 @@ class Selection(Pytree):
         return self(*addr).check()
 
     def __contains__(self, addr) -> bool:
-        return bool(self[addr])
+        import jax
+
+        flag = self[addr]
+        try:
+            return bool(flag)
+        except (
+            jax.errors.TracerBoolConversionError,
+            jax.errors.ConcretizationTypeError,
+        ) as e:
+            from ..core.handlers import GenJAXError
+
+            raise GenJAXError(
+                "`addr in selection` requires a concrete membership flag; "
+                "this selection's check is traced (dynamic index or mask)."
+                " Use `selection[addr]` to keep the traced Flag."
+            ) from e
 
 
 @Pytree.dataclass
@@ -292,6 +313,13 @@ def _is_dynamic_int(comp) -> bool:
         return False
     if isinstance(comp, int):
         return False  # concrete ints are static components
+    import numpy as np
+
+    if isinstance(comp, np.ndarray):
+        # host-numpy index arrays (the recommended TPU carrier) must take
+        # the IdxSel path too: a vector in StaticSel would yield a
+        # non-scalar Flag from the match
+        return comp.ndim > 0
     return isinstance(comp, jnp.ndarray) or hasattr(comp, "aval")
 
 

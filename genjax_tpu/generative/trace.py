@@ -77,10 +77,32 @@ class Trace(Pytree):
     def get_subtrace(self, *addresses) -> "Trace":
         tr: Trace = self
         for addr in addresses:
-            components = addr if isinstance(addr, tuple) else (addr,)
-            for comp in components:
-                tr = tr.get_inner_trace(comp)
+            if isinstance(addr, tuple):
+                # a tuple may itself BE the recorded address (a model
+                # tracing at `@ ("a", "b")` stores it whole — reference
+                # generative_function.py:217-222). Only traces that record
+                # named addresses (StaticTrace) expose `.addresses`; for
+                # index-structured traces (Scan/Vmap) tuple components
+                # must traverse one level each.
+                recorded = getattr(tr, "addresses", None)
+                if recorded is not None and addr in recorded:
+                    tr = tr.get_inner_trace(addr)
+                    continue
+                for comp in addr:
+                    tr = tr.get_inner_trace(comp)
+            else:
+                tr = tr.get_inner_trace(addr)
         return tr
+
+    def with_gen_fn(self, gen_fn) -> "Trace":
+        """A copy of this trace bound to ``gen_fn`` (same choices, score,
+        retval). Edit paths use this when the callee itself carried
+        changed dynamic leaves (e.g. a re-``partial_apply``-ed closure):
+        the sub-edit must score under the NEW closure values, not the
+        stale ones recorded in the previous trace."""
+        import dataclasses
+
+        return dataclasses.replace(self, gen_fn=gen_fn)
 
     def get_inner_trace(self, address: Any) -> "Trace":
         raise NotImplementedError(

@@ -43,7 +43,12 @@ from jax.extend.core import Literal, Primitive
 from ..core.diff import Diff, NoChange, UnknownChange
 from ..core.handlers import AddressReuse, TraceHandler, handle
 from ..core.staging import cached_stage_dynamic
-from ..generative.concepts import EditRequest, EmptyRequest
+from ..generative.concepts import (
+    EditRequest,
+    EmptyRequest,
+    dispatch_edit,
+    source_changed_flags,  # noqa: F401 — re-export for static_lang
+)
 
 # ----------------------------------------------------------------------
 # the addressed-call primitive
@@ -71,6 +76,61 @@ class StagingUnsupported(Exception):
     values, etc.) — callers fall back to the handler-based edit path."""
 
 
+def _value_has_tracer(v, depth: int) -> bool:
+    import dataclasses
+    import types
+
+    from jax.core import Tracer
+
+    if isinstance(v, Tracer):
+        return True
+    if isinstance(v, types.FunctionType) or (
+        dataclasses.is_dataclass(v) and not isinstance(v, type)
+    ):
+        return _closure_captures_tracer(v, depth)
+    try:
+        leaves = jtu.tree_leaves(v)
+    except Exception:
+        return False
+    return any(isinstance(l, Tracer) for l in leaves)
+
+
+def _closure_captures_tracer(obj, depth: int = 0) -> bool:
+    """Does this callee reach a traced value through a PYTHON closure
+    (``fn.__closure__`` cells), invisibly to the pytree system?
+
+    A body that defines a local ``@gen`` function captures upstream
+    sampled values in Python cells, not pytree leaves — the staged edit
+    path cannot see those dependencies (the ``addr_call`` equation gets no
+    input var for them), so it would silently reuse stale values. Such
+    bodies must take the handler fallback, which re-executes the body.
+    Pytree *leaves* (``Closure.dyn_args``) do not count: those ARE visible
+    to staging.
+    """
+    import dataclasses
+    import types
+
+    if depth > 8 or obj is None:
+        return False
+    if isinstance(obj, types.FunctionType):
+        for cell in obj.__closure__ or ():
+            try:
+                v = cell.cell_contents
+            except ValueError:  # empty cell
+                continue
+            if _value_has_tracer(v, depth + 1):
+                return True
+        return False
+    if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+        return any(
+            _closure_captures_tracer(getattr(obj, f.name, None), depth + 1)
+            for f in dataclasses.fields(obj)
+        )
+    if isinstance(obj, (tuple, list)):
+        return any(_closure_captures_tracer(x, depth + 1) for x in obj)
+    return False
+
+
 class StageHandler(TraceHandler):
     """Binds every addressed call as an ``addr_call_p`` equation while the
     body is traced by ``make_jaxpr`` (the reference's ``trace_p`` embedding,
@@ -82,6 +142,13 @@ class StageHandler(TraceHandler):
     def handle_trace(self, addr, gen_fn, args):
         if addr in self.addresses:
             raise AddressReuse(f"Address {addr!r} was traced twice.")
+        if _closure_captures_tracer(gen_fn):
+            raise StagingUnsupported(
+                f"addressed callee at {addr!r} captures traced values "
+                "through a Python closure (e.g. a local @gen function "
+                "reading an upstream sample); the staged edit path cannot "
+                "track that dependency — handler fallback"
+            )
         self.addresses.append(addr)
         flat, in_tree = jtu.tree_flatten((gen_fn, args))
         ret_shape = jax.eval_shape(_abstract_retval, gen_fn, args)
@@ -118,15 +185,33 @@ _STAGE_ERRORS = (
 )
 
 
+# Bodies known to be unstageable (memoized per model function so every
+# edit doesn't pay a doomed re-trace; failure reasons are structural, not
+# value-dependent)
+import weakref
+
+_STAGE_FAILED: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
 def stage_body(source, args):
     """Stage ``source(*args)`` with addressed calls embedded as equations.
 
     Returns ``(closed_jaxpr, flat_args, out_tree)``; raises
-    ``StagingUnsupported`` for bodies that require concrete values.
+    ``StagingUnsupported`` for bodies that require concrete values or
+    reach traced values through Python closures.
     """
+    fn = getattr(source, "fn", None)
+    if fn is not None and fn in _STAGE_FAILED:
+        raise StagingUnsupported(_STAGE_FAILED[fn])
     try:
         return cached_stage_dynamic(_staged_body, source, args)
+    except StagingUnsupported as e:
+        if fn is not None:
+            _STAGE_FAILED[fn] = str(e)
+        raise
     except _STAGE_ERRORS as e:
+        if fn is not None:
+            _STAGE_FAILED[fn] = str(e)
         raise StagingUnsupported(str(e)) from e
 
 
@@ -164,6 +249,7 @@ def incremental_edit(
     prev_trace,
     subrequest: Callable[[Any], EditRequest],
     is_trivial: Callable[[EditRequest], bool],
+    consts_changed: bool = False,
 ):
     """Evaluate the staged body Jaxpr, editing addressed calls incrementally.
 
@@ -181,7 +267,10 @@ def incremental_edit(
 
     for v, c in zip(jaxpr.constvars, closed_jaxpr.consts):
         env[v] = c
-        chg[v] = False
+        # consts come from the CURRENT source's Python closures; when the
+        # callee's function object changed (fresh local @gen), their
+        # values cannot be proven equal to the previous trace's
+        chg[v] = bool(consts_changed)
     for v, a, c in zip(jaxpr.invars, flat_args, changed_in):
         env[v] = a
         chg[v] = bool(c)
@@ -223,8 +312,11 @@ def incremental_edit(
                         lambda _: UnknownChange, arg_tan
                     )
                 argdiffs = Diff.tree_diff(call_args, arg_tan)
-                new_tr, w, retdiff, b = request.edit(
-                    sub_key, sub_tr, argdiffs
+                # score the sub-edit under the CURRENT callee (its dynamic
+                # closure leaves may have changed; the previous subtrace
+                # carries the stale values)
+                new_tr, w, retdiff, b = dispatch_edit(
+                    gen_fn, sub_key, sub_tr, request, argdiffs
                 )
                 weight = weight + w
                 bwd[addr] = b

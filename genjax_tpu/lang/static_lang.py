@@ -39,10 +39,12 @@ from ..generative.concepts import (
     EditRequest,
     EmptyRequest,
     NotSupportedEditRequest,
+    PrimitiveEditRequest,
     Regenerate,
     Retdiff,
     Update,
     Weight,
+    dispatch_edit,
 )
 from ..generative.gfi import GenerativeFunction
 from ..generative.selection import Selection
@@ -50,9 +52,11 @@ from ..generative.trace import Trace
 
 
 @Pytree.dataclass
-class StaticRequest(EditRequest):
+class StaticRequest(PrimitiveEditRequest):
     """Heterogeneous per-address edit requests for a static model
-    (reference static.py:130)."""
+    (reference static.py:130). A ``PrimitiveEditRequest``: ``edit``
+    defers to the generative function, so ``dispatch_edit`` can route it
+    through the CURRENT callee when closures changed."""
 
     subrequests: tuple
     addresses: tuple = Pytree.static()
@@ -67,10 +71,6 @@ class StaticRequest(EditRequest):
         except ValueError:
             return EmptyRequest()
         return self.subrequests[i]
-
-    def edit(self, key, tr, argdiffs):
-        gen_fn = tr.get_gen_fn()
-        return gen_fn.edit(key, tr, self, argdiffs)
 
 
 @Pytree.dataclass
@@ -225,7 +225,12 @@ class EditHandler(StaticHandler):
             self.bwd[addr] = EmptyRequest()
             return self.record(sub_tr)
         argdiffs = Diff.tree_diff_unknown_change(args)
-        new_tr, w, _retdiff, bwd = request.edit(self.fresh_key(), sub_tr, argdiffs)
+        # dispatch through the CURRENT callee: the handler re-executed the
+        # body with the new arguments, so ``gen_fn`` carries any
+        # re-closed-over dynamic values the previous subtrace is stale on
+        new_tr, w, _retdiff, bwd = dispatch_edit(
+            gen_fn, self.fresh_key(), sub_tr, request, argdiffs
+        )
         self.weight = self.weight + w
         self.bwd[addr] = bwd
         if not self._is_trivial(request):
@@ -243,12 +248,7 @@ class UpdateHandler(EditHandler):
         return Update(self.constraint.get_submap(*path))
 
     def bwd_request(self) -> Update:
-        acc = ChoiceMap.empty()
-        for addr, req in self.bwd.items():
-            if isinstance(req, Update) and not req.constraint.static_is_empty():
-                path = addr if isinstance(addr, tuple) else (addr,)
-                acc |= req.constraint.extend(*path)
-        return Update(acc)
+        return _assemble_update_bwd(self.bwd)
 
 
 class RegenerateHandler(EditHandler):
@@ -398,10 +398,17 @@ class StaticGenerativeFunction(GenerativeFunction):
         else:  # StaticRequest
             subrequest = request.get
 
-        # input change flags: the source closure's own leaves are this very
-        # gen fn (unchanged); argument leaves come from the caller's diffs
-        n_src = len(jtu.tree_leaves(self.source))
-        changed_in = [False] * n_src + flat_changed(argdiffs)
+        # input change flags: the source closure's leaves compare against
+        # the PREVIOUS trace's gen fn — a re-``partial_apply``-ed callee
+        # whose closed-over values changed must re-score its dependents
+        # even when the argdiffs say NoChange; argument leaves come from
+        # the caller's diffs
+        from ..generative.concepts import python_closure_mismatch
+        from .staged_edit import source_changed_flags
+
+        changed_in = source_changed_flags(
+            self.source, trace.get_gen_fn().source
+        ) + flat_changed(argdiffs)
 
         out_flat, out_changed, weight, addresses, subtraces, bwd = (
             incremental_edit(
@@ -412,6 +419,11 @@ class StaticGenerativeFunction(GenerativeFunction):
                 prev_trace=trace,
                 subrequest=subrequest,
                 is_trivial=EditHandler._is_trivial,
+                # body constants captured via Python closures may carry
+                # fresh upstream values when the function object changed
+                consts_changed=python_closure_mismatch(
+                    trace.get_gen_fn().source, self.source
+                ),
             )
         )
         retval = jtu.tree_unflatten(out_tree, out_flat)
@@ -429,7 +441,18 @@ class StaticGenerativeFunction(GenerativeFunction):
         """Fallback edit path executing the body under the handler stack
         (round-1 semantics: clean-prefix reuse, conservative argdiffs)."""
         primals = Diff.tree_primal(argdiffs)
-        unchanged = Diff.static_check_no_change(argdiffs)
+        from ..generative.concepts import python_closure_mismatch
+        from .staged_edit import source_changed_flags
+
+        unchanged = (
+            Diff.static_check_no_change(argdiffs)
+            and not any(
+                source_changed_flags(self.source, trace.get_gen_fn().source)
+            )
+            and not python_closure_mismatch(
+                trace.get_gen_fn().source, self.source
+            )
+        )
         if isinstance(request, Update):
             h: EditHandler = UpdateHandler(key, trace, request.constraint, unchanged)
         elif isinstance(request, Regenerate):

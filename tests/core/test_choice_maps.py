@@ -251,3 +251,80 @@ def test_indexed_numpy_leaf_traced_index():
 
     assert read(3) == 3.0
     assert read(7) == 7.0
+
+
+class TestFilterEagerIndexed:
+    """filter_eager / _invalid_extras must resolve index-DEPENDENT
+    selections per slice, not apply index 0's verdict everywhere."""
+
+    def test_dense_index_specific_selection(self):
+        from genjax_tpu import S
+
+        ys = jnp.arange(5.0)
+        chm = C[:, "y"].set(ys)
+        kept = chm.filter_eager(S[3, "y"])
+        # index 3 survives with its value ...
+        v = kept.get_submap(3, "y").get_value()
+        v = v.value if isinstance(v, Mask) else v
+        assert float(jnp.asarray(v).reshape(())) == 3.0
+        # ... and index 0 (previously the lone representative) is gone
+        assert kept.get_submap(0, "y").get_value() is None
+        assert not kept.static_is_empty()
+
+    def test_dense_wildcard_stays_dense(self):
+        from genjax_tpu import S
+
+        ys = jnp.arange(5.0)
+        chm = C[:, "y"].set(ys)
+        kept = chm.filter_eager(S[..., "y"])
+        for j in range(5):
+            v = kept.get_submap(j, "y").get_value()
+            v = v.value if isinstance(v, Mask) else v
+            assert float(jnp.asarray(v).reshape(())) == float(j)
+
+    def test_sparse_index_respects_stored_index(self):
+        from genjax_tpu import S
+        from genjax_tpu.generative.choice_map import IndexedChm, ValueChm
+
+        # value stored at index 7 (sparse); selecting index 7 keeps it,
+        # selecting index 0 does not
+        chm = IndexedChm.build(
+            ValueChm(jnp.asarray([42.0])), jnp.asarray([7])
+        )
+        kept7 = chm.filter_eager(S[7])
+        assert not kept7.static_is_empty()
+        v = kept7.get_submap(7).get_value()
+        assert float(v.value if isinstance(v, Mask) else v) == 42.0
+
+    def test_invalid_subset_still_catches_typos(self):
+        import genjax_tpu as g
+
+        @g.gen
+        def kern(c, x):
+            z = g.normal(c, 1.0) @ "z"
+            _ = g.normal(z, 0.5) @ "y"
+            return (z, None)
+
+        model = kern.scan(n=4)
+        ok = C[:, "y"].set(jnp.zeros(4))
+        bad = C[:, "typo"].set(jnp.zeros(4))
+        args = (0.0, jnp.zeros(4))
+        assert ok.invalid_subset(model, args) is None
+        assert bad.invalid_subset(model, args) is not None
+
+
+class TestNegativeDynamicIndex:
+    def test_traced_negative_matches_eager(self):
+        ys = jnp.arange(6.0)
+        chm = C[:, "y"].set(ys)
+        eager = chm.get_submap(-1, "y").get_value()
+        eager = eager.value if isinstance(eager, Mask) else eager
+
+        @jax.jit
+        def read(i):
+            v = chm.get_submap(i, "y").get_value()
+            return (v.value, v.flag) if isinstance(v, Mask) else (v, True)
+
+        traced_v, traced_flag = read(-1)
+        assert bool(traced_flag)
+        assert float(traced_v) == float(eager) == 5.0

@@ -97,3 +97,35 @@ def test_complement_involution_and_units(expr):
         assert check_of(sel & Selection.all(), path) == check_of(sel, path)
         assert check_of(sel & Selection.none(), path) is False
         assert check_of(sel | Selection.all(), path) is True
+
+
+def test_extend_routes_dynamic_ints_to_idxsel():
+    import jax
+    """Selection.extend with a traced int must not put a tracer in
+    StaticSel's static treedef (same dispatch as the S[...] builder)."""
+    import genjax_tpu as g
+
+    @jax.jit
+    def build_and_check(i):
+        sel = g.Selection.all().extend(i, "x")
+        return sel[(3, "x")]
+
+    assert bool(build_and_check(jnp.asarray(3)))
+    assert not bool(build_and_check(jnp.asarray(4)))
+
+
+def test_contains_traced_flag_raises_targeted_error():
+    import jax
+    import genjax_tpu as g
+    from genjax_tpu.core.handlers import GenJAXError
+
+    @jax.jit
+    def probe(i):
+        sel = g.Selection.all().extend(i)
+        try:
+            _ = 3 in sel
+        except GenJAXError:
+            return jnp.asarray(1)
+        return jnp.asarray(0)
+
+    assert int(probe(jnp.asarray(3))) == 1

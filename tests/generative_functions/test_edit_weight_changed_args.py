@@ -277,3 +277,127 @@ class TestSubstitutionIdentityDeepCompositions:
             Diff.no_change((0.5,)),
         )
         self._check(sw, args, new_args, tr, g.C.empty(), argdiffs=argdiffs)
+
+
+class TestChangedCalleeClosure:
+    """When the CALLEE itself carries changed dynamic leaves (a
+    re-partial_apply-ed closure built from the model argument), the
+    sub-edit must score under the NEW closure values — the previous
+    subtrace's gen_fn is stale."""
+
+    def test_update_rescores_partial_apply_closure(self):
+        import jax.scipy.stats as jss
+
+        @g.gen
+        def inner(shift):
+            _ = g.normal(shift, 1.0) @ "w"
+
+        @g.gen
+        def outer(shift):
+            k = inner.partial_apply(shift)
+            _ = k() @ "sub"
+
+        tr = outer.simulate(jax.random.key(0), (0.0,))
+        w_val = tr.get_choices()["sub", "w"]
+        argdiffs = (Diff.unknown_change(5.0),)
+        new_tr, w, _rd, _bwd = tr.update(
+            jax.random.key(1), g.ChoiceMap.empty(), argdiffs
+        )
+        expected = float(
+            jss.norm.logpdf(w_val, 5.0, 1.0) - jss.norm.logpdf(w_val, 0.0, 1.0)
+        )
+        assert float(w) == pytest.approx(expected, abs=1e-5)
+        assert float(new_tr.get_score()) == pytest.approx(
+            float(jss.norm.logpdf(w_val, 5.0, 1.0)), abs=1e-5
+        )
+
+    def test_staticrequest_rescores_partial_apply_closure(self):
+        """The StaticRequest wrapping must not defeat the stale-closure
+        rescore (it routes through the current gen_fn like Update)."""
+        import jax.scipy.stats as jss
+
+        from genjax_tpu.lang.static_lang import StaticRequest
+
+        @g.gen
+        def inner(shift):
+            _ = g.normal(shift, 1.0) @ "w"
+
+        @g.gen
+        def outer(shift):
+            k = inner.partial_apply(shift)
+            _ = k() @ "sub"
+
+        tr = outer.simulate(jax.random.key(0), (0.0,))
+        w_val = tr.get_choices()["sub", "w"]
+        req = StaticRequest.d({"sub": StaticRequest.d({})})
+        new_tr, w, _rd, _bwd = tr.edit(
+            jax.random.key(1), req, (Diff.unknown_change(5.0),)
+        )
+        expected = float(
+            jss.norm.logpdf(w_val, 5.0, 1.0) - jss.norm.logpdf(w_val, 0.0, 1.0)
+        )
+        assert float(w) == pytest.approx(expected, abs=1e-5)
+        assert float(new_tr.get_score()) == pytest.approx(
+            float(jss.norm.logpdf(w_val, 5.0, 1.0)), abs=1e-5
+        )
+
+    def test_edited_trace_treedef_stable_with_local_genfn(self):
+        """Bodies that define a local @gen callee per execution must keep
+        the edited trace's treedef equal to the original's (MH/SMC
+        tree_map old-vs-new)."""
+        import jax.tree_util as jtu
+
+        @g.gen
+        def model(mu):
+            @g.gen
+            def point():
+                _ = g.normal(mu, 1.0) @ "x"
+
+            _ = point() @ "p"
+
+        tr = model.simulate(jax.random.key(0), (0.0,))
+        new_tr, _w, _rd, _bwd = tr.edit(
+            jax.random.key(1),
+            g.Regenerate(g.S["p"]),
+            (Diff.no_change(0.0),),
+        )
+        assert jtu.tree_structure(new_tr) == jtu.tree_structure(tr)
+        # and the tree_map MH would perform works
+        merged = jtu.tree_map(lambda a, b: a, new_tr, tr)
+        assert merged is not None
+
+    def test_local_genfn_python_closure_rescored(self):
+        """A local @gen function captures upstream samples through a
+        PYTHON closure (cells, not pytree leaves). Regenerating the
+        upstream address must re-score the dependent call — previously
+        both edit paths silently reused the stale closure value, making
+        prior-proposal MH accept everything and sample the prior."""
+        import jax.scipy.stats as jss
+        import jax.tree_util as jtu
+
+        @g.gen
+        def model():
+            mu = g.normal(0.0, 1.0) @ "mu"
+
+            @g.gen
+            def pt():
+                _ = g.normal(mu, 0.5) @ "y"
+
+            _ = pt() @ "obs"
+
+        tr0, _ = model.generate(jax.random.key(5), g.C["obs", "y"].set(1.0), ())
+
+        def check(edit_fn):
+            new_tr, w, _rd, _bwd = edit_fn(tr0)
+            mu1 = new_tr.get_choices()["mu"]
+            expected = jss.norm.logpdf(mu1, 0, 1) + jss.norm.logpdf(
+                1.0, mu1, 0.5
+            )
+            assert float(new_tr.get_score()) == pytest.approx(
+                float(expected), abs=1e-5
+            )
+            assert jtu.tree_structure(new_tr) == jtu.tree_structure(tr0)
+
+        req = g.Regenerate(g.S["mu"])
+        check(lambda t: t.edit(jax.random.key(7), req))  # eager
+        check(jax.jit(lambda t: t.edit(jax.random.key(7), req)))  # jitted

@@ -255,3 +255,32 @@ class TestVmapSimulate:
         chm = trs.get_choices()
         # vmapped trace choices keep the batch axis on leaves
         assert chm["y1"].shape == (16,)
+
+
+class TestTupleAddressSubtrace:
+    def test_get_subtrace_whole_tuple_address(self):
+        """A model tracing at a tuple address records it WHOLE; get_subtrace
+        must find it (reference generative_function.py:217-222)."""
+
+        @g.gen
+        def model():
+            _ = g.normal(0.0, 1.0) @ ("a", "b")
+
+        tr = model.simulate(jax.random.key(0), ())
+        sub = tr.get_subtrace(("a", "b"))
+        assert float(sub.get_score()) == pytest.approx(
+            float(tr.get_score())
+        )
+
+    def test_get_subtrace_nested_components_still_work(self):
+        @g.gen
+        def inner():
+            _ = g.normal(0.0, 1.0) @ "w"
+
+        @g.gen
+        def outer():
+            _ = inner() @ "sub"
+
+        tr = outer.simulate(jax.random.key(0), ())
+        sub = tr.get_subtrace(("sub", "w"))
+        assert float(sub.get_score()) == pytest.approx(float(tr.get_score()))
