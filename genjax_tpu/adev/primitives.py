@@ -384,10 +384,17 @@ class Baseline(ADEVPrimitive):
             )
             return Dual(p, t)
 
+        def shifted_kpure(key, v):
+            # the PURE continuation must see the same shifted loss: MVD /
+            # enumeration strategies evaluate alternative branches through
+            # kpure, and an unshifted branch leaves a -(2p-1)*b bias in
+            # the difference estimator
+            return kpure(key, v) - b_primal
+
         inner = self.prim.jvp_estimate(
             key,
             Dual.dual_tree(tuple(prim_primals), tuple(prim_tangents)),
-            (kpure, shifted_kdual),
+            (shifted_kpure, shifted_kdual),
         )
         p, t = jax.jvp(
             lambda l, b: l + b, (inner.primal, b_primal), (inner.tangent, b_tangent)

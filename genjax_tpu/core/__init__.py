@@ -57,7 +57,15 @@ from .typing_ import (
     static_check_supports_grad,
 )
 
-__all__ = [k for k in dir() if not k.startswith("_")]
+import types as _types
+
+# exclude the private submodule objects (diff, staging, ...) from the star
+# surface; the lazy generative re-exports are appended below their table
+__all__ = [
+    k
+    for k, v in list(globals().items())
+    if not k.startswith("_") and not isinstance(v, _types.ModuleType)
+]
 
 # Reference-facade parity (`genjax.core` re-exports the generative types;
 # reference src/genjax/core/generative.py:15-54). Resolved lazily to avoid
@@ -78,6 +86,9 @@ _GENERATIVE_EXPORTS = (
     "Trace",
     "Update",
 )
+
+
+__all__ += list(_GENERATIVE_EXPORTS)
 
 
 def __getattr__(name):

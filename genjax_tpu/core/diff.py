@@ -135,6 +135,28 @@ def flat_changed(diff_tree, treedef=None) -> list[bool]:
     return out
 
 
+def has_hidden_static_change(diff_tree) -> bool:
+    """True when a changed tangent has NO dynamic leaf to carry it: a
+    ``Diff`` whose primal flattens to zero leaves (a changed ``Const`` or
+    static-only pytree). Per-leaf flag lists (``flat_changed``) cannot
+    represent such a change — consumers must degrade to a full
+    re-evaluation when this reports True."""
+    found = False
+
+    def walk(x):
+        nonlocal found
+        if isinstance(x, Diff):
+            if x.tangent is not NoChange and not jtu.tree_leaves(x.primal):
+                found = True
+        else:
+            for k in jtu.tree_leaves(x, is_leaf=lambda y: isinstance(y, Diff)):
+                if isinstance(k, Diff):
+                    walk(k)
+
+    walk(diff_tree)
+    return found
+
+
 def changed_through(fn, diff_args):
     """Propagate per-leaf change tangents through a PURE function.
 
@@ -149,6 +171,10 @@ def changed_through(fn, diff_args):
     import jax
     from jax.extend.core import Literal
 
+    if has_hidden_static_change(diff_args):
+        # a changed Const / zero-leaf pytree: the per-leaf flags below
+        # cannot carry it — degrade (caller goes all-UnknownChange)
+        return None
     args = Diff.tree_primal(diff_args)
     changed_in = flat_changed(diff_args)
     flat, in_tree = jtu.tree_flatten(args)

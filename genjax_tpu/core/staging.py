@@ -87,13 +87,26 @@ def to_shape_fn(callable_: Callable, fill: Callable | None = None) -> Callable:
     return wrapped
 
 
+_KEY_STRUCT = None
+
+
+def _abstract_key():
+    # eval_shape only needs the key's aval; building a real jax.random.key
+    # would issue an eager device computation per call (expensive on the
+    # tunneled TPU — CLAUDE.md)
+    global _KEY_STRUCT
+    if _KEY_STRUCT is None:
+        _KEY_STRUCT = jax.eval_shape(lambda: jax.random.key(0))
+    return _KEY_STRUCT
+
+
 def empty_trace(gen_fn, args) -> Any:
     """A zero-filled fake trace with the right shapes (staging.py:332).
 
-    Runs ``simulate`` under ``eval_shape`` with a dummy key — zero FLOPs.
+    Runs ``simulate`` under ``eval_shape`` with an abstract key — zero
+    FLOPs, zero device dispatch.
     """
-    key = jax.random.key(0)
-    return to_shape_fn(gen_fn.simulate, jnp.zeros)(key, args)
+    return to_shape_fn(gen_fn.simulate, jnp.zeros)(_abstract_key(), args)
 
 
 # ------------------------------------------------------------------

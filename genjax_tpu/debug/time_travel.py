@@ -7,9 +7,12 @@ interpreters/time_travel.py`` (295 LoC) — ``record_p`` :42, ``rec``/``tag``
 (``fwd``/``bwd``/``jump``/``remix``), ``time_machine`` :287.
 
 Design difference: the reference collects frames by re-running the CPS
-interpreter once per record point (quadratic in the number of points); this
-implementation walks the Jaxpr once, snapshotting an environment-backed
-continuation at every record point — one pass, frames shared structurally.
+interpreter over the WHOLE program once per record point; this
+implementation snapshots an environment-backed continuation at each point
+and unfolds forward, so collecting frame k re-executes only the program
+SUFFIX after point k (and environments are shared structurally). Total
+cost is the sum of suffix lengths — at most half the reference's
+full-program re-runs, identical frames.
 """
 
 from __future__ import annotations
@@ -106,8 +109,14 @@ def _step(f: Callable, *args):
                         )
                         return out
 
+                    # run the recorded call ONCE and the suffix ONCE
+                    # (calling cont here would re-execute the closure a
+                    # second time)
                     local_ret = closure(*point_args)
-                    final = cont(*point_args)
+                    final, _ = run(
+                        rest, snapshot.copy(), ov,
+                        jtu.tree_leaves(local_ret), False,
+                    )
                     frame = FrameRecording(
                         closure, tuple(point_args), local_ret, cont, dtag
                     )
@@ -144,16 +153,21 @@ def _collect(f: Callable, *args) -> tuple[Any, list[FrameRecording]]:
     return retval, frames
 
 
-@Pytree.dataclass
-class TimeTravelingDebugger(Pytree):
+class TimeTravelingDebugger:
     """A navigable recording: ``fwd``/``bwd`` step between frames, ``jump``
     goes to a tag, ``remix`` re-executes from the current frame with new
-    arguments (reference time_travel.py:202)."""
+    arguments (reference time_travel.py:202).
 
-    final_retval: Any
-    sequence: list = Pytree.static()
-    jump_points: dict = Pytree.static()
-    ptr: int = Pytree.static(default=0)
+    A host-side navigation object, deliberately NOT a Pytree: its frame
+    list holds continuations and array snapshots that belong in neither
+    static treedef metadata (unhashable) nor traced leaves (callables).
+    """
+
+    def __init__(self, final_retval, sequence, jump_points, ptr: int = 0):
+        self.final_retval = final_retval
+        self.sequence = list(sequence)
+        self.jump_points = dict(jump_points)
+        self.ptr = ptr
 
     def frame(self) -> tuple[str | None, FrameRecording]:
         frame = self.sequence[self.ptr]

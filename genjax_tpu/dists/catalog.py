@@ -52,10 +52,15 @@ def _shape(kwargs):
 
 
 def _bshape(sample_shape, *params):
-    """Broadcast a sample shape with parameter shapes. Each ``param`` may be
-    an array-like (its ``jnp.shape`` is used) or an explicit shape tuple."""
+    """TFP sample-shape semantics: the requested ``sample_shape`` PREPENDS
+    the broadcast parameter batch shape (it is a count of iid draws, not
+    another broadcast operand — broadcasting made batched-parameter calls
+    crash, and silently collapsed N requested draws to one when the sizes
+    coincided). Each ``param`` may be an array-like (its ``jnp.shape`` is
+    used) or an explicit shape tuple."""
     shapes = [p if isinstance(p, tuple) else jnp.shape(p) for p in params]
-    return jnp.broadcast_shapes(tuple(sample_shape), *shapes)
+    batch = jnp.broadcast_shapes(*shapes) if shapes else ()
+    return tuple(sample_shape) + tuple(batch)
 
 
 def _iid(sampler):
@@ -302,7 +307,23 @@ def _truncated_normal_sample(key, loc, scale, low, high, **kw):
 def _truncated_normal_logpdf(v, loc, scale, low, high, **kw):
     a = (low - loc) / scale
     b = (high - loc) / scale
-    lz = jnp.log(ndtr(b) - ndtr(a))
+    # log(Φ(b) − Φ(a)) in log space: ndtr saturates to 1 for z ≳ 6 in f32,
+    # making the plain difference 0 (and the score +inf) for tail windows.
+    # Work on the side where the CDF is small: for a ≥ 0 use symmetry
+    # Φ(b)−Φ(a) = Φ(−a)−Φ(−b); logsumexp-style difference of log_ndtr.
+    from jax.scipy.special import log_ndtr
+
+    def log_diff(lo, hi):  # log(exp(hi_cdf) − exp(lo_cdf)) with hi≥lo
+        hi_l = log_ndtr(hi)
+        lo_l = log_ndtr(lo)
+        return hi_l + jnp.log1p(-jnp.exp(lo_l - hi_l))
+
+    flip = a >= 0.0  # both bounds in the upper tail: reflect
+    lz = jnp.where(
+        flip,
+        log_diff(-b, -a),
+        log_diff(a, b),
+    )
     lp = jss.norm.logpdf(v, loc, scale) - lz
     return jnp.where((v >= low) & (v <= high), lp, -jnp.inf)
 
@@ -480,9 +501,11 @@ def _lambert_w_normal_logpdf(v, loc=0.0, scale=1.0, tailweight=0.0, **kw):
     wz = special.lambertw(delta * z**2)
     u = jnp.sign(z) * jnp.sqrt(jnp.maximum(wz / jnp.where(delta == 0.0, 1.0, delta), 0.0))
     u = jnp.where(delta == 0.0, z, u)
-    # |du/dz| = u / (z (1 + W))  (for delta != 0); 1 for delta == 0
+    # |du/dz| = u / (z (1 + W))  (for delta != 0); 1 for delta == 0.
+    # The delta != 0 form is 0/0 at z = 0 with limit 1 (W(δz²) ≈ δz², so
+    # u ≈ z): guard tiny |z| or a value exactly at loc scores -inf-ish
     dudz = jnp.where(
-        delta == 0.0,
+        (delta == 0.0) | (jnp.abs(z) < 1e-6),
         1.0,
         jnp.abs(u) / jnp.maximum(jnp.abs(z) * (1.0 + wz), 1e-30),
     )
@@ -729,18 +752,25 @@ def _multinomial_logpmf(v, total_count, logits, **kw):
     )
 
 
-multinomial = _register(
-    "multinomial",
-    lambda key, total_count, logits, **kw: jr.multinomial(
+def _multinomial_sample(key, total_count, logits, **kw):
+    # read sample_shape ONCE (_shape pops the kwarg; calling it twice in
+    # one expression silently dropped the requested draws)
+    s = tuple(_shape(kw))
+    shape = None
+    if s:
+        shape = _bshape(
+            s, jnp.shape(logits)[:-1], jnp.shape(total_count)
+        ) + (jnp.shape(logits)[-1],)
+    return jr.multinomial(
         key,
         total_count,
         jax.nn.softmax(jnp.asarray(logits), axis=-1),
-        shape=_bshape(_shape(kw), jnp.shape(logits)[:-1], jnp.shape(total_count))
-        + (jnp.shape(logits)[-1],)
-        if _shape(kw)
-        else None,
-    ),
-    _multinomial_logpmf,
+        shape=shape,
+    )
+
+
+multinomial = _register(
+    "multinomial", _multinomial_sample, _multinomial_logpmf
 )
 
 
@@ -782,7 +812,7 @@ mv_normal_diag = _register(
     "mv_normal_diag",
     lambda key, loc, scale_diag, **kw: loc
     + scale_diag
-    * jr.normal(key, _bshape(_shape(kw) + jnp.shape(loc), jnp.shape(scale_diag))),
+    * jr.normal(key, _bshape(_shape(kw), loc, scale_diag)),
     _mv_normal_diag_logpdf,
 )
 

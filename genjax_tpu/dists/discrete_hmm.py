@@ -64,12 +64,18 @@ class DiscreteHMMConfiguration(Pytree):
         # tensors as jit constants, and eager constants stall lowering on
         # the tunneled TPU (CLAUDE.md / ARCHITECTURE §TPU rules)
         s = self.sigma_trans
+        # delta=+inf for sigma<=0 so out-of-band logits are -inf (one-hot
+        # rows after softmax). The reference passes -inf here
+        # (discrete_hmm.py:52), which makes every entry +inf and the
+        # whole matrix NaN for deterministic-transition configs — its own
+        # observation_tensor uses +inf; documented deviation
+        # (ARCHITECTURE.md §Deviations).
         return np.asarray(
             scaled_circulant(
                 self.linear_grid_dim,
                 self.adjacency_distance_trans,
                 s if s > 0.0 else -np.inf,
-                1 / s if s > 0.0 else -np.inf,
+                1 / s if s > 0.0 else np.inf,
             ),
             dtype=np.float32,
         )

@@ -286,6 +286,15 @@ def von_mises_fisher_logpdf(x, mean_direction, concentration):
         - (d / 2.0) * jnp.log(2.0 * jnp.pi)
         - log_bessel_iv(nu, kappa)
     )
+    # kappa -> 0 limit: I_nu(k) ~ (k/2)^nu / Gamma(nu+1), so
+    # C -> 2^nu Gamma(nu+1) / (2pi)^{d/2} — the uniform-on-sphere density
+    # (the generic form is 0*log0 - log0 = +inf there)
+    log_c0 = (
+        nu * jnp.log(2.0)
+        + gammaln(nu + 1.0)
+        - (d / 2.0) * jnp.log(2.0 * jnp.pi)
+    )
+    log_c = jnp.where(kappa < 1e-6, log_c0, log_c)
     return kappa * jnp.sum(mu * x, axis=-1) + log_c
 
 

@@ -102,34 +102,6 @@ def selection_gradient(
 
 
 # ----------------------------------------------------------------------
-# momenta (reference hmc.py:102-131)
-# ----------------------------------------------------------------------
-
-
-def _normal_logpdf_sum(v):
-    v = jnp.asarray(v)
-    return jnp.sum(-0.5 * v * v - 0.5 * jnp.log(2.0 * jnp.pi))
-
-
-def assess_momenta(momenta, mul=1.0):
-    return jnp.sum(
-        jnp.asarray(
-            [_normal_logpdf_sum(mul * v) for v in jtu.tree_leaves(momenta)]
-        )
-    )
-
-
-def sample_momenta(key: PRNGKey, choice_gradients):
-    leaves, treedef = jtu.tree_flatten(choice_gradients)
-    momenta_leaves = [
-        jr.normal(jr.fold_in(key, i), jnp.shape(leaf))
-        for i, leaf in enumerate(leaves)
-    ]
-    momenta = jtu.tree_unflatten(treedef, momenta_leaves)
-    return momenta, assess_momenta(momenta)
-
-
-# ----------------------------------------------------------------------
 # the request
 # ----------------------------------------------------------------------
 

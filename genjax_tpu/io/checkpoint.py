@@ -30,10 +30,48 @@ def save_pytree(path: str, tree: Any) -> None:
 
 def restore_pytree(path: str, template: Any) -> Any:
     """Restore a pytree saved by ``save_pytree`` into the structure of
-    ``template`` (same treedef; leaves replaced by the stored arrays)."""
+    ``template`` (same treedef; leaves replaced by the stored arrays).
+
+    Template leaves that are sharded ``jax.Array``s restore AS sharded
+    arrays on the template's sharding (each host reads only its shards);
+    otherwise orbax's defaults apply. Every restored leaf is validated
+    against the template's shape/dtype — a wrong-but-same-arity template
+    fails fast instead of yielding a structurally corrupt object."""
+    import jax
+    import numpy as np
+    import orbax.checkpoint as ocp
+
     leaves, treedef = jtu.tree_flatten(template)
-    restored = _checkpointer().restore(os.path.abspath(path))
-    assert len(restored) == len(leaves), (
-        f"checkpoint has {len(restored)} leaves, template has {len(leaves)}"
+
+    def restore_arg(leaf):
+        if isinstance(leaf, jax.Array) and hasattr(leaf, "sharding"):
+            return ocp.ArrayRestoreArgs(
+                sharding=leaf.sharding, global_shape=leaf.shape,
+                dtype=leaf.dtype,
+            )
+        return ocp.RestoreArgs()
+
+    restored = _checkpointer().restore(
+        os.path.abspath(path),
+        item=leaves,
+        restore_args=[restore_arg(l) for l in leaves],
     )
+    if len(restored) != len(leaves):
+        raise ValueError(
+            f"checkpoint has {len(restored)} leaves, template has "
+            f"{len(leaves)}"
+        )
+    for i, (r, t) in enumerate(zip(restored, leaves)):
+        t_shape = np.shape(t)
+        t_dtype = getattr(t, "dtype", None)
+        r_shape = np.shape(r)
+        r_dtype = getattr(r, "dtype", None)
+        if t_shape != r_shape or (
+            t_dtype is not None and r_dtype is not None and t_dtype != r_dtype
+        ):
+            raise ValueError(
+                f"checkpoint leaf {i}: stored shape/dtype "
+                f"{r_shape}/{r_dtype} does not match the template's "
+                f"{t_shape}/{t_dtype} — wrong template?"
+            )
     return jtu.tree_unflatten(treedef, restored)

@@ -409,6 +409,13 @@ class StaticGenerativeFunction(GenerativeFunction):
         changed_in = source_changed_flags(
             self.source, trace.get_gen_fn().source
         ) + flat_changed(argdiffs)
+        from ..core.diff import has_hidden_static_change
+
+        if has_hidden_static_change(argdiffs):
+            # a changed Const has no dynamic leaf to carry its flag (the
+            # staged jaxpr embeds it as a literal): degrade to a full
+            # re-evaluation rather than silently reusing stale subtraces
+            changed_in = [True] * len(changed_in)
 
         out_flat, out_changed, weight, addresses, subtraces, bwd = (
             incremental_edit(

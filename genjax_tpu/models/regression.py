@@ -56,8 +56,9 @@ def hierarchical_regression(X, *, obs_scale: float = 0.25):
 
 def logistic_regression(X, *, prior_scale: float = 2.0):
     """Bayesian logistic regression: ``w ~ N(0, prior_scale)``,
-    ``y_i ~ Bernoulli(sigmoid(x_i . w))``. Addresses: ``w``, ``y`` (vector
-    of 0/1 via independent flips through a vmapped observation model).
+    ``y_i ~ Bernoulli(sigmoid(x_i . w))``. Addresses: ``"w"`` and
+    ``("obs", i, "y")`` — one flip per data point through a vmapped
+    observation model; constrain with ``C["obs", :, "y"].set(y01)``.
 
     Returns ``model`` (no conjugate posterior; validate with MCMC vs a
     long-chain reference or posterior-predictive checks)."""

@@ -364,3 +364,25 @@ class TestPureContinuationSemantics:
 
         g = loss.grad_estimate(KEY, (0.5, jnp.zeros(4)))
         assert all(jnp.all(jnp.isfinite(x)) for x in jax.tree_util.tree_leaves(g))
+
+
+def test_baseline_unbiased_with_kpure_strategy():
+    """Baseline must shift the PURE continuation too: FlipMVD evaluates
+    the alternative branch through kpure, and an unshifted branch leaves
+    a -(2p-1)*b bias in the difference estimator (exact derivative of
+    E[where(b,3,1)] w.r.t. p is 2)."""
+    import jax.numpy as jnp
+
+    from genjax_tpu.adev import expectation
+    from genjax_tpu.adev.primitives import baseline, flip_mvd
+
+    based = baseline(flip_mvd)
+
+    @expectation
+    def loss(p):
+        b = based(5.0, p)
+        return jnp.where(b, 3.0, 1.0)
+
+    keys = jax.random.split(jax.random.key(0), 4000)
+    grads = jax.vmap(lambda k: loss.grad_estimate(k, (0.3,))[0])(keys)
+    assert float(jnp.mean(grads)) == pytest.approx(2.0, abs=0.1)

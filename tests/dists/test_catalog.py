@@ -348,3 +348,68 @@ class TestBatchAndSampleShapeRegressions:
             lp_mu = float(von_mises_fisher.logpdf(mu, mu, kappa))
             lp_anti = float(von_mises_fisher.logpdf(-mu, mu, kappa))
             assert lp_mu - lp_anti == pytest.approx(2 * kappa, rel=1e-4)
+
+
+def _cat():
+    from genjax_tpu.dists import catalog
+
+    return catalog
+
+
+class TestCatalogEdgeCases:
+    """Regressions from the round-2 review sweep."""
+
+    def test_truncated_normal_tail_window(self):
+        # ndtr saturates in f32 for z ≳ 6: the plain CDF difference gave
+        # lz = log 0 and a +inf score for tail windows
+        lp = _cat().truncated_normal.logpdf(8.5, 0.0, 1.0, 8.0, 9.0)
+        import scipy.stats as ss
+
+        expected = ss.truncnorm.logpdf(8.5, 8.0, 9.0)
+        assert jnp.isfinite(lp)
+        assert float(lp) == pytest.approx(float(expected), abs=5e-2)
+        # and the ordinary central window is untouched
+        lp0 = _cat().truncated_normal.logpdf(0.5, 0.0, 1.0, -1.0, 1.0)
+        assert float(lp0) == pytest.approx(
+            float(ss.truncnorm.logpdf(0.5, -1.0, 1.0)), abs=1e-5
+        )
+
+    def test_lambert_w_normal_at_mode(self):
+        # value exactly at loc with tailweight > 0: 0/0 in |du/dz| had
+        # limit 1, not log(1e-30)
+        lp = _cat().lambert_w_normal.logpdf(0.0, 0.0, 1.0, 0.5)
+        near = _cat().lambert_w_normal.logpdf(1e-4, 0.0, 1.0, 0.5)
+        assert float(lp) == pytest.approx(float(near), abs=1e-3)
+
+    def test_von_mises_fisher_zero_concentration_uniform(self):
+        import numpy as np
+
+        e1 = jnp.asarray([1.0, 0.0, 0.0])
+        lp = _cat().von_mises_fisher.logpdf(e1, e1, 0.0)
+        assert float(lp) == pytest.approx(float(-np.log(4 * np.pi)), abs=1e-4)
+
+    def test_sample_shape_prepends_batch(self):
+        # TFP semantics: sample_shape + batch_shape
+        draws = _cat().normal.sample(
+            jax.random.key(0), jnp.zeros(3), 1.0, sample_shape=(5,)
+        )
+        assert draws.shape == (5, 3)
+        cat = _cat().categorical.sample(
+            jax.random.key(1), jnp.zeros((5, 4)), sample_shape=(3,)
+        )
+        assert cat.shape == (3, 5)
+
+    def test_multinomial_sample_shape(self):
+        draws = _cat().multinomial.sample(
+            jax.random.key(0), 10, jnp.zeros(4), sample_shape=(3,)
+        )
+        assert draws.shape == (3, 4)
+        assert bool(jnp.all(jnp.sum(draws, axis=-1) == 10))
+
+    def test_discrete_hmm_deterministic_transition_finite(self):
+        from genjax_tpu.dists.discrete_hmm import DiscreteHMMConfiguration
+
+        cfg = DiscreteHMMConfiguration(5, 1, 1, 0.0, 0.0)
+        lt = cfg.log_transition()
+        assert bool(jnp.all(jnp.isfinite(jnp.max(lt, axis=-1))))
+        assert not bool(jnp.any(jnp.isnan(lt)))
