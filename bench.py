@@ -509,9 +509,11 @@ def bench_hmc_pallas():
     def init(key):
         return jax.vmap(init_one, out_axes=1)(jr.split(key, n_chains))
 
+    block_n = min(1024, n_chains)  # small smoke configs still run
     sweep = jax.jit(
         lambda q, s: pallas_hmc(
-            ld, q, s, n_steps=n_steps, eps=0.02, L=5, backend="pallas"
+            ld, q, s, n_steps=n_steps, eps=0.02, L=5, backend="pallas",
+            block_n=block_n,
         )
     )
     q = init(jr.key(7))

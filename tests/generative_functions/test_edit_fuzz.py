@@ -36,9 +36,40 @@ def base_block(mu):
 def models(draw):
     """A small grammar of compositions; returns (gen_fn, args, addr_paths)
     where addr_paths lists editable address paths."""
-    kind = draw(st.sampled_from(["plain", "nested", "scan", "vmap"]))
+    kind = draw(
+        st.sampled_from(
+            ["plain", "nested", "scan", "vmap", "partial", "local_closure"]
+        )
+    )
     if kind == "plain":
         return base_block, (0.3,), [("a",), ("b",)]
+    if kind == "partial":
+        # the callee is re-partial_apply-ed per execution: its closed-over
+        # pytree leaves ride dispatch_edit's merge path
+        @g.gen
+        def curried(mu):
+            k = base_block.partial_apply(mu * 2.0)
+            u = k() @ "sub"
+            v = g.normal(u, 1.0) @ "top"
+            return v
+
+        return curried, (0.3,), [("sub", "a"), ("sub", "b"), ("top",)]
+    if kind == "local_closure":
+        # a local @gen capturing an upstream SAMPLE through a Python
+        # closure: the handler fallback + closure-mismatch rescore path
+        @g.gen
+        def closure_model(mu):
+            root = g.normal(mu, 1.0) @ "root"
+
+            @g.gen
+            def leafs():
+                c = g.normal(root, 0.7) @ "c"
+                return c
+
+            out = leafs() @ "dep"
+            return out
+
+        return closure_model, (0.3,), [("root",), ("dep", "c")]
     if kind == "nested":
 
         @g.gen
