@@ -5,13 +5,17 @@ Default (BENCH_MODE=all) runs every config and prints one JSON line
 (fused column HMC @64k chains, the r01 recorded metric) LAST so
 single-line parsers pick it up. Set BENCH_MODE to run one config:
 
-  hmc   fused column-layout HMC, 64k chains, hierarchical regression
-        (+ ESS/sec line from thinned cross-sweep draws)
-  nuts  fused column-layout NUTS, 64k chains, same model
-  pf    adaptive-resampling particle filter, linear-Gaussian SSM
-  sir   README-quickstart beta-bernoulli SIR (50 particles x trials)
-  vi    ADEV ELBO gradient steps (reparam guide, conjugate target)
-  dp    DP-mixture tempered SMC (stick-breaking, rung ladder)
+  hmc     fused column-layout HMC, 64k chains, hierarchical regression
+          (+ ESS/sec line from thinned cross-sweep draws)
+  nuts    fused column-layout NUTS, 64k chains, same model
+  chees   ChEES-adaptive HMC (trajectory length/step size/mass adapted
+          jointly from cross-chain statistics), same model
+  chains  trace-based GFI chains (run_chains, lanes layout)
+  pf      adaptive-resampling particle filter, linear-Gaussian SSM
+  sir     README-quickstart beta-bernoulli SIR (50 particles x trials)
+  vi      ADEV ELBO gradient steps (reparam guide, conjugate target)
+  dp      DP-mixture tempered SMC (stick-breaking, rung ladder)
+  hmc_pallas  the Mosaic VMEM kernel on the hmc sweep
 
 ``vs_baseline`` compares each metric against the newest prior round's
 recorded value (BENCH_r*.json); 1.0 when no prior record exists.
@@ -537,8 +541,79 @@ def bench_hmc_pallas():
     )
 
 
+def bench_chees():
+    """ChEES-adaptive HMC on the flagship model: trajectory length, step
+    size, and diagonal mass adapt jointly from cross-chain statistics
+    (kernels/chees.py). Reported as samples/s and ESS/sec at the adapted
+    settings — the turn-key number to compare against hmc's fixed-L and
+    nuts' tree-based rates."""
+    from genjax_tpu.inference.diagnostics import ess
+    from genjax_tpu.kernels import chees_hmc
+
+    n_chains = int(os.environ.get("BENCH_CHAINS", 65536))
+    n_warmup = int(os.environ.get("BENCH_CHEES_WARMUP", 200))
+    n_steps = int(os.environ.get("BENCH_CHEES_STEPS", 25))
+    reps = int(os.environ.get("BENCH_CHEES_REPS", 10))
+    regression, obs, packer, ld = _regression_setup()
+
+    def init_one(k):
+        tr, _ = regression.generate(k, obs, ())
+        return packer.pack(tr.get_choices())
+
+    @jax.jit
+    def init(key):
+        return jax.vmap(init_one, out_axes=1)(jr.split(key, n_chains))
+
+    q = init(jr.key(21))
+    t_w = time.perf_counter()
+    q, info = jax.jit(
+        lambda q: chees_hmc(
+            ld, q, 23, n_warmup=n_warmup, n_steps=0, eps0=0.02
+        )
+    )(q)
+    eps_f = float(info.eps)
+    traj = float(info.trajectory_length)
+    inv_mass = info.inv_mass
+    _log(
+        f"# chees: warmup adapted eps={eps_f:.4f} traj={traj:.3f} in "
+        f"{time.perf_counter()-t_w:.1f}s"
+    )
+
+    sample = jax.jit(
+        lambda q, s: chees_hmc(
+            ld, q, s, n_warmup=0, n_steps=n_steps, eps0=eps_f, t0=traj,
+            inv_mass=inv_mass, adapt_mass=False, collect=True,
+        )
+    )
+    q, info = sample(q, 100)
+    _ = float(info.accept_rate)
+    t0 = time.perf_counter()
+    for i in range(1, reps + 1):
+        q, info = sample(q, 100 + i)
+    _ = float(info.accept_rate)
+    dt = time.perf_counter() - t0
+    rate = n_chains * n_steps * reps / dt
+    # ESS from the last rep's collected first-coordinate draws
+    stacked = jnp.transpose(info.draws[:, 0, :])  # (chains, n_steps)
+    total_ess = float(ess(stacked, max_lag=min(n_steps - 1, 32)))
+    # ESS of the final rep over its share of the wall clock
+    ess_rate = total_ess / (dt / reps)
+    _log(
+        f"# chees; chains={n_chains} steps={n_steps} reps={reps} "
+        f"wall={dt:.2f}s accept={float(info.accept_rate):.2f} "
+        f"mean_L={float(info.mean_leapfrogs):.1f}"
+    )
+    emit(
+        f"chees_samples_per_sec_per_chip_{n_chains}chains",
+        rate,
+        "samples/sec/chip",
+    )
+    emit("chees_ess_per_sec_per_chip", ess_rate, "ESS/sec/chip")
+
+
 MODES = {
     "chains": bench_chains,
+    "chees": bench_chees,
     "hmc": bench_hmc,
     "hmc_pallas": bench_hmc_pallas,
     "nuts": bench_nuts,
@@ -558,7 +633,10 @@ def main():
     # recorded even if an external timeout cuts the run short, and is
     # RE-EMITTED last so single-line parsers that keep only the final
     # JSON line also pick it up.
-    for name in ("hmc", "sir", "vi", "dp", "pf", "chains", "nuts", "hmc_pallas"):
+    for name in (
+        "hmc", "sir", "vi", "dp", "pf", "chains", "nuts", "chees",
+        "hmc_pallas",
+    ):
         try:
             MODES[name]()
         except Exception as e:  # one config failing must not kill the rest

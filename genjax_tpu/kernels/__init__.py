@@ -6,8 +6,9 @@ small models is HBM-bound under XLA because every leapfrog round-trips the
 chain state; the fused kernel keeps entire trajectories in VMEM.
 """
 
+from .chees import ChEESInfo, chees_hmc
 from .hmc import pallas_hmc, warmup_column
-from .model_interface import ColumnPacker, column_hmc, column_logdensity, column_nuts
+from .model_interface import ColumnPacker, column_chees, column_hmc, column_logdensity, column_nuts
 from .nuts import nuts_sweep_cols, nuts_transition
 
-__all__ = ["ColumnPacker", "column_hmc", "column_logdensity", "column_nuts", "nuts_sweep_cols", "nuts_transition", "pallas_hmc", "warmup_column"]
+__all__ = ["ChEESInfo", "chees_hmc", "ColumnPacker", "column_chees", "column_hmc", "column_logdensity", "column_nuts", "nuts_sweep_cols", "nuts_transition", "pallas_hmc", "warmup_column"]

@@ -197,3 +197,44 @@ def column_nuts(
         max_depth=max_depth, inv_mass=inv_mass,
     )
     return q, accept, leaps, packer
+
+
+def column_chees(
+    model: GenerativeFunction,
+    constraint: ChoiceMap,
+    args: tuple,
+    addresses: Sequence[Any],
+    *,
+    n_chains: int,
+    n_warmup: int = 300,
+    n_steps: int = 200,
+    eps: float = 0.05,
+    seed: int = 0,
+    collect: bool = False,
+    **chees_kwargs,
+):
+    """Prior-initialized ChEES-adaptive HMC over ``addresses`` in the fused
+    column layout (kernels/chees.py): step size, diagonal mass, AND
+    trajectory length adapt jointly from cross-chain statistics — the
+    turn-key alternative to picking ``L`` for ``column_hmc`` or paying
+    NUTS's tree overhead. Returns ``(positions, info, packer)``."""
+    from .chees import chees_hmc
+
+    if constraint is None:
+        constraint = ChoiceMap.empty()
+    packer = ColumnPacker(model, constraint, args, addresses)
+    logdensity_cols = column_logdensity(model, constraint, args, packer)
+
+    def init_one(k):
+        tr, _ = model.generate(k, constraint, args)
+        return packer.pack(tr.get_choices())
+
+    q0 = jax.vmap(init_one, out_axes=1)(
+        jr.split(jr.fold_in(jr.key(seed), 0xC0FFEE), n_chains)
+    )
+    q, info = chees_hmc(
+        logdensity_cols, q0, seed,
+        n_warmup=n_warmup, n_steps=n_steps, eps0=eps, collect=collect,
+        **chees_kwargs,
+    )
+    return q, info, packer
