@@ -95,19 +95,34 @@ def sample_posterior(
     mesh=None,
     axis: str = "batch",
 ) -> PosteriorSamples:
-    """Sample ``p(selection | constraint)`` with adaptive NUTS or HMC.
+    """Sample ``p(selection | constraint)`` with adaptive NUTS, HMC, or
+    ChEES.
 
-    Warmup splits into up to 6 windows totalling exactly ``n_warmup``
+    ``algorithm="nuts"``/``"hmc"`` run trace-based edit requests: warmup
+    splits into up to 6 windows totalling exactly ``n_warmup``
     transitions (``n_warmup=0`` disables adaptation, keeping ``eps0`` and
     the identity mass): each window runs transitions at the current
     settings, nudges the step size toward ``target_accept``, and
     re-estimates the diagonal inverse mass from cross-chain variance of
     the raveled selected choices. Sampling then records one draw per
     ``thin`` transitions. With ``mesh``, the chain batch shards over it.
+
+    ``algorithm="chees"`` runs the fused column kernel
+    (``kernels.chees_hmc``): trajectory length, step size, AND mass adapt
+    jointly from cross-chain statistics — the highest-ESS/sec path for
+    statically-addressed continuous selections (ARCHITECTURE §3; pass
+    ``target_accept=0.651`` or leave the default for its optimum).
     """
     from .mcmc import mh
     from .requests.hmc import HMC
     from .requests.nuts import NUTS
+
+    if algorithm == "chees":
+        return _sample_posterior_chees(
+            key, model, constraint, args, selection,
+            n_chains=n_chains, n_warmup=n_warmup, n_samples=n_samples,
+            thin=thin, eps0=eps0, mesh=mesh, axis=axis,
+        )
 
     k_init, k_warm, k_run = jr.split(key, 3)
     init_keys = jr.split(k_init, n_chains)
@@ -255,4 +270,94 @@ def sample_posterior(
         divergence_rate=divergence_rate,
         eps=eps,
         inv_mass=inv_mass,
+    )
+
+
+def _static_value_paths(chm, prefix=()):
+    """Paths of every value-bearing node reachable through STATIC address
+    components (the ``ColumnPacker`` address contract)."""
+    v = chm.get_value()
+    if v is not None:
+        return [prefix if len(prefix) > 1 else prefix[0]]
+    out = []
+    for a in chm.static_addresses():
+        out.extend(_static_value_paths(chm.get_submap(a), prefix + (a,)))
+    if not out and not chm.static_is_empty():
+        raise ValueError(
+            "sample_posterior(algorithm='chees') needs a statically "
+            "addressed selection (no scan/vmap index levels); use "
+            "algorithm='nuts' or 'hmc' for indexed selections."
+        )
+    return out
+
+
+def _sample_posterior_chees(
+    key, model, constraint, args, selection, *,
+    n_chains, n_warmup, n_samples, thin, eps0, mesh, axis,
+) -> PosteriorSamples:
+    from ..kernels.chees import chees_hmc
+    from ..kernels.model_interface import ColumnPacker, column_logdensity
+
+    shape_chm = (
+        model.get_zero_trace(*args).get_choices().filter_eager(selection)
+    )
+    paths = _static_value_paths(shape_chm)
+    packer = ColumnPacker(model, constraint, args, paths)
+    ld = column_logdensity(model, constraint, args, packer)
+    k_init, k_run = jr.split(key)
+
+    @jax.jit
+    def init(k):
+        def one(kk):
+            tr, _ = model.generate(kk, constraint, args)
+            return packer.pack(tr.get_choices())
+
+        return jax.vmap(one, out_axes=1)(jr.split(k, n_chains))
+
+    q0 = init(k_init)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        q0 = jax.device_put(q0, NamedSharding(mesh, P(None, axis)))
+
+    n_steps = n_samples * thin
+    q, info = jax.jit(
+        lambda q0: chees_hmc(
+            ld, q0, 0, n_warmup=n_warmup, n_steps=n_steps, eps0=eps0,
+            collect=True,
+        )
+    )(q0)
+    draws = info.draws[thin - 1 :: thin]  # (n_samples, D_padded, N)
+
+    # positions: (chains, samples, *event) per selected path
+    per_chain = jnp.moveaxis(draws, 2, 0)  # (N, n_samples, D_padded)
+    positions = jax.vmap(jax.vmap(packer.unpack))(per_chain)
+
+    real = draws[:, : packer.dim, :]  # drop tile padding
+    arr = jnp.transpose(real, (2, 0, 1))  # (chains, samples, dim)
+
+    @jax.jit
+    def diagnostics(arr):
+        r = jax.vmap(split_rhat, in_axes=2)(arr)
+        e = jax.vmap(
+            lambda x: ess(x, max_lag=min(n_samples - 1, 64)), in_axes=2
+        )(arr)
+        return r, e
+
+    rhat_flat, ess_flat = diagnostics(arr)
+    pad = packer.padded_dim - packer.dim
+
+    def unflatten(flat):
+        return packer.unpack(
+            jnp.pad(jnp.asarray(flat, jnp.float32), (0, pad))
+        )
+
+    return PosteriorSamples(
+        positions=positions,
+        rhat=unflatten(rhat_flat),
+        ess=unflatten(ess_flat),
+        accept_rate=info.accept_rate,
+        divergence_rate=info.divergence_rate,
+        eps=info.eps,
+        inv_mass=info.inv_mass[: packer.dim],
     )

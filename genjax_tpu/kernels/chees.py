@@ -56,6 +56,7 @@ class ChEESInfo(Pytree):
     trajectory_length: Any
     accept_rate: Any
     mean_leapfrogs: Any
+    divergence_rate: Any
     inv_mass: Any
     draws: Any
 
@@ -167,7 +168,8 @@ def chees_hmc(
         # d/d log t  =  dChEES/dtau * dtau/dt * t  =  grad_tau * h * t
         grad_logt = grad_tau * tau
         grad_logt = jnp.where(jnp.isfinite(grad_logt), grad_logt, 0.0)
-        return qn, lpn, gn, alpha, grad_logt, L
+        div = 1.0 - jnp.mean(ok.astype(jnp.float32))
+        return qn, lpn, gn, alpha, grad_logt, L, div
 
     def adam(mv, grad, step):
         m, v = mv
@@ -194,7 +196,7 @@ def chees_hmc(
         q, lp, g, adapt, log_t, mv, inv_mass = carry
         step_idx, key = inp
         eps = jnp.exp(adapt.log_eps)
-        q, lp, g, alpha, grad_logt, L = sweep(
+        q, lp, g, alpha, grad_logt, L, _div = sweep(
             q, lp, g, key, step_idx, eps, log_t, inv_mass
         )
         mv, update = adam(mv, grad_logt, adapt.step)
@@ -231,14 +233,14 @@ def chees_hmc(
     def sample_step(carry, inp):
         q, lp, g = carry
         step_idx, key = inp
-        q, lp, g, alpha, _gl, L = sweep(
+        q, lp, g, alpha, _gl, L, div = sweep(
             q, lp, g, key, step_idx, eps_f, log_t, inv_mass_f
         )
         out = q if collect else None
-        return (q, lp, g), (jnp.mean(alpha), L, out)
+        return (q, lp, g), (jnp.mean(alpha), L, div, out)
 
     skeys = jr.split(jr.fold_in(root, 2), n_steps)
-    (q, lp, g), (accs, Ls, draws) = lax.scan(
+    (q, lp, g), (accs, Ls, divs, draws) = lax.scan(
         sample_step,
         (q, lp, g),
         (jnp.arange(n_warmup, n_warmup + n_steps), skeys),
@@ -248,6 +250,7 @@ def chees_hmc(
         trajectory_length=jnp.exp(log_t),
         accept_rate=jnp.mean(accs),
         mean_leapfrogs=jnp.mean(Ls.astype(jnp.float32)),
+        divergence_rate=jnp.mean(divs),
         inv_mass=inv_mass_f,
         draws=draws,
     )

@@ -97,3 +97,34 @@ class TestWarmupBudget:
                 algorithm="hmc", eps0=0.1, L=3,
             )
             assert jnp.isfinite(float(res.eps))
+
+
+class TestChEESAlgorithm:
+    def test_conjugate_posterior(self):
+        res = sample_posterior(
+            KEY, conjugate, OBS, (), g.S["mu"],
+            n_chains=512, n_warmup=200, n_samples=60, thin=2,
+            algorithm="chees", eps0=0.1,
+        )
+        draws = res["mu"][:, 20:]
+        assert draws.shape == (512, 40)
+        assert jnp.mean(draws) == pytest.approx(1.0, abs=0.05)
+        assert jnp.std(draws) == pytest.approx(
+            1.0 / jnp.sqrt(2.0), abs=0.05
+        )
+        assert float(res.rhat_of("mu")) < 1.1
+        assert float(res.ess_of("mu")) > 500
+        assert float(res.divergence_rate) < 0.01
+
+    def test_indexed_selection_raises(self):
+        @g.gen
+        def kern(c, x):
+            z = g.normal(c, 1.0) @ "z"
+            return (z, None)
+
+        model = kern.scan(n=3)
+        with pytest.raises(ValueError, match="statically"):
+            sample_posterior(
+                KEY, model, g.ChoiceMap.empty(), (0.0, jnp.zeros(3)),
+                g.S[..., "z"], n_chains=8, n_samples=4, algorithm="chees",
+            )
