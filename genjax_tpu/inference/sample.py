@@ -110,8 +110,9 @@ def sample_posterior(
     ``algorithm="chees"`` runs the fused column kernel
     (``kernels.chees_hmc``): trajectory length, step size, AND mass adapt
     jointly from cross-chain statistics — the highest-ESS/sec path for
-    statically-addressed continuous selections (ARCHITECTURE §3; pass
-    ``target_accept=0.651`` or leave the default for its optimum).
+    statically-addressed continuous selections (ARCHITECTURE §3). Its
+    optimal acceptance target is 0.651; ``target_accept`` is forwarded,
+    so pass 0.651 explicitly unless you want this driver's 0.8 default.
     """
     from .mcmc import mh
     from .requests.hmc import HMC
@@ -121,7 +122,8 @@ def sample_posterior(
         return _sample_posterior_chees(
             key, model, constraint, args, selection,
             n_chains=n_chains, n_warmup=n_warmup, n_samples=n_samples,
-            thin=thin, eps0=eps0, mesh=mesh, axis=axis,
+            thin=thin, eps0=eps0, target_accept=target_accept,
+            mesh=mesh, axis=axis,
         )
 
     k_init, k_warm, k_run = jr.split(key, 3)
@@ -278,6 +280,12 @@ def _static_value_paths(chm, prefix=()):
     components (the ``ColumnPacker`` address contract)."""
     v = chm.get_value()
     if v is not None:
+        if not prefix:
+            raise ValueError(
+                "sample_posterior(algorithm='chees') needs an ADDRESSED "
+                "model (the selection resolved to a root value — e.g. a "
+                "bare Distribution); use algorithm='nuts' or 'hmc'."
+            )
         return [prefix if len(prefix) > 1 else prefix[0]]
     out = []
     for a in chm.static_addresses():
@@ -293,7 +301,7 @@ def _static_value_paths(chm, prefix=()):
 
 def _sample_posterior_chees(
     key, model, constraint, args, selection, *,
-    n_chains, n_warmup, n_samples, thin, eps0, mesh, axis,
+    n_chains, n_warmup, n_samples, thin, eps0, target_accept, mesh, axis,
 ) -> PosteriorSamples:
     from ..kernels.chees import chees_hmc
     from ..kernels.model_interface import ColumnPacker, column_logdensity
@@ -322,11 +330,11 @@ def _sample_posterior_chees(
 
     n_steps = n_samples * thin
     q, info = jax.jit(
-        lambda q0: chees_hmc(
-            ld, q0, 0, n_warmup=n_warmup, n_steps=n_steps, eps0=eps0,
-            collect=True,
+        lambda q0, k: chees_hmc(
+            ld, q0, k, n_warmup=n_warmup, n_steps=n_steps, eps0=eps0,
+            target_accept=target_accept, collect=True,
         )
-    )(q0)
+    )(q0, k_run)
     draws = info.draws[thin - 1 :: thin]  # (n_samples, D_padded, N)
 
     # positions: (chains, samples, *event) per selected path

@@ -71,7 +71,7 @@ def _halton2(i):
 def chees_hmc(
     logdensity_cols,
     q0,
-    seed: int,
+    seed,
     *,
     n_warmup: int = 300,
     n_steps: int = 200,
@@ -90,6 +90,8 @@ def chees_hmc(
     Args:
         logdensity_cols: batched log-density ``(D, N) -> (N,)``.
         q0: initial positions ``(D, N)`` float32.
+        seed: an int (a fresh ``jax.random.key(seed, impl=rng_impl)`` is
+            derived) or a PRNG key array used directly.
         n_warmup: adaptation sweeps (eps + trajectory length + mass).
         n_steps: sampling sweeps at the adapted settings (jitter stays on).
         collect: record every sampling sweep's positions in ``info.draws``.
@@ -150,7 +152,12 @@ def chees_hmc(
         # must not poison the cross-chain MEANS — one bad lane would NaN
         # the statistic for every chain; replace them by the current
         # position (their alpha is 0, so they contribute nothing).
-        ok = jnp.all(jnp.isfinite(q1), axis=0) & jnp.isfinite(lp1)
+        finite_pos = jnp.all(jnp.isfinite(q1), axis=0)
+        # -inf density at a FINITE position is an ordinary out-of-support
+        # rejection; "diverged" means the integrator blew up (NUTS
+        # convention elsewhere in this package)
+        diverged = ~finite_pos | jnp.isnan(lp1)
+        ok = ~diverged
         q1s = jnp.where(ok[None, :], q1, q)
         p1s = jnp.where(ok[None, :], p1, jnp.zeros_like(p1))
         qm = jnp.mean(q, axis=1, keepdims=True)
@@ -168,7 +175,7 @@ def chees_hmc(
         # d/d log t  =  dChEES/dtau * dtau/dt * t  =  grad_tau * h * t
         grad_logt = grad_tau * tau
         grad_logt = jnp.where(jnp.isfinite(grad_logt), grad_logt, 0.0)
-        div = 1.0 - jnp.mean(ok.astype(jnp.float32))
+        div = jnp.mean(diverged.astype(jnp.float32))
         return qn, lpn, gn, alpha, grad_logt, L, div
 
     def adam(mv, grad, step):
@@ -189,7 +196,12 @@ def chees_hmc(
             jnp.log(eps * max_leapfrogs),
         )
 
-    root = jr.key(seed, impl=rng_impl)
+    if hasattr(seed, "dtype") and jnp.issubdtype(
+        jnp.asarray(seed).dtype, jax.dtypes.prng_key
+    ):
+        root = seed
+    else:
+        root = jr.key(seed, impl=rng_impl)
     lp_init, g_init = lp_g(q0)
 
     def warm_step(carry, inp):

@@ -8,7 +8,10 @@ v5e, 64k chains: 34.9M transitions/s trace-based vs ~1.7B column-layout).
 
 Positions are packed **chains-on-lanes**: ``(D, N)`` with ``D`` the total
 flattened dimension of the selected addresses padded to the fp32 sublane
-tile (8). Padding lanes carry zero gradient and cancel in the MH ratio.
+tile (8). Padding dimensions carry an independent STANDARD-NORMAL density
+(see ``column_logdensity``): flat padding directions random-walk, explode
+the cross-chain mass estimate, and never U-turn — do not "simplify" them
+back to zero density (that cost 7× NUTS throughput).
 """
 
 from __future__ import annotations

@@ -116,6 +116,22 @@ class TestChEESAlgorithm:
         assert float(res.ess_of("mu")) > 500
         assert float(res.divergence_rate) < 0.01
 
+    def test_target_accept_forwarded(self):
+        res = sample_posterior(
+            KEY, conjugate, OBS, (), g.S["mu"],
+            n_chains=256, n_warmup=250, n_samples=20,
+            algorithm="chees", eps0=0.1, target_accept=0.95,
+        )
+        assert float(res.accept_rate) > 0.85
+
+    def test_unaddressed_model_raises(self):
+        with pytest.raises(ValueError, match="ADDRESSED"):
+            sample_posterior(
+                KEY, g.normal, g.ChoiceMap.empty(), (0.0, 1.0),
+                g.Selection.all(), n_chains=8, n_samples=4,
+                algorithm="chees",
+            )
+
     def test_indexed_selection_raises(self):
         @g.gen
         def kern(c, x):

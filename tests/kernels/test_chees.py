@@ -58,6 +58,27 @@ class TestChEESKernel:
         assert np.allclose(emp_cov, cov, atol=0.12)
         assert float(info.trajectory_length) > 0.5  # grew well past t0
 
+    def test_seed_accepts_prng_key(self):
+        def ld(q):
+            return -0.5 * jnp.sum(q**2, axis=0)
+
+        q0 = 0.1 * jr.normal(jr.key(4), (2, 512))
+        key = jr.key(11, impl="threefry2x32")
+        q, info = chees_hmc(
+            ld, q0, key, n_warmup=100, n_steps=50, eps0=0.1, **KW
+        )
+        assert np.allclose(np.std(np.asarray(q), axis=1), 1.0, atol=0.15)
+        # identical key → identical stream; different key → different draws
+        q2, _ = chees_hmc(
+            ld, q0, key, n_warmup=100, n_steps=50, eps0=0.1, **KW
+        )
+        assert np.array_equal(np.asarray(q), np.asarray(q2))
+        q3, _ = chees_hmc(
+            ld, q0, jr.key(12, impl="threefry2x32"),
+            n_warmup=100, n_steps=50, eps0=0.1, **KW,
+        )
+        assert not np.array_equal(np.asarray(q), np.asarray(q3))
+
     def test_nan_trajectories_count_as_rejections(self):
         # a huge eps0 diverges immediately; adaptation must survive
         def ld(q):
