@@ -116,6 +116,21 @@ class TestChEESAlgorithm:
         assert float(res.ess_of("mu")) > 500
         assert float(res.divergence_rate) < 0.01
 
+    def test_sharded_chain_axis(self):
+        from genjax_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+        res = sample_posterior(
+            KEY, conjugate, OBS, (), g.S["mu"],
+            n_chains=256, n_warmup=200, n_samples=40,
+            algorithm="chees", eps0=0.1, mesh=mesh,
+        )
+        draws = res["mu"][:, -20:]
+        assert jnp.mean(draws) == pytest.approx(1.0, abs=0.12)
+        assert jnp.std(draws) == pytest.approx(
+            1.0 / jnp.sqrt(2.0), abs=0.1
+        )
+
     def test_target_accept_forwarded(self):
         res = sample_posterior(
             KEY, conjugate, OBS, (), g.S["mu"],
