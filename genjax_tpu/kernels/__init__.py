@@ -8,7 +8,8 @@ chain state; the fused kernel keeps entire trajectories in VMEM.
 
 from .chees import ChEESInfo, chees_hmc
 from .hmc import pallas_hmc, warmup_column
-from .model_interface import ColumnPacker, column_chees, column_hmc, column_logdensity, column_nuts
+from .model_interface import ColumnPacker, column_chees, column_hmc, column_logdensity, column_nuts, column_pt
+from .pt import PTInfo, geometric_ladder, pt_hmc
 from .nuts import nuts_sweep_cols, nuts_transition
 
-__all__ = ["ChEESInfo", "chees_hmc", "ColumnPacker", "column_chees", "column_hmc", "column_logdensity", "column_nuts", "nuts_sweep_cols", "nuts_transition", "pallas_hmc", "warmup_column"]
+__all__ = ["ChEESInfo", "chees_hmc", "ColumnPacker", "column_chees", "column_hmc", "column_logdensity", "column_nuts", "column_pt", "PTInfo", "geometric_ladder", "pt_hmc", "nuts_sweep_cols", "nuts_transition", "pallas_hmc", "warmup_column"]

@@ -254,3 +254,51 @@ def column_chees(
         **chees_kwargs,
     )
     return q, info, packer
+
+
+def column_pt(
+    model: GenerativeFunction,
+    constraint: ChoiceMap,
+    args: tuple,
+    addresses: Sequence[Any],
+    *,
+    n_chains: int,
+    n_rungs: int = 6,
+    betas=None,
+    n_warmup: int = 300,
+    n_steps: int = 200,
+    eps: float = 0.05,
+    L: int = 8,
+    seed: int = 0,
+    collect: bool = False,
+    **pt_kwargs,
+):
+    """Prior-initialized parallel-tempering HMC over ``addresses`` in the
+    fused column layout (kernels/pt.py): a geometric inverse-temperature
+    ladder with even-odd replica exchange — the turn-key path for
+    MULTIMODAL posteriors, where ``column_hmc``/``column_chees`` chains
+    stay trapped in the mode they initialize in. Per-rung step sizes and
+    masses adapt from cross-chain statistics. Returns
+    ``(cold_positions, info, packer)``."""
+    from .pt import geometric_ladder, pt_hmc
+
+    if constraint is None:
+        constraint = ChoiceMap.empty()
+    if betas is None:
+        betas = geometric_ladder(n_rungs)
+    packer = ColumnPacker(model, constraint, args, addresses)
+    logdensity_cols = column_logdensity(model, constraint, args, packer)
+
+    def init_one(k):
+        tr, _ = model.generate(k, constraint, args)
+        return packer.pack(tr.get_choices())
+
+    q0 = jax.vmap(init_one, out_axes=1)(
+        jr.split(jr.fold_in(jr.key(seed), 0xC0FFEE), n_chains)
+    )
+    q, info = pt_hmc(
+        logdensity_cols, q0, seed, betas=betas,
+        n_warmup=n_warmup, n_steps=n_steps, eps0=eps, L=L,
+        collect=collect, **pt_kwargs,
+    )
+    return q, info, packer
