@@ -4,9 +4,17 @@ Parity: reference ``/root/reference/src/genjax/_src/inference/`` and the
 facade ``/root/reference/src/genjax/inference/__init__.py``.
 """
 
-from . import adaptation, diagnostics, learning, mcmc, requests, sample, smc, tempered
+from . import adaptation, diagnostics, learning, mcmc, pgibbs, requests, sample, smc, tempered
 from .sp import Algorithm, Marginal, SampleDistribution, Target, marginal
 from .mcmc import MHChainResult, mh, run_chain, run_chains
+from .pgibbs import (
+    CSMCSweepResult,
+    PGibbsResult,
+    PMMHResult,
+    csmc_sweep,
+    particle_gibbs,
+    pmmh,
+)
 from .tempered import TemperedSMCResult, geometric_ladder, tempered_smc
 from .learning import LaplaceResult, MAPResult, fit_map, laplace_approximation
 from .sample import PosteriorSamples, sample_posterior
@@ -44,4 +52,11 @@ __all__ = [
     "tempered",
     "tempered_smc",
     "smc",
+    "CSMCSweepResult",
+    "PGibbsResult",
+    "PMMHResult",
+    "csmc_sweep",
+    "particle_gibbs",
+    "pgibbs",
+    "pmmh",
 ]
