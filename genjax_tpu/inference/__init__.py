@@ -4,7 +4,17 @@ Parity: reference ``/root/reference/src/genjax/_src/inference/`` and the
 facade ``/root/reference/src/genjax/inference/__init__.py``.
 """
 
-from . import adaptation, diagnostics, learning, mcmc, pgibbs, requests, sample, smc, tempered
+from . import adaptation, diagnostics, gibbs, learning, mcmc, pgibbs, requests, sample, smc, tempered
+from .gibbs import (
+    GibbsInfo,
+    GibbsSweepResult,
+    enum_move,
+    enum_vmap_move,
+    enumerative_gibbs,
+    enumerative_gibbs_vmap,
+    gibbs_sweep,
+    mh_move,
+)
 from .sp import Algorithm, Marginal, SampleDistribution, Target, marginal
 from .mcmc import MHChainResult, mh, run_chain, run_chains
 from .pgibbs import (
@@ -58,5 +68,14 @@ __all__ = [
     "csmc_sweep",
     "particle_gibbs",
     "pgibbs",
+    "GibbsInfo",
+    "GibbsSweepResult",
+    "enum_move",
+    "enum_vmap_move",
+    "enumerative_gibbs",
+    "enumerative_gibbs_vmap",
+    "gibbs",
+    "gibbs_sweep",
+    "mh_move",
     "pmmh",
 ]
