@@ -4,7 +4,8 @@ Parity: reference ``/root/reference/src/genjax/_src/inference/`` and the
 facade ``/root/reference/src/genjax/inference/__init__.py``.
 """
 
-from . import adaptation, diagnostics, gibbs, learning, mcmc, pgibbs, requests, sample, smc, tempered
+from . import adaptation, diagnostics, gibbs, involutive, learning, mcmc, pgibbs, requests, sample, smc, tempered
+from .involutive import InvolutiveInfo, involutive_mh, involutive_move
 from .gibbs import (
     GibbsInfo,
     GibbsSweepResult,
@@ -77,5 +78,9 @@ __all__ = [
     "gibbs",
     "gibbs_sweep",
     "mh_move",
+    "InvolutiveInfo",
+    "involutive",
+    "involutive_mh",
+    "involutive_move",
     "pmmh",
 ]
