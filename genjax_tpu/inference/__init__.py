@@ -5,6 +5,8 @@ facade ``/root/reference/src/genjax/inference/__init__.py``.
 """
 
 from . import adaptation, diagnostics, gibbs, involutive, learning, mcmc, pgibbs, requests, sample, smc, tempered
+from . import enumerate_
+from .enumerate_ import EnumerationResult, enumerate_posterior
 from .involutive import InvolutiveInfo, involutive_mh, involutive_move
 from .gibbs import (
     GibbsInfo,
@@ -78,6 +80,8 @@ __all__ = [
     "gibbs",
     "gibbs_sweep",
     "mh_move",
+    "EnumerationResult",
+    "enumerate_posterior",
     "InvolutiveInfo",
     "involutive",
     "involutive_mh",
