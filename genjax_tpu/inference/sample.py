@@ -92,6 +92,7 @@ def sample_posterior(
     L: int = 8,
     max_depth: int = 8,
     target_accept: float = 0.8,
+    n_rungs: int = 6,
     mesh=None,
     axis: str = "batch",
 ) -> PosteriorSamples:
@@ -113,6 +114,13 @@ def sample_posterior(
     statically-addressed continuous selections (ARCHITECTURE §3). Its
     optimal acceptance target is 0.651; ``target_accept`` is forwarded,
     so pass 0.651 explicitly unless you want this driver's 0.8 default.
+
+    ``algorithm="pt"`` runs replica-exchange (parallel-tempering) HMC on
+    the column layout (``kernels.pt_hmc``) over an ``n_rungs`` geometric
+    temperature ladder — the turn-key choice for MULTIMODAL posteriors,
+    where single-temperature chains stay trapped in the mode they
+    initialize in. Draws come from the cold rung; ``eps``/``inv_mass``/
+    ``accept_rate`` report the cold rung's adapted settings.
     """
     from .mcmc import mh
     from .requests.hmc import HMC
@@ -124,6 +132,13 @@ def sample_posterior(
             n_chains=n_chains, n_warmup=n_warmup, n_samples=n_samples,
             thin=thin, eps0=eps0, target_accept=target_accept,
             mesh=mesh, axis=axis,
+        )
+    if algorithm == "pt":
+        return _sample_posterior_pt(
+            key, model, constraint, args, selection,
+            n_chains=n_chains, n_warmup=n_warmup, n_samples=n_samples,
+            thin=thin, eps0=eps0, L=L, target_accept=target_accept,
+            n_rungs=n_rungs, mesh=mesh, axis=axis,
         )
 
     k_init, k_warm, k_run = jr.split(key, 3)
@@ -282,7 +297,7 @@ def _static_value_paths(chm, prefix=()):
     if v is not None:
         if not prefix:
             raise ValueError(
-                "sample_posterior(algorithm='chees') needs an ADDRESSED "
+                "sample_posterior column algorithms (chees/pt) need an ADDRESSED "
                 "model (the selection resolved to a root value — e.g. a "
                 "bare Distribution); use algorithm='nuts' or 'hmc'."
             )
@@ -292,7 +307,7 @@ def _static_value_paths(chm, prefix=()):
         out.extend(_static_value_paths(chm.get_submap(a), prefix + (a,)))
     if not out and not chm.static_is_empty():
         raise ValueError(
-            "sample_posterior(algorithm='chees') needs a statically "
+            "sample_posterior column algorithms (chees/pt) need a statically "
             "addressed selection (no scan/vmap index levels); use "
             "algorithm='nuts' or 'hmc' for indexed selections."
         )
@@ -368,4 +383,79 @@ def _sample_posterior_chees(
         divergence_rate=info.divergence_rate,
         eps=info.eps,
         inv_mass=info.inv_mass[: packer.dim],
+    )
+
+
+def _sample_posterior_pt(
+    key, model, constraint, args, selection, *,
+    n_chains, n_warmup, n_samples, thin, eps0, L, target_accept,
+    n_rungs, mesh, axis,
+) -> PosteriorSamples:
+    from ..kernels.pt import geometric_ladder, pt_hmc
+    from ..kernels.model_interface import ColumnPacker, column_logdensity
+
+    shape_chm = (
+        model.get_zero_trace(*args).get_choices().filter_eager(selection)
+    )
+    paths = _static_value_paths(shape_chm)
+    packer = ColumnPacker(model, constraint, args, paths)
+    ld = column_logdensity(model, constraint, args, packer)
+    k_init, k_run = jr.split(key)
+
+    @jax.jit
+    def init(k):
+        def one(kk):
+            tr, _ = model.generate(kk, constraint, args)
+            return packer.pack(tr.get_choices())
+
+        return jax.vmap(one, out_axes=1)(jr.split(k, n_chains))
+
+    q0 = init(k_init)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        q0 = jax.device_put(q0, NamedSharding(mesh, P(None, axis)))
+
+    n_steps = n_samples * thin
+    _q, info = jax.jit(
+        lambda q0, k: pt_hmc(
+            ld, q0, k, betas=geometric_ladder(n_rungs),
+            n_warmup=n_warmup, n_steps=n_steps, eps0=eps0, L=L,
+            target_accept=target_accept, collect=True,
+        )
+    )(q0, k_run)
+    draws = info.draws[thin - 1 :: thin]  # (n_samples, D_padded, N) cold rung
+
+    per_chain = jnp.moveaxis(draws, 2, 0)  # (N, n_samples, D_padded)
+    positions = jax.vmap(jax.vmap(packer.unpack))(per_chain)
+
+    real = draws[:, : packer.dim, :]
+    arr = jnp.transpose(real, (2, 0, 1))  # (chains, samples, dim)
+
+    @jax.jit
+    def diagnostics(arr):
+        r = jax.vmap(split_rhat, in_axes=2)(arr)
+        e = jax.vmap(
+            lambda x: ess(x, max_lag=min(n_samples - 1, 64)), in_axes=2
+        )(arr)
+        return r, e
+
+    rhat_flat, ess_flat = diagnostics(arr)
+    pad = packer.padded_dim - packer.dim
+
+    def unflatten(flat):
+        return packer.unpack(
+            jnp.pad(jnp.asarray(flat, jnp.float32), (0, pad))
+        )
+
+    return PosteriorSamples(
+        positions=positions,
+        rhat=unflatten(rhat_flat),
+        ess=unflatten(ess_flat),
+        accept_rate=info.accept_rate[0],  # cold rung
+        # The PT kernel classifies non-finite proposals as rejections
+        # (never as divergences), so this is identically 0 by construction.
+        divergence_rate=jnp.asarray(0.0),
+        eps=info.eps[0],
+        inv_mass=info.inv_mass[0, : packer.dim],
     )

@@ -159,3 +159,44 @@ class TestChEESAlgorithm:
                 KEY, model, g.ChoiceMap.empty(), (0.0, jnp.zeros(3)),
                 g.S[..., "z"], n_chains=8, n_samples=4, algorithm="chees",
             )
+
+
+class TestPTAlgorithm:
+    def test_bimodal_mode_weights(self):
+        """Symmetric bimodal posterior (mu ~ N(0,10), y ~ N(mu², 1),
+        y=4 ⇒ equal mass at ±2): PT must weight the modes 50/50, which
+        single-temperature kernels started in one mode cannot."""
+
+        @g.gen
+        def bimodal():
+            mu = g.normal(0.0, 10.0) @ "mu"
+            _ = g.normal(mu * mu, 1.0) @ "y"
+
+        res = sample_posterior(
+            KEY, bimodal, g.C["y"].set(4.0), (), g.S["mu"],
+            n_chains=256, n_warmup=200, n_samples=200,
+            algorithm="pt", eps0=0.05, L=8, n_rungs=5,
+        )
+        draws = jnp.asarray(res["mu"])  # (chains, samples)
+        assert draws.shape == (256, 200)
+        frac_pos = float(jnp.mean(draws[:, 100:] > 0))
+        assert frac_pos == pytest.approx(0.5, abs=0.1)
+        # Mode locations: |mu| concentrates near 2.
+        assert float(jnp.mean(jnp.abs(draws[:, 100:]))) == pytest.approx(
+            2.0, abs=0.1
+        )
+        assert 0.2 < float(res.accept_rate) <= 1.0
+        assert float(res.divergence_rate) == 0.0
+
+    def test_conjugate_exactness(self):
+        res = sample_posterior(
+            KEY, conjugate, OBS, (), g.S["mu"],
+            n_chains=256, n_warmup=150, n_samples=100,
+            algorithm="pt", eps0=0.1, L=8, n_rungs=3,
+        )
+        draws = res["mu"][:, -50:]
+        assert jnp.mean(draws) == pytest.approx(1.0, abs=0.1)
+        assert jnp.std(draws) == pytest.approx(
+            1.0 / jnp.sqrt(2.0), abs=0.1
+        )
+        assert float(res.rhat_of("mu")) == pytest.approx(1.0, abs=0.15)
