@@ -7,6 +7,8 @@ facade ``/root/reference/src/genjax/inference/__init__.py``.
 from . import adaptation, diagnostics, gibbs, involutive, learning, mcmc, pgibbs, requests, sample, smc, tempered
 from . import enumerate_
 from .enumerate_ import EnumerationResult, enumerate_posterior
+from . import predictive
+from .predictive import posterior_predictive
 from .involutive import InvolutiveInfo, involutive_mh, involutive_move
 from .gibbs import (
     GibbsInfo,
@@ -82,6 +84,8 @@ __all__ = [
     "mh_move",
     "EnumerationResult",
     "enumerate_posterior",
+    "posterior_predictive",
+    "predictive",
     "InvolutiveInfo",
     "involutive",
     "involutive_mh",
