@@ -202,3 +202,30 @@ class TestGibbsSweep:
         hist = res.history
         hist = hist.unmask() if hasattr(hist, "unmask") else hist
         assert np.asarray(hist).shape == (10, 4)
+
+
+class TestShardedChains:
+    def test_enum_gibbs_vmapped_over_sharded_chain_axis(self):
+        """The move is pure (key, trace) -> trace, so a chain batch shards
+        like any other: vmap over a mesh-sharded key axis must reproduce
+        the exact conditional frequencies."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from genjax_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+        cm = g.C["x"].set(X_OBS)
+        tr, _ = scalar_model.generate(jr.PRNGKey(0), cm, ())
+
+        n = 2048
+        keys = jr.split(jr.PRNGKey(9), n)
+        keys = jax.device_put(keys, NamedSharding(mesh, P("batch")))
+
+        @jax.jit
+        def one(k):
+            new, _ = enumerative_gibbs(k, tr, "z", jnp.arange(3))
+            return new.get_choices()["z"]
+
+        zs = jax.vmap(one)(keys)
+        freq = np.bincount(np.asarray(zs), minlength=3) / n
+        exact = np.exp(np.asarray(exact_conditional(X_OBS)))
+        np.testing.assert_allclose(freq, exact, atol=0.04)
