@@ -104,6 +104,7 @@ def enumerative_gibbs_vmap(
     site: tuple,
     support,
     n_lanes: int | None = None,
+    lane_batch: int | None = None,
 ) -> tuple[Trace, GibbsInfo]:
     """Block Gibbs over every lane of a ``Vmap``-combinator site.
 
@@ -116,8 +117,10 @@ def enumerative_gibbs_vmap(
     on one another — then every lane's draw is applied in one ``Update``.
 
     Cost: (n_lanes × K) slice edits in one vmapped program; transient
-    memory is n_lanes × K trace copies, so batch large models by calling
-    on lane subsets.
+    memory is n_lanes × K trace copies. ``lane_batch`` bounds that: lanes
+    are processed ``lane_batch`` at a time under a sequential ``lax.map``
+    (peak memory lane_batch × K copies), identical draws to the fully
+    vmapped path.
     """
     if site.count(None) != 1:
         raise ValueError(
@@ -151,10 +154,25 @@ def enumerative_gibbs_vmap(
         _, w, _, _ = trace.edit(k_enum, lane_request(i, c))
         return w
 
+    def lane_weights(i):
+        return jax.vmap(lambda c: weight_of(i, c))(support)
+
     # (n_lanes, K) conditional log-weights.
-    log_w = jax.vmap(lambda i: jax.vmap(lambda c: weight_of(i, c))(support))(
-        lanes
-    )
+    if lane_batch is None or lane_batch >= n_lanes:
+        log_w = jax.vmap(lane_weights)(lanes)
+    else:
+        n_support = jtu.tree_leaves(support)[0].shape[0]
+        pad = (-n_lanes) % lane_batch
+        padded = (
+            jnp.concatenate([lanes, jnp.zeros(pad, lanes.dtype)])
+            if pad
+            else lanes
+        )
+        chunked = lax.map(
+            lambda ch: jax.vmap(lane_weights)(ch),
+            padded.reshape(-1, lane_batch),
+        )
+        log_w = chunked.reshape(-1, n_support)[:n_lanes]
     idx = jr.categorical(k_cat, log_w, axis=-1)
     chosen = jtu.tree_map(lambda s: s[idx], support)
     new_trace, _, _, _ = trace.edit(
@@ -173,12 +191,17 @@ def enum_move(site, support) -> Callable:
     return move
 
 
-def enum_vmap_move(site: tuple, support, n_lanes: int | None = None) -> Callable:
+def enum_vmap_move(
+    site: tuple,
+    support,
+    n_lanes: int | None = None,
+    lane_batch: int | None = None,
+) -> Callable:
     """A sweep move: per-lane block Gibbs at a vmapped ``site``."""
 
     def move(key: PRNGKey, trace: Trace) -> Trace:
         new_trace, _ = enumerative_gibbs_vmap(
-            key, trace, site, support, n_lanes=n_lanes
+            key, trace, site, support, n_lanes=n_lanes, lane_batch=lane_batch
         )
         return new_trace
 

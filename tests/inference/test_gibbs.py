@@ -124,6 +124,31 @@ class TestVmapBlockGibbs:
             float(new.get_score()), float(score), rtol=1e-5
         )
 
+    def test_lane_batch_matches_full_vmap(self):
+        """Chunked lane processing is a pure memory knob: same key must
+        give bit-identical conditionals and draws, including a chunk size
+        that does not divide n_lanes (padding path)."""
+        tr = self._trace(jr.PRNGKey(0))
+        full, info_full = enumerative_gibbs_vmap(
+            jr.PRNGKey(2), tr, ("assign", None, "z"), jnp.arange(3)
+        )
+        for lb in (1, 2, 3, 4, 7):
+            _, info_lb = enumerative_gibbs_vmap(
+                jr.PRNGKey(2),
+                tr,
+                ("assign", None, "z"),
+                jnp.arange(3),
+                lane_batch=lb,
+            )
+            np.testing.assert_allclose(
+                np.asarray(info_lb.log_probs),
+                np.asarray(info_full.log_probs),
+                atol=1e-6,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(info_lb.index), np.asarray(info_full.index)
+            )
+
     def test_top_level_vmap_trace(self):
         vm = site.vmap(in_axes=(0,))
         cm = g.C[jnp.arange(4), "y"].set(XS)
