@@ -9,6 +9,12 @@ sharded over ICI with XLA collectives for log-weight normalization,
 systematic resampling, and cross-chain adaptation.
 """
 
+from .data import (
+    data_sharded_logdensity,
+    make_mesh_2d,
+    minibatch_logdensity,
+    shard_data,
+)
 from .mesh import host_local_mesh, initialize_distributed, make_mesh, shard_batch
 from .mcmc import run_chains_sharded, warmup_adapt_step_size
 from .resampling import (
@@ -28,16 +34,20 @@ from .smc import SSMParticleFilter, sharded_importance
 __all__ = [
     "SSMParticleFilter",
     "collective_resample",
+    "data_sharded_logdensity",
     "effective_sample_size",
     "host_local_mesh",
     "initialize_distributed",
     "make_mesh",
+    "make_mesh_2d",
+    "minibatch_logdensity",
     "multinomial_indices",
     "redistribute",
     "resample_particles",
     "residual_indices",
     "run_chains_sharded",
     "shard_batch",
+    "shard_data",
     "sharded_importance",
     "stratified_indices",
     "systematic_counts",
