@@ -11,5 +11,11 @@ from .hmc import pallas_hmc, warmup_column
 from .model_interface import ColumnPacker, column_chees, column_hmc, column_logdensity, column_nuts, column_pt
 from .pt import PTInfo, geometric_ladder, pt_hmc
 from .nuts import nuts_sweep_cols, nuts_transition
+from .sgld import (
+    full_grad_cols,
+    minibatch_grad_cols,
+    sghmc_sweep_cols,
+    sgld_sweep_cols,
+)
 
-__all__ = ["ChEESInfo", "chees_hmc", "ColumnPacker", "column_chees", "column_hmc", "column_logdensity", "column_nuts", "column_pt", "PTInfo", "geometric_ladder", "pt_hmc", "nuts_sweep_cols", "nuts_transition", "pallas_hmc", "warmup_column"]
+__all__ = ["ChEESInfo", "chees_hmc", "ColumnPacker", "column_chees", "column_hmc", "column_logdensity", "column_nuts", "column_pt", "PTInfo", "full_grad_cols", "geometric_ladder", "minibatch_grad_cols", "pt_hmc", "nuts_sweep_cols", "nuts_transition", "pallas_hmc", "sghmc_sweep_cols", "sgld_sweep_cols", "warmup_column"]
