@@ -6,6 +6,7 @@ every family returns a ``@gen`` generative function plus helpers (exact
 posteriors where they exist) so inference can be validated in place.
 """
 
+from .gp import gp_log_marginal, gp_posterior, gp_regression, sq_exp_kernel
 from .hmm import discrete_hmm_model
 from .mixture import dp_mixture_model, gaussian_mixture_model
 from .regression import hierarchical_regression, linear_regression, logistic_regression
@@ -15,9 +16,13 @@ __all__ = [
     "discrete_hmm_model",
     "dp_mixture_model",
     "gaussian_mixture_model",
+    "gp_log_marginal",
+    "gp_posterior",
+    "gp_regression",
     "hierarchical_regression",
     "linear_gaussian_ssm",
     "linear_regression",
     "logistic_regression",
+    "sq_exp_kernel",
     "stochastic_volatility",
 ]
