@@ -104,7 +104,7 @@ from .inference import (
     Target,
     marginal,
 )
-from .inference.requests import HMC, MALA, NUTS, Rejuvenate, SafeHMC, mh_accept
+from .inference.requests import EllipticalSlice, HMC, MALA, NUTS, Rejuvenate, SafeHMC, mh_accept
 from .inference.mcmc import mh, run_chain, run_chains
 from .inference import vi
 
@@ -155,6 +155,7 @@ __all__ = [
     "trace",
     "Algorithm",
     "ChangeTarget",
+    "EllipticalSlice",
     "HMC",
     "MALA",
     "NUTS",

@@ -5,9 +5,10 @@ Parity: reference ``/root/reference/src/genjax/_src/inference/requests/``
 (rejuvenate.py:45).
 """
 
+from .elliptical import EllipticalSlice
 from .hmc import HMC, SafeHMC, mh_accept, selection_gradient
 from .mala import MALA
 from .nuts import NUTS
 from .rejuvenate import Rejuvenate
 
-__all__ = ["HMC", "MALA", "NUTS", "Rejuvenate", "SafeHMC", "mh_accept", "selection_gradient"]
+__all__ = ["EllipticalSlice", "HMC", "MALA", "NUTS", "Rejuvenate", "SafeHMC", "mh_accept", "selection_gradient"]
