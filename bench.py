@@ -16,6 +16,8 @@ single-line parsers pick it up. Set BENCH_MODE to run one config:
   vi      ADEV ELBO gradient steps (reparam guide, conjugate target)
   dp      DP-mixture tempered SMC (stick-breaking, rung ladder)
   hmc_pallas  the Mosaic VMEM kernel on the hmc sweep
+  gp      elliptical slice sampling over GP latents (MXU-heavy ellipse
+          draws; the latent-Gaussian workload profile)
 
 ``vs_baseline`` compares each metric against the newest prior round's
 recorded value (BENCH_r*.json); 1.0 when no prior record exists.
@@ -611,8 +613,64 @@ def bench_chees():
     emit("chees_ess_per_sec_per_chip", ess_rate, "ESS/sec/chip")
 
 
+def bench_gp():
+    """Elliptical slice sampling over GP latents: per transition the
+    ellipse draw is a (D, D) @ (D, N) matmul (MXU-resident) and every
+    shrink iteration is an elementwise likelihood pass — the
+    latent-Gaussian workload profile, complementary to hmc's
+    gradient-bound one."""
+    from genjax_tpu.kernels import ess_sweep_cols
+    from genjax_tpu.models import sq_exp_kernel
+
+    d_latent = int(os.environ.get("BENCH_GP_D", 256))
+    n_chains = int(os.environ.get("BENCH_GP_CHAINS", 8192))
+    n_steps = int(os.environ.get("BENCH_GP_STEPS", 50))
+    reps = int(os.environ.get("BENCH_GP_REPS", 20))
+
+    # host numpy for all constants (axon: eager device constants stall
+    # lowering — CLAUDE.md)
+    rng = np.random.default_rng(0)
+    X = rng.uniform(0.0, 10.0, size=(d_latent, 1)).astype(np.float32)
+    K = np.asarray(
+        sq_exp_kernel(X, X, 1.0, 1.0), np.float32
+    ) + 1e-4 * np.eye(d_latent, dtype=np.float32)
+    chol = np.linalg.cholesky(K).astype(np.float32)
+    f_true = (chol @ rng.normal(size=d_latent)).astype(np.float32)
+    noise = 0.3
+    y = (f_true + noise * rng.normal(size=d_latent)).astype(np.float32)
+
+    def ll(q):
+        return -0.5 * jnp.sum((q - y[:, None]) ** 2, axis=0) / noise**2
+
+    sweep = jax.jit(
+        lambda q, s: ess_sweep_cols(
+            ll, q, s, n_steps=n_steps, chol_prior=chol
+        )[0]
+    )
+    q = jnp.zeros((d_latent, n_chains), jnp.float32)
+    t_w = time.perf_counter()
+    q = sweep(q, 0)
+    _ = float(q[0, 0])
+    _log(f"# gp-ess: warmup synced {time.perf_counter()-t_w:.1f}s")
+    t0 = time.perf_counter()
+    for i in range(1, reps + 1):
+        q = sweep(q, i)
+    _ = float(q[0, 0])
+    dt = time.perf_counter() - t0
+    _log(
+        f"# gp-ess; D={d_latent} chains={n_chains} steps={n_steps} "
+        f"reps={reps} wall={dt:.2f}s"
+    )
+    emit(
+        f"gp_ess_transitions_per_sec_{d_latent}d",
+        n_chains * n_steps * reps / dt,
+        "transitions/sec/chip",
+    )
+
+
 MODES = {
     "chains": bench_chains,
+    "gp": bench_gp,
     "chees": bench_chees,
     "hmc": bench_hmc,
     "hmc_pallas": bench_hmc_pallas,
@@ -635,7 +693,7 @@ def main():
     # JSON line also pick it up.
     for name in (
         "hmc", "sir", "vi", "dp", "pf", "chains", "nuts", "chees",
-        "hmc_pallas",
+        "hmc_pallas", "gp",
     ):
         try:
             MODES[name]()
