@@ -620,20 +620,19 @@ def bench_gp():
     latent-Gaussian workload profile, complementary to hmc's
     gradient-bound one."""
     from genjax_tpu.kernels import ess_sweep_cols
-    from genjax_tpu.models import sq_exp_kernel
 
     d_latent = int(os.environ.get("BENCH_GP_D", 256))
     n_chains = int(os.environ.get("BENCH_GP_CHAINS", 8192))
     n_steps = int(os.environ.get("BENCH_GP_STEPS", 50))
     reps = int(os.environ.get("BENCH_GP_REPS", 20))
 
-    # host numpy for all constants (axon: eager device constants stall
-    # lowering — CLAUDE.md)
+    # host numpy for all constants, INCLUDING the Gram matrix (axon: eager
+    # device constants stall lowering, and eager TPU matmuls run at bf16
+    # precision — K must be fp64-accurate for the host Cholesky)
     rng = np.random.default_rng(0)
-    X = rng.uniform(0.0, 10.0, size=(d_latent, 1)).astype(np.float32)
-    K = np.asarray(
-        sq_exp_kernel(X, X, 1.0, 1.0), np.float32
-    ) + 1e-4 * np.eye(d_latent, dtype=np.float32)
+    X = rng.uniform(0.0, 10.0, size=(d_latent, 1))
+    d2 = (X - X.T) ** 2
+    K = (np.exp(-0.5 * d2) + 1e-4 * np.eye(d_latent)).astype(np.float32)
     chol = np.linalg.cholesky(K).astype(np.float32)
     f_true = (chol @ rng.normal(size=d_latent)).astype(np.float32)
     noise = 0.3

@@ -52,16 +52,19 @@ def ess_transition_cols(
         chol_prior: ``(D, D)`` lower Cholesky factor of the prior
             covariance (or a ``(D,)``/scalar standard deviation for a
             diagonal prior).
-        mean: prior mean, broadcastable to ``(D, 1)``.
+        mean: prior mean — scalar, ``(D,)``, or ``(D, 1)``.
         max_iters: hard cap on shrink iterations (a safety net — the
             shrink loop terminates with probability 1; at the cap the
             current point is kept, an exact no-op move).
 
-    Returns ``(q_new, n_iters)`` with ``n_iters`` the per-chain shrink
-    counts (diagnostic).
+    Returns ``(q_new, n_iters)`` with ``n_iters`` the ``(N,)`` per-chain
+    shrink-iteration counts (diagnostic; 0 = first proposal accepted).
     """
     d, n = q.shape
-    mean = jnp.broadcast_to(jnp.asarray(mean, q.dtype), (d, 1))
+    mean = jnp.asarray(mean, q.dtype)
+    if mean.ndim == 1:
+        mean = mean.reshape(-1, 1)
+    mean = jnp.broadcast_to(mean, (d, 1))
     k_nu, k_u, k_theta = jr.split(key, 3)
     z = jr.normal(k_nu, (d, n), q.dtype)
     chol_prior = jnp.asarray(chol_prior, q.dtype)
@@ -83,11 +86,11 @@ def ess_transition_cols(
     done0 = log_lik_cols(q1) > log_y
 
     def cond(state):
-        i, _, _, _, _, done = state
+        i, _, _, _, _, done, _counts = state
         return jnp.logical_and(i < max_iters, ~jnp.all(done))
 
     def body(state):
-        i, qc, lo, hi, theta, done = state
+        i, qc, lo, hi, theta, done, counts = state
         # shrink the bracket toward 0 on the rejected side
         lo = jnp.where(jnp.logical_or(done, theta >= 0), lo, theta)
         hi = jnp.where(jnp.logical_or(done, theta >= 0), theta, hi)
@@ -98,10 +101,22 @@ def ess_transition_cols(
         ok = log_lik_cols(q_prop) > log_y
         accept_now = jnp.logical_and(~done, ok)
         qc = jnp.where(accept_now[None, :], q_prop, qc)
-        return i + 1, qc, lo, hi, theta, jnp.logical_or(done, ok)
+        counts = counts + jnp.asarray(~done, counts.dtype)
+        return i + 1, qc, lo, hi, theta, jnp.logical_or(done, ok), counts
 
-    n_iters, q_new, _, _, _, done = lax.while_loop(
-        cond, body, (jnp.asarray(0), jnp.where(done0[None, :], q1, q), lo0, hi0, theta0, done0)
+    counts0 = jnp.zeros((n,), jnp.int32)
+    _, q_new, _, _, _, done, n_iters = lax.while_loop(
+        cond,
+        body,
+        (
+            jnp.asarray(0),
+            jnp.where(done0[None, :], q1, q),
+            lo0,
+            hi0,
+            theta0,
+            done0,
+            counts0,
+        ),
     )
     # chains that hit the cap keep their current point (exact no-op)
     q_new = jnp.where(done[None, :], q_new, q)

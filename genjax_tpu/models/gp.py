@@ -26,12 +26,22 @@ import jax.numpy as jnp
 from ..lang.static_lang import gen
 
 
+def _as_points(x):
+    """Normalize inputs to (N, D): a 1-D array is N scalar points, not one
+    N-dimensional point (the `atleast_2d` reading — which would silently
+    build a 1-observation model — is never what a user means here)."""
+    x = jnp.asarray(x, jnp.float32)
+    if x.ndim <= 1:
+        return x.reshape(-1, 1)
+    return x
+
+
 def sq_exp_kernel(x1, x2, amplitude, lengthscale):
     """Squared-exponential Gram matrix between row-sets ``x1 (N, D)`` and
-    ``x2 (M, D)`` — one matmul for the cross terms (MXU) plus rank-1
-    corrections."""
-    x1 = jnp.atleast_2d(jnp.asarray(x1, jnp.float32))
-    x2 = jnp.atleast_2d(jnp.asarray(x2, jnp.float32))
+    ``x2 (M, D)`` (1-D inputs are treated as N scalar points) — one matmul
+    for the cross terms (MXU) plus rank-1 corrections."""
+    x1 = _as_points(x1)
+    x2 = _as_points(x2)
     sq1 = jnp.sum(x1**2, axis=1)[:, None]
     sq2 = jnp.sum(x2**2, axis=1)[None, :]
     d2 = sq1 + sq2 - 2.0 * (x1 @ x2.T)
@@ -48,7 +58,7 @@ def gp_regression(X, *, jitter: float = 1e-5):
     """
     from ..dists import mv_normal, normal
 
-    X = jnp.atleast_2d(jnp.asarray(X, jnp.float32))
+    X = _as_points(X)
     n = X.shape[0]
 
     @gen
@@ -65,15 +75,19 @@ def gp_regression(X, *, jitter: float = 1e-5):
 
 
 def gp_log_marginal(X, y, amplitude, lengthscale, noise, *, jitter=1e-5):
-    """Exact log marginal likelihood log N(y | 0, K + σ²I) via Cholesky."""
-    X = jnp.atleast_2d(jnp.asarray(X, jnp.float32))
+    """Exact log marginal likelihood log N(y | 0, K + σ²I): ONE Cholesky
+    factorization, reused for both the quadratic form and the
+    log-determinant."""
+    from jax.scipy.linalg import cho_solve
+
+    X = _as_points(X)
     y = jnp.asarray(y, jnp.float32)
     n = X.shape[0]
     cov = sq_exp_kernel(X, X, amplitude, lengthscale) + (
         noise**2 + jitter
     ) * jnp.eye(n)
     chol = jnp.linalg.cholesky(cov)
-    alpha = jnp.linalg.solve(cov, y)
+    alpha = cho_solve((chol, True), y)
     return (
         -0.5 * y @ alpha
         - jnp.sum(jnp.log(jnp.diag(chol)))
@@ -85,9 +99,12 @@ def gp_posterior(
     X, y, X_test, amplitude, lengthscale, noise, *, jitter: float = 1e-5
 ):
     """Closed-form GP predictive at ``X_test``: returns ``(mean, cov)`` of
-    the noise-free function values f* | y."""
-    X = jnp.atleast_2d(jnp.asarray(X, jnp.float32))
-    X_test = jnp.atleast_2d(jnp.asarray(X_test, jnp.float32))
+    the noise-free function values f* | y. K is factorized ONCE and the
+    factor reused for both solves."""
+    from jax.scipy.linalg import cho_solve
+
+    X = _as_points(X)
+    X_test = _as_points(X_test)
     y = jnp.asarray(y, jnp.float32)
     n = X.shape[0]
     K = sq_exp_kernel(X, X, amplitude, lengthscale) + (
@@ -95,7 +112,7 @@ def gp_posterior(
     ) * jnp.eye(n)
     Ks = sq_exp_kernel(X_test, X, amplitude, lengthscale)
     Kss = sq_exp_kernel(X_test, X_test, amplitude, lengthscale)
-    alpha = jnp.linalg.solve(K, y)
-    mean = Ks @ alpha
-    cov = Kss - Ks @ jnp.linalg.solve(K, Ks.T)
+    chol = jnp.linalg.cholesky(K)
+    mean = Ks @ cho_solve((chol, True), y)
+    cov = Kss - Ks @ cho_solve((chol, True), Ks.T)
     return mean, cov

@@ -58,8 +58,12 @@ def make_mesh_2d(
     if shape is None:
         shape = (1, len(devices))
     n = shape[0] * shape[1]
-    if n != len(devices):
-        devices = devices[:n]
+    if n > len(devices):
+        raise ValueError(
+            f"mesh shape {shape} needs {n} devices but only "
+            f"{len(devices)} are available"
+        )
+    devices = devices[:n]  # a smaller mesh deliberately uses a subset
     return Mesh(np.asarray(devices).reshape(shape), axes)
 
 
