@@ -4,7 +4,7 @@ Parity: reference ``/root/reference/src/genjax/_src/inference/`` and the
 facade ``/root/reference/src/genjax/inference/__init__.py``.
 """
 
-from . import adaptation, diagnostics, gibbs, involutive, learning, mcmc, pgibbs, requests, sample, smc, tempered
+from . import adaptation, diagnostics, gibbs, involutive, learning, mcmc, pgibbs, requests, sample, smc, smc2, tempered
 from . import enumerate_
 from .enumerate_ import EnumerationResult, enumerate_posterior
 from . import predictive
@@ -22,6 +22,7 @@ from .gibbs import (
 )
 from .sp import Algorithm, Marginal, SampleDistribution, Target, marginal
 from .mcmc import MHChainResult, mh, run_chain, run_chains
+from .smc2 import SMC2Result, smc2
 from .pgibbs import (
     CSMCSweepResult,
     PGibbsResult,
@@ -91,4 +92,6 @@ __all__ = [
     "involutive_mh",
     "involutive_move",
     "pmmh",
+    "smc2",
+    "SMC2Result",
 ]
