@@ -118,6 +118,44 @@ class TestDataShardedLogdensity:
         )
 
 
+class TestDistributedULA:
+    def test_sgld_on_sharded_gradient_matches_stationary_law(self):
+        """SGLD with the EXACT data-sharded gradient == distributed ULA:
+        on the conjugate Gaussian-mean posterior N(m, v) its stationary
+        variance has the closed form v / (1 - eps/(4 v))."""
+        from genjax_tpu.kernels import full_grad_cols, sgld_sweep_cols
+
+        mesh = make_mesh_2d((1, 8))
+        obs = np.asarray(
+            np.random.RandomState(4).randn(48) * 0.6 + 0.9, np.float32
+        )
+        sigma = 0.6
+        v_post = 1.0 / (1.0 + len(obs) / sigma**2)
+        m_post = v_post * obs.sum() / sigma**2
+
+        def lp(q):
+            return -0.5 * jnp.sum(q**2, axis=0)
+
+        def ll(q, shard):
+            (ys,) = shard
+            return -0.5 * jnp.sum(
+                (ys[:, None] - q[0]) ** 2, axis=0
+            ) / sigma**2
+
+        data = shard_data((jnp.asarray(obs),), mesh)
+        ld = data_sharded_logdensity(lp, ll, data, mesh, chain_axis=None)
+        grad = full_grad_cols(ld)
+        eps = 0.2 * v_post  # well inside stability (eps < 2 v)
+        q0 = jnp.full((1, 4096), float(m_post), jnp.float32)
+        q, _ = jax.jit(
+            lambda: sgld_sweep_cols(grad, q0, 3, n_steps=400, eps=eps)
+        )()
+        draws = np.asarray(q[0])
+        v_exact = v_post / (1.0 - eps / (4.0 * v_post))
+        np.testing.assert_allclose(draws.mean(), m_post, atol=0.01)
+        np.testing.assert_allclose(draws.var(), v_exact, rtol=0.08)
+
+
 class TestMinibatch:
     def test_partition_mean_gradient_is_exact(self):
         """Averaging the scaled minibatch gradient over a disjoint partition
