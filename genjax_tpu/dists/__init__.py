@@ -1,6 +1,7 @@
 from .catalog import *  # noqa: F401,F403
 from .catalog import __all__ as _catalog_all
 from .discrete_hmm import DiscreteHMM, DiscreteHMMConfiguration, forward_filtering_backward_sampling
+from .lgssm import LGSSMParams, LinearGaussianSSM, ffbs, kalman_filter, kalman_smoother
 from .distribution import (
     Distribution,
     tfp_distribution,
@@ -13,6 +14,11 @@ __all__ = [
     "DiscreteHMM",
     "forward_filtering_backward_sampling",
     "DiscreteHMMConfiguration",
+    "LGSSMParams",
+    "LinearGaussianSSM",
+    "ffbs",
+    "kalman_filter",
+    "kalman_smoother",
     "Distribution",
     "DistributionTrace",
     "ExactDensity",

@@ -1,0 +1,212 @@
+"""``LinearGaussianSSM``: exact-posterior distribution over the latent
+path of a (multivariate) linear-Gaussian state-space model.
+
+The continuous analog of ``DiscreteHMM`` (reference
+``/root/reference/src/genjax/_src/generative_functions/distributions/
+custom/discrete_hmm.py`` — the reference has no linear-Gaussian
+counterpart): Kalman forward filtering, RTS smoothing, and
+forward-filtering backward-sampling (FFBS), all exact, packaged both as
+plain functions and as a ``Distribution`` whose ``random_weighted`` draws
+a whole latent path from the true posterior with its exact density.
+
+Model:  z_0 ~ N(mu0, P0);  z_t = A z_{t-1} + w_t, w_t ~ N(0, Q);
+        y_t = C z_t + v_t, v_t ~ N(0, R),  observations t = 0..T-1 on z_t
+        (the first observation is of z_0 — i.e. y_0 ~ N(C z_0, R)).
+
+TPU-native: each pass is one ``lax.scan`` whose per-step work is dense
+(Dz, Dz) matmuls and solves — MXU-resident for large state dims, and the
+whole FFBS (two scans) jits into a single program. Serves as the exact
+testbed for particle filters, particle Gibbs, and SMC² (which all
+hand-roll scalar Kalman recursions in their tests otherwise).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+from jax import lax
+
+from ..core.pytree import Pytree
+from ..core.typing_ import PRNGKey
+from .distribution import Distribution
+
+_LOG_2PI = 1.8378770664093453
+
+
+@Pytree.dataclass
+class LGSSMParams(Pytree):
+    """Dense LGSSM parameters (all dynamic — jit/vmap/grad over them)."""
+
+    A: Any  # (Dz, Dz) transition
+    Q: Any  # (Dz, Dz) transition noise covariance
+    C: Any  # (Dy, Dz) observation matrix
+    R: Any  # (Dy, Dy) observation noise covariance
+    mu0: Any  # (Dz,) initial mean
+    P0: Any  # (Dz, Dz) initial covariance
+
+    @staticmethod
+    def scalar(a, q, c=1.0, r=1.0, mu0=0.0, p0=None):
+        """1-D convenience constructor from scalar coefficients;
+        ``q``/``r``/``p0`` are VARIANCES. ``p0`` defaults to ``q``."""
+        one = lambda v: jnp.asarray(v, jnp.float32).reshape(1, 1)
+        return LGSSMParams(
+            A=one(a),
+            Q=one(q),
+            C=one(c),
+            R=one(r),
+            mu0=jnp.asarray(mu0, jnp.float32).reshape(1),
+            P0=one(q if p0 is None else p0),
+        )
+
+
+def _mvn_logpdf(x, mean, cov):
+    d = x.shape[-1]
+    chol = jnp.linalg.cholesky(cov)
+    a = jax.scipy.linalg.solve_triangular(chol, x - mean, lower=True)
+    return (
+        -0.5 * jnp.sum(a * a)
+        - jnp.sum(jnp.log(jnp.diag(chol)))
+        - 0.5 * d * _LOG_2PI
+    )
+
+
+def kalman_filter(params: LGSSMParams, ys):
+    """Forward pass. ``ys``: (T, Dy). Returns ``(filtered_means (T, Dz),
+    filtered_covs (T, Dz, Dz), log_marginal)`` where ``log_marginal`` is
+    the exact ``log p(y_{0:T-1})``."""
+    A, Q, C, R = params.A, params.Q, params.C, params.R
+
+    def step(carry, y):
+        mean_pred, cov_pred = carry
+        # innovation
+        s = C @ cov_pred @ C.T + R
+        resid = y - C @ mean_pred
+        ll = _mvn_logpdf(resid, jnp.zeros_like(resid), s)
+        gain = jnp.linalg.solve(s, C @ cov_pred).T
+        mean_f = mean_pred + gain @ resid
+        cov_f = cov_pred - gain @ s @ gain.T
+        # predict next
+        return (A @ mean_f, A @ cov_f @ A.T + Q), (mean_f, cov_f, ll)
+
+    (_, _), (means, covs, lls) = lax.scan(
+        step, (params.mu0, params.P0), ys
+    )
+    return means, covs, jnp.sum(lls)
+
+
+def kalman_smoother(params: LGSSMParams, ys):
+    """RTS smoothing. Returns ``(smoothed_means, smoothed_covs,
+    log_marginal)``."""
+    A, Q = params.A, params.Q
+    means_f, covs_f, log_marginal = kalman_filter(params, ys)
+
+    def step(carry, inp):
+        mean_next, cov_next = carry
+        mean_f, cov_f = inp
+        cov_pred = A @ cov_f @ A.T + Q
+        gain = jnp.linalg.solve(cov_pred, A @ cov_f).T
+        mean_s = mean_f + gain @ (mean_next - A @ mean_f)
+        cov_s = cov_f + gain @ (cov_next - cov_pred) @ gain.T
+        return (mean_s, cov_s), (mean_s, cov_s)
+
+    last = (means_f[-1], covs_f[-1])
+    _, (means_s, covs_s) = lax.scan(
+        step, last, (means_f[:-1], covs_f[:-1]), reverse=True
+    )
+    means_s = jnp.concatenate([means_s, means_f[-1:]], axis=0)
+    covs_s = jnp.concatenate([covs_s, covs_f[-1:]], axis=0)
+    return means_s, covs_s, log_marginal
+
+
+def ffbs(key: PRNGKey, params: LGSSMParams, ys):
+    """Forward-filtering backward-sampling: one exact joint draw
+    ``z_{0:T-1} ~ p(z | y)``. Returns ``(zs (T, Dz), log_marginal)``."""
+    A, Q = params.A, params.Q
+    means_f, covs_f, log_marginal = kalman_filter(params, ys)
+
+    def draw(k, mean, cov):
+        chol = jnp.linalg.cholesky(cov)
+        return mean + chol @ jr.normal(k, mean.shape)
+
+    k_last, k_rest = jr.split(key)
+    z_last = draw(k_last, means_f[-1], covs_f[-1])
+
+    def step(z_next, inp):
+        k, mean_f, cov_f = inp
+        cov_pred = A @ cov_f @ A.T + Q
+        gain = jnp.linalg.solve(cov_pred, A @ cov_f).T
+        mean_c = mean_f + gain @ (z_next - A @ mean_f)
+        cov_c = cov_f - gain @ A @ cov_f
+        # symmetrize for the Cholesky (pure roundoff asymmetry)
+        cov_c = 0.5 * (cov_c + cov_c.T)
+        z = draw(k, mean_c, cov_c)
+        return z, z
+
+    T = ys.shape[0]
+    keys = jr.split(k_rest, T - 1)
+    _, zs = lax.scan(
+        step, z_last, (keys, means_f[:-1], covs_f[:-1]), reverse=True
+    )
+    zs = jnp.concatenate([zs, z_last[None]], axis=0)
+    return zs, log_marginal
+
+
+def path_log_joint(params: LGSSMParams, zs, ys):
+    """Exact ``log p(z_{0:T-1}, y_{0:T-1})``."""
+    A, Q, C, R = params.A, params.Q, params.C, params.R
+    lp = _mvn_logpdf(zs[0], params.mu0, params.P0)
+
+    def trans(prev, z):
+        return z, _mvn_logpdf(z, A @ prev, Q)
+
+    _, lts = lax.scan(trans, zs[0], zs[1:])
+
+    def obs(z, y):
+        return _mvn_logpdf(y, C @ z, R)
+
+    los = jax.vmap(obs)(zs, ys)
+    return lp + jnp.sum(lts) + jnp.sum(los)
+
+
+def exact_path_log_posterior(params: LGSSMParams, zs, ys, log_marginal=None):
+    """``log p(z | y) = log p(z, y) − log p(y)`` (exact)."""
+    if log_marginal is None:
+        _, _, log_marginal = kalman_filter(params, ys)
+    return path_log_joint(params, zs, ys) - log_marginal
+
+
+@Pytree.dataclass
+class _LGSSMLatentPathPosterior(Distribution):
+    """Exact sampling + exact density for LGSSM latent paths given
+    observations (the DiscreteHMM pattern — discrete_hmm.py:185 here).
+    Args: ``(params, ys)``."""
+
+    def random_weighted(self, key: PRNGKey, *args):
+        params, ys = args
+        zs, log_marginal = ffbs(key, params, ys)
+        w = exact_path_log_posterior(params, zs, ys, log_marginal)
+        return w, zs
+
+    def estimate_logpdf(self, key: PRNGKey, v, *args):
+        params, ys = args
+        return exact_path_log_posterior(params, v, ys)
+
+    def assess(self, chm, args):
+        v = chm.get_value()
+        from ..generative.mask import Mask
+
+        if isinstance(v, Mask):
+            v = v.value
+        params, ys = args
+        return exact_path_log_posterior(params, v, ys), v
+
+    def data_logpdf(self, params, ys):
+        """Exact ``log p(y_{0:T-1})``."""
+        _, _, log_marginal = kalman_filter(params, ys)
+        return log_marginal
+
+
+LinearGaussianSSM = _LGSSMLatentPathPosterior()
