@@ -29,6 +29,7 @@ from .resampling import (
     systematic_counts,
     systematic_indices,
 )
+from .rbpf import RBPFResult, rbpf
 from .smc import SSMParticleFilter, sharded_importance
 
 __all__ = [
@@ -42,6 +43,8 @@ __all__ = [
     "make_mesh_2d",
     "minibatch_logdensity",
     "multinomial_indices",
+    "RBPFResult",
+    "rbpf",
     "redistribute",
     "resample_particles",
     "residual_indices",
