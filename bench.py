@@ -632,7 +632,7 @@ def bench_gp():
     rng = np.random.default_rng(0)
     X = rng.uniform(0.0, 10.0, size=(d_latent, 1))
     d2 = (X - X.T) ** 2
-    K = (np.exp(-0.5 * d2) + 1e-4 * np.eye(d_latent)).astype(np.float32)
+    K = np.exp(-0.5 * d2) + 1e-4 * np.eye(d_latent)  # fp64
     chol = np.linalg.cholesky(K).astype(np.float32)
     f_true = (chol @ rng.normal(size=d_latent)).astype(np.float32)
     noise = 0.3

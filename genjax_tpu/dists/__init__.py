@@ -1,7 +1,7 @@
 from .catalog import *  # noqa: F401,F403
 from .catalog import __all__ as _catalog_all
 from .discrete_hmm import DiscreteHMM, DiscreteHMMConfiguration, forward_filtering_backward_sampling
-from .lgssm import LGSSMParams, LinearGaussianSSM, ffbs, kalman_filter, kalman_smoother
+from .lgssm import LGSSMParams, LinearGaussianSSM, ffbs, kalman_filter, kalman_smoother, kalman_update
 from .distribution import (
     Distribution,
     tfp_distribution,
@@ -19,6 +19,7 @@ __all__ = [
     "ffbs",
     "kalman_filter",
     "kalman_smoother",
+    "kalman_update",
     "Distribution",
     "DistributionTrace",
     "ExactDensity",

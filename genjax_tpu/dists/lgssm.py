@@ -73,6 +73,21 @@ def _mvn_logpdf(x, mean, cov):
     )
 
 
+def kalman_update(mean_pred, cov_pred, C, R, y):
+    """One Kalman measurement update: returns ``(mean_f, cov_f, ll)`` with
+    ``ll`` the exact predictive density ``log p(y | pred)``. Shared by
+    :func:`kalman_filter` and the Rao-Blackwellized PF
+    (`parallel/rbpf.py`) so the numerically delicate gain/covariance
+    algebra lives in one place."""
+    s = C @ cov_pred @ C.T + R
+    resid = y - C @ mean_pred
+    ll = _mvn_logpdf(resid, jnp.zeros_like(resid), s)
+    gain = jnp.linalg.solve(s, C @ cov_pred).T
+    mean_f = mean_pred + gain @ resid
+    cov_f = cov_pred - gain @ s @ gain.T
+    return mean_f, cov_f, ll
+
+
 def kalman_filter(params: LGSSMParams, ys):
     """Forward pass. ``ys``: (T, Dy). Returns ``(filtered_means (T, Dz),
     filtered_covs (T, Dz, Dz), log_marginal)`` where ``log_marginal`` is
@@ -81,13 +96,7 @@ def kalman_filter(params: LGSSMParams, ys):
 
     def step(carry, y):
         mean_pred, cov_pred = carry
-        # innovation
-        s = C @ cov_pred @ C.T + R
-        resid = y - C @ mean_pred
-        ll = _mvn_logpdf(resid, jnp.zeros_like(resid), s)
-        gain = jnp.linalg.solve(s, C @ cov_pred).T
-        mean_f = mean_pred + gain @ resid
-        cov_f = cov_pred - gain @ s @ gain.T
+        mean_f, cov_f, ll = kalman_update(mean_pred, cov_pred, C, R, y)
         # predict next
         return (A @ mean_f, A @ cov_f @ A.T + Q), (mean_f, cov_f, ll)
 

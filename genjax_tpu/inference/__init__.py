@@ -4,7 +4,11 @@ Parity: reference ``/root/reference/src/genjax/_src/inference/`` and the
 facade ``/root/reference/src/genjax/inference/__init__.py``.
 """
 
-from . import adaptation, diagnostics, gibbs, involutive, learning, mcmc, pgibbs, requests, sample, smc, smc2, tempered
+# NOTE: the smc2 SUBMODULE is deliberately absent from this list — the
+# public name `smc2` is the driver function below, and importing the module
+# here would let the later `from .smc2 import ... smc2` rebind shadow it
+# inconsistently. `from genjax_tpu.inference.smc2 import ...` still works.
+from . import adaptation, diagnostics, gibbs, involutive, learning, mcmc, pgibbs, requests, sample, smc, tempered
 from . import enumerate_
 from .enumerate_ import EnumerationResult, enumerate_posterior
 from . import predictive

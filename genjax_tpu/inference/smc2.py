@@ -75,6 +75,7 @@ def smc2(
     ess_threshold: float = 0.5,
     rw_scales: Any = 0.1,
     n_rejuv: int = 1,
+    n_steps: int | None = None,
 ) -> SMC2Result:
     """Run SMC² over a scanned SSM kernel.
 
@@ -93,18 +94,35 @@ def smc2(
         rw_scales: Gaussian random-walk scales for the PMMH rejuvenation
             (scalar or pytree matching θ).
         n_rejuv: PMMH exchange moves per rejuvenation.
+        n_steps: horizon when ``xs`` has no array leaves (e.g. ``None``
+            for kernels that ignore the per-step input).
     """
     t_leaves = jtu.tree_leaves(xs)
-    T = t_leaves[0].shape[0]
+    if t_leaves:
+        T = t_leaves[0].shape[0]
+    elif n_steps is not None:
+        T = n_steps
+    else:
+        raise ValueError("smc2: xs is None/empty — pass n_steps.")
     k_init, k_loop = jr.split(jr.fold_in(key, 0x53C2))
 
     thetas0 = jax.vmap(theta_sample)(jr.split(k_init, n_theta))
-    scales = jtu.tree_map(
-        lambda v: jnp.broadcast_to(
-            jnp.asarray(rw_scales, jnp.result_type(v, float)), jnp.shape(v)[1:]
-        ),
-        thetas0,
-    )
+    try:
+        scales = jtu.tree_map(
+            lambda v, s: jnp.broadcast_to(
+                jnp.asarray(s, jnp.result_type(v, float)), jnp.shape(v)[1:]
+            ),
+            thetas0,
+            rw_scales,
+        )
+    except ValueError:  # scalar rw_scales shared across every leaf
+        scales = jtu.tree_map(
+            lambda v: jnp.broadcast_to(
+                jnp.asarray(rw_scales, jnp.result_type(v, float)),
+                jnp.shape(v)[1:],
+            ),
+            thetas0,
+        )
 
     def broadcast_z(c):
         return jtu.tree_map(

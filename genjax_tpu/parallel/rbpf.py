@@ -34,7 +34,7 @@ from jax.scipy.special import logsumexp
 
 from ..core.pytree import Pytree
 from ..core.typing_ import PRNGKey
-from ..dists.lgssm import _mvn_logpdf
+from ..dists.lgssm import kalman_update
 from .resampling import effective_sample_size, resample_particles
 
 
@@ -97,12 +97,7 @@ def rbpf(
         # the weight is the EXACT predictive density p(y_t | u_{1:t}, y_<t)
         mean_pred = A @ mean
         cov_pred = A @ cov @ A.T + Q
-        s = C @ cov_pred @ C.T + R
-        resid = y - C @ mean_pred
-        ll = _mvn_logpdf(resid, jnp.zeros_like(resid), s)
-        gain = jnp.linalg.solve(s, C @ cov_pred).T
-        mean_f = mean_pred + gain @ resid
-        cov_f = cov_pred - gain @ s @ gain.T
+        mean_f, cov_f, ll = kalman_update(mean_pred, cov_pred, C, R, y)
         return u, mean_f, cov_f, ll
 
     def step(state, inp):
