@@ -1,7 +1,7 @@
 from .catalog import *  # noqa: F401,F403
 from .catalog import __all__ as _catalog_all
 from .discrete_hmm import DiscreteHMM, DiscreteHMMConfiguration, forward_filtering_backward_sampling
-from .lgssm import LGSSMParams, LinearGaussianSSM, ffbs, kalman_filter, kalman_smoother, kalman_update
+from .lgssm import LGSSMParams, LinearGaussianSSM, ffbs, kalman_filter, kalman_predict, kalman_smoother, kalman_update, lgssm_em
 from .distribution import (
     Distribution,
     tfp_distribution,
@@ -18,8 +18,10 @@ __all__ = [
     "LinearGaussianSSM",
     "ffbs",
     "kalman_filter",
+    "kalman_predict",
     "kalman_smoother",
     "kalman_update",
+    "lgssm_em",
     "Distribution",
     "DistributionTrace",
     "ExactDensity",

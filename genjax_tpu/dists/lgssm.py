@@ -163,6 +163,104 @@ def ffbs(key: PRNGKey, params: LGSSMParams, ys):
     return zs, log_marginal
 
 
+def kalman_predict(params: LGSSMParams, ys, horizon: int):
+    """Exact h-step-ahead forecasting after assimilating ``ys``: returns
+    ``(z_means (h, Dz), z_covs (h, Dz, Dz), y_means (h, Dy),
+    y_covs (h, Dy, Dy))`` — the predictive laws of
+    ``z_{T-1+k}, y_{T-1+k} | y_{0:T-1}`` for k = 1..horizon."""
+    A, Q, C, R = params.A, params.Q, params.C, params.R
+    means_f, covs_f, _ = kalman_filter(params, ys)
+
+    def step(carry, _):
+        mean, cov = carry
+        mean, cov = A @ mean, A @ cov @ A.T + Q
+        return (mean, cov), (mean, cov, C @ mean, C @ cov @ C.T + R)
+
+    _, (z_means, z_covs, y_means, y_covs) = lax.scan(
+        step, (means_f[-1], covs_f[-1]), None, length=horizon
+    )
+    return z_means, z_covs, y_means, y_covs
+
+
+def _smoother_with_lag1(params: LGSSMParams, ys):
+    """RTS smoothing plus the lag-one smoothed cross-covariances
+    ``P_{t+1,t|T} = cov(z_{t+1}, z_t | y)`` the EM M-step needs."""
+    A, Q = params.A, params.Q
+    means_f, covs_f, log_marginal = kalman_filter(params, ys)
+
+    def step(carry, inp):
+        mean_next, cov_next = carry
+        mean_f, cov_f = inp
+        cov_pred = A @ cov_f @ A.T + Q
+        gain = jnp.linalg.solve(cov_pred, A @ cov_f).T  # J_t
+        mean_s = mean_f + gain @ (mean_next - A @ mean_f)
+        cov_s = cov_f + gain @ (cov_next - cov_pred) @ gain.T
+        # cov(z_{t+1}, z_t | y) = P_{t+1|T} J_t^T
+        lag1 = cov_next @ gain.T
+        return (mean_s, cov_s), (mean_s, cov_s, lag1)
+
+    last = (means_f[-1], covs_f[-1])
+    _, (means_s, covs_s, lag1) = lax.scan(
+        step, last, (means_f[:-1], covs_f[:-1]), reverse=True
+    )
+    means_s = jnp.concatenate([means_s, means_f[-1:]], axis=0)
+    covs_s = jnp.concatenate([covs_s, covs_f[-1:]], axis=0)
+    return means_s, covs_s, lag1, log_marginal
+
+
+def lgssm_em(
+    params: LGSSMParams, ys, *, n_iters: int = 20, fit: tuple = ("A", "Q", "C", "R")
+):
+    """EM (Shumway & Stoffer 1982) for LGSSM parameters: each iteration is
+    one Kalman smoothing pass (E-step) and closed-form updates of the
+    selected matrices (M-step) — log-marginal ascent is guaranteed, and
+    the whole fit is one ``lax.scan`` of dense matmuls.
+
+    Returns ``(fitted_params, log_marginals (n_iters,))``. ``mu0``/``P0``
+    are held fixed (they are weakly identified from one series); pass
+    ``fit`` to freeze any of A/Q/C/R as well.
+    """
+    ys = jnp.asarray(ys)
+    T = ys.shape[0]
+
+    def one_iter(p, _):
+        means_s, covs_s, lag1, lm = _smoother_with_lag1(p, ys)
+        # sufficient statistics: E[z_t z_t^T | y] = P_t|T + m_t m_t^T
+        ezz = covs_s + means_s[:, :, None] * means_s[:, None, :]
+        # E[z_{t+1} z_t^T | y] = lag1_t + m_{t+1} m_t^T
+        ezz1 = lag1 + means_s[1:, :, None] * means_s[:-1, None, :]
+        s00 = jnp.sum(ezz[:-1], axis=0)
+        s11 = jnp.sum(ezz[1:], axis=0)
+        s10 = jnp.sum(ezz1, axis=0)
+        A_new = jnp.linalg.solve(s00.T, s10.T).T if "A" in fit else p.A
+        Q_new = (
+            (s11 - A_new @ s10.T - s10 @ A_new.T + A_new @ s00 @ A_new.T)
+            / (T - 1)
+            if "Q" in fit
+            else p.Q
+        )
+        syz = jnp.einsum("ti,tj->ij", ys, means_s)
+        szz = jnp.sum(ezz, axis=0)
+        C_new = jnp.linalg.solve(szz.T, syz.T).T if "C" in fit else p.C
+        if "R" in fit:
+            resid = ys - means_s @ C_new.T
+            R_new = (
+                jnp.einsum("ti,tj->ij", resid, resid)
+                + C_new @ jnp.sum(covs_s, axis=0) @ C_new.T
+            ) / T
+        else:
+            R_new = p.R
+        sym = lambda m: 0.5 * (m + m.T)
+        p_new = LGSSMParams(
+            A=A_new, Q=sym(Q_new), C=C_new, R=sym(R_new),
+            mu0=p.mu0, P0=p.P0,
+        )
+        return p_new, lm
+
+    fitted, lms = lax.scan(one_iter, params, None, length=n_iters)
+    return fitted, lms
+
+
 def path_log_joint(params: LGSSMParams, zs, ys):
     """Exact ``log p(z_{0:T-1}, y_{0:T-1})``."""
     A, Q, C, R = params.A, params.Q, params.C, params.R
