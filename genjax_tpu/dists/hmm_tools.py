@@ -1,0 +1,147 @@
+"""Dense-HMM toolset: forward-backward smoothing, Baum-Welch EM, Viterbi.
+
+Generalizes the circulant-configured ``DiscreteHMM`` (reference parity —
+``dists/discrete_hmm.py``) to arbitrary dense parameter matrices, and adds
+the three classic operations the reference lacks entirely: posterior state
+marginals via forward-backward, maximum-likelihood parameter estimation
+via Baum-Welch (the discrete twin of ``lgssm_em``), and MAP path decoding
+via Viterbi.
+
+All three are single ``lax.scan`` passes whose per-step work is an
+``(N, N)`` log-matrix product — VPU/MXU-batched, no host logic. Everything
+operates in log space (no underflow for long sequences).
+
+Convention: ``log_pi (N,)`` initial, ``log_trans (N, N)`` rows =
+``log p(z_t = j | z_{t-1} = i)``, ``log_obs (N, M)`` rows =
+``log p(y = m | z = i)``; observations are an int sequence ``(T,)``.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.scipy.special import logsumexp
+
+from ..core.pytree import Pytree
+
+
+@Pytree.dataclass
+class HMMPosterior(Pytree):
+    """Forward-backward output: per-step smoothed state log-marginals
+    ``log p(z_t | y)``, pairwise ``log p(z_t, z_{t+1} | y)``, and the data
+    log-likelihood."""
+
+    log_gammas: Any  # (T, N)
+    log_xis: Any  # (T-1, N, N)
+    log_marginal: Any
+
+
+def forward_backward(log_pi, log_trans, log_obs, ys) -> HMMPosterior:
+    """Exact smoothing for a dense HMM."""
+    lo = log_obs[:, ys].T  # (T, N): log p(y_t | z_t = i)
+
+    def fwd(alpha, lo_t):
+        alpha_new = lo_t + logsumexp(
+            alpha[:, None] + log_trans, axis=0
+        )
+        return alpha_new, alpha_new
+
+    alpha0 = log_pi + lo[0]
+    _, alphas = lax.scan(fwd, alpha0, lo[1:])
+    alphas = jnp.concatenate([alpha0[None], alphas], axis=0)
+    log_marginal = logsumexp(alphas[-1])
+
+    def bwd(beta, lo_t):
+        beta_new = logsumexp(log_trans + (lo_t + beta)[None, :], axis=1)
+        return beta_new, beta_new
+
+    beta_T = jnp.zeros_like(log_pi)
+    _, betas = lax.scan(bwd, beta_T, lo[1:], reverse=True)
+    betas = jnp.concatenate([betas, beta_T[None]], axis=0)
+
+    log_gammas = alphas + betas - log_marginal
+    # xi_t(i, j) = alpha_t(i) + trans(i,j) + obs_{t+1}(j) + beta_{t+1}(j)
+    log_xis = (
+        alphas[:-1, :, None]
+        + log_trans[None]
+        + (lo[1:] + betas[1:])[:, None, :]
+        - log_marginal
+    )
+    return HMMPosterior(log_gammas, log_xis, log_marginal)
+
+
+def hmm_log_marginal(log_pi, log_trans, log_obs, ys):
+    """Exact ``log p(y_{0:T-1})`` (forward pass only)."""
+    lo = log_obs[:, ys].T
+
+    def fwd(alpha, lo_t):
+        return lo_t + logsumexp(alpha[:, None] + log_trans, axis=0), None
+
+    alpha, _ = lax.scan(fwd, log_pi + lo[0], lo[1:])
+    return logsumexp(alpha)
+
+
+def viterbi(log_pi, log_trans, log_obs, ys):
+    """MAP state path: returns ``(path (T,), log p(path, y))``."""
+    lo = log_obs[:, ys].T
+
+    def fwd(delta, lo_t):
+        scores = delta[:, None] + log_trans  # (N, N)
+        best = jnp.argmax(scores, axis=0)
+        delta_new = lo_t + jnp.max(scores, axis=0)
+        return delta_new, best
+
+    delta0 = log_pi + lo[0]
+    delta, backptrs = lax.scan(fwd, delta0, lo[1:])
+    z_last = jnp.argmax(delta)
+
+    def back(z_next, ptrs):
+        z = ptrs[z_next]
+        return z, z
+
+    _, path_rest = lax.scan(back, z_last, backptrs, reverse=True)
+    path = jnp.concatenate([path_rest, z_last[None]])
+    return path, jnp.max(delta)
+
+
+def hmm_em(
+    log_pi,
+    log_trans,
+    log_obs,
+    ys,
+    *,
+    n_iters: int = 20,
+    fit: tuple = ("pi", "trans", "obs"),
+):
+    """Baum-Welch: EM over the dense HMM parameters. Returns
+    ``((log_pi, log_trans, log_obs), log_marginals (n_iters,))`` with the
+    log-marginal trace evaluated at the START of each iteration (monotone
+    non-decreasing — the EM guarantee this module is tested by)."""
+    ys = jnp.asarray(ys)
+    n_obs = log_obs.shape[1]
+    y_onehot = jax.nn.one_hot(ys, n_obs)  # (T, M)
+
+    def one_iter(params, _):
+        lp, lt, lo = params
+        post = forward_backward(lp, lt, lo, ys)
+        gammas = jnp.exp(post.log_gammas)  # (T, N)
+        xis = jnp.exp(post.log_xis)  # (T-1, N, N)
+        lp_new = post.log_gammas[0] if "pi" in fit else lp
+        if "trans" in fit:
+            num = jnp.sum(xis, axis=0)
+            lt_new = jnp.log(num / jnp.sum(num, axis=1, keepdims=True))
+        else:
+            lt_new = lt
+        if "obs" in fit:
+            counts = gammas.T @ y_onehot  # (N, M)
+            lo_new = jnp.log(
+                counts / jnp.sum(counts, axis=1, keepdims=True)
+            )
+        else:
+            lo_new = lo
+        return (lp_new, lt_new, lo_new), post.log_marginal
+
+    return lax.scan(one_iter, (log_pi, log_trans, log_obs), None, length=n_iters)
