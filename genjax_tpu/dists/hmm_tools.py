@@ -84,6 +84,36 @@ def hmm_log_marginal(log_pi, log_trans, log_obs, ys):
     return logsumexp(alpha)
 
 
+def forward_parallel(log_pi, log_trans, log_obs, ys):
+    """Temporally PARALLEL forward pass via ``lax.associative_scan``:
+    the forward recursion is a chain of log-space matrix products
+    ``alpha_t = alpha_{t-1} ∘ M_t`` with ``M_t(i, j) = trans(i, j) +
+    obs_t(j)`` — matrix product over the (log, +) semiring is associative,
+    so the whole chain evaluates in O(log T) DEPTH (T·N³ work): on a TPU
+    the sequential scan's T-long dependency chain becomes log₂(T) rounds
+    of batched (N, N) einsums. Returns ``(alphas (T, N), log_marginal)``,
+    bit-compatible with the sequential :func:`forward_backward` alphas up
+    to float-summation order.
+
+    Worth it when T is large and N is small-to-moderate (N³ work per step
+    vs the sequential N² — the crossover is wherever the T-step latency
+    chain dominates, which on TPU is almost immediately)."""
+    lo = log_obs[:, ys].T  # (T, N)
+    mats = log_trans[None] + lo[1:, None, :]  # (T-1, N, N)
+
+    def combine(a, b):
+        # (log, +) semiring matmul, batched over the scan's tree levels
+        return logsumexp(a[..., :, :, None] + b[..., None, :, :], axis=-2)
+
+    prefix = lax.associative_scan(combine, mats)  # (T-1, N, N)
+    alpha0 = log_pi + lo[0]
+    alphas_rest = logsumexp(
+        alpha0[None, :, None] + prefix, axis=-2
+    )  # (T-1, N)
+    alphas = jnp.concatenate([alpha0[None], alphas_rest], axis=0)
+    return alphas, logsumexp(alphas[-1])
+
+
 def viterbi(log_pi, log_trans, log_obs, ys):
     """MAP state path: returns ``(path (T,), log p(path, y))``."""
     lo = log_obs[:, ys].T

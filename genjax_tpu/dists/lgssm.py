@@ -27,6 +27,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 import jax.random as jr
+import jax.tree_util as jtu
 from jax import lax
 
 from ..core.pytree import Pytree
@@ -104,6 +105,82 @@ def kalman_filter(params: LGSSMParams, ys):
         step, (params.mu0, params.P0), ys
     )
     return means, covs, jnp.sum(lls)
+
+
+def kalman_filter_parallel(params: LGSSMParams, ys):
+    """Temporally PARALLEL Kalman filtering (Särkkä & García-Fernández
+    2021) via ``lax.associative_scan``: each step becomes a five-matrix
+    filtering element ``(A, b, C, eta, J)`` whose composition is
+    associative, so the T-long sequential dependency chain of
+    :func:`kalman_filter` collapses to O(log T) DEPTH of batched (Dz, Dz)
+    matmuls/solves — the TPU-native formulation for long series. Returns
+    ``(filtered_means, filtered_covs)`` equal to the sequential filter's
+    (up to roundoff); the log-marginal needs the sequential pass (or the
+    paper's extended elements).
+    """
+    A, Q, C, R = params.A, params.Q, params.C, params.R
+    T = ys.shape[0]
+    dz = params.mu0.shape[0]
+    I = jnp.eye(dz)
+
+    # --- generic element for steps 1..T-1 ---
+    S = C @ Q @ C.T + R
+
+    def make_element(y):
+        K = jnp.linalg.solve(S, C @ Q).T  # Q C^T S^{-1}
+        A_e = (I - K @ C) @ A
+        b_e = K @ y
+        C_e = (I - K @ C) @ Q
+        HtSi = jnp.linalg.solve(S, C).T  # C^T S^{-1}
+        eta_e = A.T @ HtSi @ y
+        J_e = A.T @ HtSi @ C @ A
+        return A_e, b_e, C_e, eta_e, J_e
+
+    elems = jax.vmap(make_element)(ys[1:])
+
+    # --- first element: the prior-and-update at step 0 ---
+    S0 = C @ params.P0 @ C.T + R
+    K0 = jnp.linalg.solve(S0, C @ params.P0).T
+    b0 = params.mu0 + K0 @ (ys[0] - C @ params.mu0)
+    C0 = params.P0 - K0 @ C @ params.P0
+    first = (
+        jnp.zeros((dz, dz)),
+        b0,
+        C0,
+        jnp.zeros(dz),
+        jnp.zeros((dz, dz)),
+    )
+    elems = jtu.tree_map(
+        lambda f, r: jnp.concatenate([f[None], r], axis=0), first, elems
+    )
+
+    def combine(e_i, e_j):
+        A_i, b_i, C_i, eta_i, J_i = e_i
+        A_j, b_j, C_j, eta_j, J_j = e_j
+        # batched over the scan's tree levels: leading dims ride along
+        G = jnp.linalg.solve(
+            jnp.swapaxes(I + C_i @ J_j, -1, -2), jnp.swapaxes(A_j, -1, -2)
+        )
+        G = jnp.swapaxes(G, -1, -2)  # A_j (I + C_i J_j)^{-1}
+        E = jnp.linalg.solve(
+            jnp.swapaxes(I + J_j @ C_i, -1, -2), A_i
+        )  # ((I + J_j C_i)^{-T})^{-1}... transpose trick below
+        # A_i^T (I + J_j C_i)^{-1} == solve((I + J_j C_i)^T, A_i)^T
+        E = jnp.swapaxes(E, -1, -2)
+        A_ij = G @ A_i
+        b_ij = (G @ (b_i[..., :, None] + C_i @ eta_j[..., :, None]))[
+            ..., :, 0
+        ] + b_j
+        C_ij = G @ C_i @ jnp.swapaxes(A_j, -1, -2) + C_j
+        eta_ij = (
+            E @ (eta_j[..., :, None] - J_j @ b_i[..., :, None])
+        )[..., :, 0] + eta_i
+        J_ij = E @ J_j @ A_i + J_i
+        return A_ij, b_ij, C_ij, eta_ij, J_ij
+
+    prefix = lax.associative_scan(combine, elems)
+    _, means, covs, _, _ = prefix
+    return means, covs
 
 
 def kalman_smoother(params: LGSSMParams, ys):
