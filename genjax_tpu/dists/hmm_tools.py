@@ -114,6 +114,49 @@ def forward_parallel(log_pi, log_trans, log_obs, ys):
     return alphas, logsumexp(alphas[-1])
 
 
+def forward_backward_parallel(log_pi, log_trans, log_obs, ys) -> HMMPosterior:
+    """Fully parallel smoothing: both the forward and backward recursions
+    are (log, +)-semiring matrix-product chains, so the complete
+    forward-backward pass runs in O(log T) depth (two associative scans).
+    Returns the same :class:`HMMPosterior` as :func:`forward_backward`."""
+    lo = log_obs[:, ys].T  # (T, N)
+    mats = log_trans[None] + lo[1:, None, :]  # (T-1, N, N)
+
+    def combine(a, b):
+        return logsumexp(a[..., :, :, None] + b[..., None, :, :], axis=-2)
+
+    alpha0 = log_pi + lo[0]
+    if ys.shape[0] == 1:
+        lg = alpha0[None] - logsumexp(alpha0)
+        return HMMPosterior(
+            lg, jnp.zeros((0,) + log_trans.shape), logsumexp(alpha0)
+        )
+    prefix = lax.associative_scan(combine, mats)
+    alphas = jnp.concatenate(
+        [alpha0[None], logsumexp(alpha0[None, :, None] + prefix, axis=-2)],
+        axis=0,
+    )
+    log_marginal = logsumexp(alphas[-1])
+    # backward: beta_t needs the ORDERED suffix product M_{t+1} … M_{T-1}.
+    # associative_scan(reverse=True) folds from the end with the same
+    # operand order (M_{T-1} ⊗ M_{T-2} ⊗ …), so flip the combine operands
+    # to keep left-to-right matrix-product order.
+    suffix = lax.associative_scan(
+        lambda a, b: combine(b, a), mats, reverse=True
+    )
+    betas = jnp.concatenate(
+        [logsumexp(suffix, axis=-1), jnp.zeros_like(alpha0)[None]], axis=0
+    )
+    log_gammas = alphas + betas - log_marginal
+    log_xis = (
+        alphas[:-1, :, None]
+        + log_trans[None]
+        + (lo[1:] + betas[1:])[:, None, :]
+        - log_marginal
+    )
+    return HMMPosterior(log_gammas, log_xis, log_marginal)
+
+
 def viterbi(log_pi, log_trans, log_obs, ys):
     """MAP state path: returns ``(path (T,), log p(path, y))``."""
     lo = log_obs[:, ys].T

@@ -7,7 +7,11 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from genjax_tpu.dists.hmm_tools import forward_backward, forward_parallel
+from genjax_tpu.dists.hmm_tools import (
+    forward_backward,
+    forward_backward_parallel,
+    forward_parallel,
+)
 from genjax_tpu.dists.lgssm import (
     LGSSMParams,
     kalman_filter,
@@ -67,4 +71,29 @@ class TestParallelHMMForward:
         post = forward_backward(lp, lt, lo, jnp.asarray(ys))
         np.testing.assert_allclose(
             float(lm), float(post.log_marginal), rtol=1e-5
+        )
+
+    @pytest.mark.parametrize("T", [1, 2, 5, 32, 33])
+    def test_parallel_smoothing_matches_sequential(self, T):
+        N, M = 4, 3
+        pi = rng.dirichlet(np.ones(N))
+        tr = rng.dirichlet(np.ones(N), size=N)
+        ob = rng.dirichlet(np.ones(M), size=N)
+        ys = rng.randint(0, M, size=T)
+        lp = jnp.log(jnp.asarray(pi, jnp.float32))
+        lt = jnp.log(jnp.asarray(tr, jnp.float32))
+        lo = jnp.log(jnp.asarray(ob, jnp.float32))
+        seq = forward_backward(lp, lt, lo, jnp.asarray(ys))
+        par = jax.jit(forward_backward_parallel)(lp, lt, lo, jnp.asarray(ys))
+        np.testing.assert_allclose(
+            np.asarray(par.log_gammas),
+            np.asarray(seq.log_gammas),
+            atol=2e-4,
+        )
+        if T > 1:
+            np.testing.assert_allclose(
+                np.asarray(par.log_xis), np.asarray(seq.log_xis), atol=2e-4
+            )
+        np.testing.assert_allclose(
+            float(par.log_marginal), float(seq.log_marginal), rtol=1e-5
         )
