@@ -183,6 +183,50 @@ def kalman_filter_parallel(params: LGSSMParams, ys):
     return means, covs
 
 
+def kalman_smoother_parallel(params: LGSSMParams, ys):
+    """Temporally PARALLEL RTS smoothing: the backward recursion
+    ``x_k | x_{k+1}, y_{0:k} ~ N(E_k x_{k+1} + g_k, L_k)`` composes
+    associatively (``combine(a, b) = (E_a E_b, E_a g_b + g_a,
+    E_a L_b E_aᵀ + L_a)``), so after a parallel filtering pass the
+    smoothed marginals come from one reversed ``associative_scan`` —
+    O(log T) total depth. Returns ``(smoothed_means, smoothed_covs)``
+    equal to :func:`kalman_smoother`'s (up to roundoff)."""
+    A, Q = params.A, params.Q
+    means_f, covs_f = kalman_filter_parallel(params, ys)
+
+    def make_element(m_f, P_f):
+        cov_pred = A @ P_f @ A.T + Q
+        E = jnp.linalg.solve(cov_pred, A @ P_f).T  # P_f Aᵀ cov_pred⁻¹
+        g = m_f - E @ A @ m_f
+        L = P_f - E @ A @ P_f
+        return E, g, L
+
+    E_r, g_r, L_r = jax.vmap(make_element)(means_f[:-1], covs_f[:-1])
+    dz = params.mu0.shape[0]
+    last = (jnp.zeros((dz, dz)), means_f[-1], covs_f[-1])
+    elems = jtu.tree_map(
+        lambda r, f: jnp.concatenate([r, f[None]], axis=0),
+        (E_r, g_r, L_r),
+        last,
+    )
+
+    def combine(a, b):
+        E_a, g_a, L_a = a
+        E_b, g_b, L_b = b
+        return (
+            E_a @ E_b,
+            (E_a @ g_b[..., :, None])[..., :, 0] + g_a,
+            E_a @ L_b @ jnp.swapaxes(E_a, -1, -2) + L_a,
+        )
+
+    # ordered suffix composition elem_k ⊗ … ⊗ elem_{T-1}: flip operands in
+    # the reverse scan (same trick as hmm_tools.forward_backward_parallel)
+    _, means_s, covs_s = lax.associative_scan(
+        lambda a, b: combine(b, a), elems, reverse=True
+    )
+    return means_s, covs_s
+
+
 def kalman_smoother(params: LGSSMParams, ys):
     """RTS smoothing. Returns ``(smoothed_means, smoothed_covs,
     log_marginal)``."""

@@ -16,6 +16,8 @@ from genjax_tpu.dists.lgssm import (
     LGSSMParams,
     kalman_filter,
     kalman_filter_parallel,
+    kalman_smoother,
+    kalman_smoother_parallel,
 )
 
 rng = np.random.RandomState(0)
@@ -35,6 +37,20 @@ class TestParallelKalman:
         ys = jnp.asarray(rng.randn(T, 1), jnp.float32)
         m_seq, c_seq, _ = kalman_filter(PARAMS, ys)
         m_par, c_par = jax.jit(kalman_filter_parallel)(PARAMS, ys)
+        np.testing.assert_allclose(
+            np.asarray(m_par), np.asarray(m_seq), rtol=1e-3, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(c_par), np.asarray(c_seq), rtol=1e-3, atol=1e-5
+        )
+
+
+class TestParallelSmoother:
+    @pytest.mark.parametrize("T", [1, 2, 3, 16, 37])
+    def test_matches_sequential_all_lengths(self, T):
+        ys = jnp.asarray(rng.randn(T, 1), jnp.float32)
+        m_seq, c_seq, _ = kalman_smoother(PARAMS, ys)
+        m_par, c_par = jax.jit(kalman_smoother_parallel)(PARAMS, ys)
         np.testing.assert_allclose(
             np.asarray(m_par), np.asarray(m_seq), rtol=1e-3, atol=1e-5
         )
