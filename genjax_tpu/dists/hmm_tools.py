@@ -1,7 +1,9 @@
 """Dense-HMM toolset: forward-backward smoothing, Baum-Welch EM, Viterbi.
 
-Generalizes the circulant-configured ``DiscreteHMM`` (reference parity —
-``dists/discrete_hmm.py``) to arbitrary dense parameter matrices, and adds
+Generalizes the reference's circulant-configured exact HMM machinery
+(`/root/reference/src/genjax/_src/generative_functions/distributions/
+custom/discrete_hmm.py:98-239` — forward filter + exact marginals; parity
+lives in ``dists/discrete_hmm.py``) to arbitrary dense matrices, and adds
 the three classic operations the reference lacks entirely: posterior state
 marginals via forward-backward, maximum-likelihood parameter estimation
 via Baum-Welch (the discrete twin of ``lgssm_em``), and MAP path decoding
@@ -120,23 +122,18 @@ def forward_backward_parallel(log_pi, log_trans, log_obs, ys) -> HMMPosterior:
     forward-backward pass runs in O(log T) depth (two associative scans).
     Returns the same :class:`HMMPosterior` as :func:`forward_backward`."""
     lo = log_obs[:, ys].T  # (T, N)
+    alphas, log_marginal = forward_parallel(log_pi, log_trans, log_obs, ys)
+    if ys.shape[0] == 1:
+        return HMMPosterior(
+            alphas - log_marginal,
+            jnp.zeros((0,) + log_trans.shape),
+            log_marginal,
+        )
     mats = log_trans[None] + lo[1:, None, :]  # (T-1, N, N)
 
     def combine(a, b):
         return logsumexp(a[..., :, :, None] + b[..., None, :, :], axis=-2)
 
-    alpha0 = log_pi + lo[0]
-    if ys.shape[0] == 1:
-        lg = alpha0[None] - logsumexp(alpha0)
-        return HMMPosterior(
-            lg, jnp.zeros((0,) + log_trans.shape), logsumexp(alpha0)
-        )
-    prefix = lax.associative_scan(combine, mats)
-    alphas = jnp.concatenate(
-        [alpha0[None], logsumexp(alpha0[None, :, None] + prefix, axis=-2)],
-        axis=0,
-    )
-    log_marginal = logsumexp(alphas[-1])
     # backward: beta_t needs the ORDERED suffix product M_{t+1} … M_{T-1}.
     # associative_scan(reverse=True) folds from the end with the same
     # operand order (M_{T-1} ⊗ M_{T-2} ⊗ …), so flip the combine operands
@@ -145,7 +142,7 @@ def forward_backward_parallel(log_pi, log_trans, log_obs, ys) -> HMMPosterior:
         lambda a, b: combine(b, a), mats, reverse=True
     )
     betas = jnp.concatenate(
-        [logsumexp(suffix, axis=-1), jnp.zeros_like(alpha0)[None]], axis=0
+        [logsumexp(suffix, axis=-1), jnp.zeros_like(log_pi)[None]], axis=0
     )
     log_gammas = alphas + betas - log_marginal
     log_xis = (
@@ -203,18 +200,25 @@ def hmm_em(
         gammas = jnp.exp(post.log_gammas)  # (T, N)
         xis = jnp.exp(post.log_xis)  # (T-1, N, N)
         lp_new = post.log_gammas[0] if "pi" in fit else lp
-        if "trans" in fit:
-            num = jnp.sum(xis, axis=0)
-            lt_new = jnp.log(num / jnp.sum(num, axis=1, keepdims=True))
-        else:
-            lt_new = lt
-        if "obs" in fit:
-            counts = gammas.T @ y_onehot  # (N, M)
-            lo_new = jnp.log(
-                counts / jnp.sum(counts, axis=1, keepdims=True)
-            )
-        else:
-            lo_new = lo
+
+        def safe_row_normalize(num, old_log_rows):
+            # a state with zero posterior mass has a 0/0 row: keep its old
+            # parameters (it is unvisited, so any row is M-step-optimal)
+            # instead of letting one NaN row poison every state next pass
+            den = jnp.sum(num, axis=1, keepdims=True)
+            rows = jnp.log(num / jnp.where(den > 0, den, 1.0))
+            return jnp.where(den > 0, rows, old_log_rows)
+
+        lt_new = (
+            safe_row_normalize(jnp.sum(xis, axis=0), lt)
+            if "trans" in fit
+            else lt
+        )
+        lo_new = (
+            safe_row_normalize(gammas.T @ y_onehot, lo)
+            if "obs" in fit
+            else lo
+        )
         return (lp_new, lt_new, lo_new), post.log_marginal
 
     return lax.scan(one_iter, (log_pi, log_trans, log_obs), None, length=n_iters)

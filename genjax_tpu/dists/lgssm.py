@@ -119,7 +119,6 @@ def kalman_filter_parallel(params: LGSSMParams, ys):
     paper's extended elements).
     """
     A, Q, C, R = params.A, params.Q, params.C, params.R
-    T = ys.shape[0]
     dz = params.mu0.shape[0]
     I = jnp.eye(dz)
 
@@ -229,25 +228,9 @@ def kalman_smoother_parallel(params: LGSSMParams, ys):
 
 def kalman_smoother(params: LGSSMParams, ys):
     """RTS smoothing. Returns ``(smoothed_means, smoothed_covs,
-    log_marginal)``."""
-    A, Q = params.A, params.Q
-    means_f, covs_f, log_marginal = kalman_filter(params, ys)
-
-    def step(carry, inp):
-        mean_next, cov_next = carry
-        mean_f, cov_f = inp
-        cov_pred = A @ cov_f @ A.T + Q
-        gain = jnp.linalg.solve(cov_pred, A @ cov_f).T
-        mean_s = mean_f + gain @ (mean_next - A @ mean_f)
-        cov_s = cov_f + gain @ (cov_next - cov_pred) @ gain.T
-        return (mean_s, cov_s), (mean_s, cov_s)
-
-    last = (means_f[-1], covs_f[-1])
-    _, (means_s, covs_s) = lax.scan(
-        step, last, (means_f[:-1], covs_f[:-1]), reverse=True
-    )
-    means_s = jnp.concatenate([means_s, means_f[-1:]], axis=0)
-    covs_s = jnp.concatenate([covs_s, covs_f[-1:]], axis=0)
+    log_marginal)``. (One RTS recursion lives in
+    :func:`_smoother_with_lag1`; this is the lag-free view of it.)"""
+    means_s, covs_s, _lag1, log_marginal = _smoother_with_lag1(params, ys)
     return means_s, covs_s, log_marginal
 
 

@@ -108,6 +108,31 @@ class TestBaumWelch:
         lms = np.asarray(lms)
         assert np.all(np.diff(lms) > -1e-3), lms
 
+    def test_unreachable_state_does_not_poison_em(self):
+        """A structurally unreachable state (zero posterior mass) must
+        keep its old parameters instead of NaN-poisoning the whole model
+        (regression: 0/0 in the M-step row normalization)."""
+        ys, _, _ = self._series(100)
+        lp = jnp.log(jnp.asarray([0.5, 0.5, 1e-30]))
+        # no transitions INTO state 2
+        lt = jnp.log(
+            jnp.asarray(
+                [[0.6, 0.4, 1e-30], [0.4, 0.6, 1e-30], [0.3, 0.3, 0.4]]
+            )
+        )
+        lo = jnp.log(
+            jnp.asarray([[0.6, 0.4], [0.45, 0.55], [0.5, 0.5]])
+        )
+        (lp_f, lt_f, lo_f), lms = hmm_em(
+            lp, lt, lo, jnp.asarray(ys), n_iters=10
+        )
+        assert np.isfinite(np.asarray(lms)).all()
+        for arr in (lt_f, lo_f):
+            a = np.asarray(arr)
+            assert not np.isnan(a).any(), a
+        lms = np.asarray(lms)
+        assert np.all(np.diff(lms) > -1e-3)
+
     def test_recovers_transition_structure(self):
         ys, trans, obs = self._series(4000, seed=2)
         lp = jnp.log(jnp.asarray([0.5, 0.5]))
