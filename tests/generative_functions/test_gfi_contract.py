@@ -72,6 +72,8 @@ def model_zoo():
             _masked_iter_model(),
             (0.5, jnp.asarray([True, False, True])),
         ),
+        ("lgssm-in-static", _lgssm_model(), ()),
+        ("gp-regression", _gp_model(), ()),
     ]
 
 
@@ -132,6 +134,30 @@ def _masked_iter_model():
         return g.normal(0.5 * x, 1.0) @ "w"
 
     return step.masked_iterate_final()
+
+
+def _lgssm_model():
+    from genjax_tpu.dists import LGSSMParams, LinearGaussianSSM
+
+    params = LGSSMParams.scalar(0.8, 0.5, 1.0, 0.3, 0.0, p0=0.5)
+    ys = jnp.asarray([0.2, -0.4, 0.7]).reshape(-1, 1)
+
+    @g.gen
+    def m():
+        zs = LinearGaussianSSM(params, ys) @ "zs"
+        obs = g.normal(jnp.sum(zs), 2.0) @ "obs"
+        return obs
+
+    return m
+
+
+def _gp_model():
+    import numpy as np
+
+    from genjax_tpu.models import gp_regression
+
+    X = np.asarray([[0.0], [0.7], [1.5]], np.float32)
+    return gp_regression(X)
 
 
 IDS = [name for name, _, _ in model_zoo()]
