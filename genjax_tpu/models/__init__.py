@@ -7,6 +7,7 @@ posteriors where they exist) so inference can be validated in place.
 """
 
 from .gp import gp_log_marginal, gp_posterior, gp_regression, sq_exp_kernel
+from .ppca import ppca_em, ppca_log_likelihood, ppca_ml, ppca_model, ppca_posterior
 from .hmm import discrete_hmm_model
 from .mixture import dp_mixture_model, gaussian_mixture_model
 from .regression import hierarchical_regression, linear_regression, logistic_regression
@@ -23,6 +24,11 @@ __all__ = [
     "linear_gaussian_ssm",
     "linear_regression",
     "logistic_regression",
+    "ppca_em",
+    "ppca_log_likelihood",
+    "ppca_ml",
+    "ppca_model",
+    "ppca_posterior",
     "sq_exp_kernel",
     "stochastic_volatility",
 ]
