@@ -37,7 +37,7 @@ from .pgibbs import (
 )
 from .tempered import TemperedSMCResult, geometric_ladder, tempered_smc
 from .learning import LaplaceResult, MAPResult, fit_map, laplace_approximation
-from .sample import PosteriorSamples, sample_posterior
+from .sample import LogdensitySamples, PosteriorSamples, sample_logdensity, sample_posterior
 from .smc import ChangeTarget, Importance, ImportanceK, ParticleCollection, SMCAlgorithm
 
 __all__ = [
@@ -53,6 +53,7 @@ __all__ = [
     "LaplaceResult",
     "MAPResult",
     "MHChainResult",
+    "LogdensitySamples",
     "PosteriorSamples",
     "fit_map",
     "laplace_approximation",
@@ -61,6 +62,7 @@ __all__ = [
     "marginal",
     "mh",
     "sample",
+    "sample_logdensity",
     "sample_posterior",
     "diagnostics",
     "mcmc",

@@ -459,3 +459,73 @@ def _sample_posterior_pt(
         eps=info.eps[0],
         inv_mass=info.inv_mass[0, : packer.dim],
     )
+
+
+@Pytree.dataclass
+class LogdensitySamples(Pytree):
+    """Draws + diagnostics from :func:`sample_logdensity`. ``draws`` is
+    ``(n_chains, n_samples, D)``; ``rhat``/``ess`` are per-dimension."""
+
+    draws: Any
+    rhat: Any
+    ess: Any
+    accept_rate: Any
+    divergence_rate: Any
+    eps: Any
+    inv_mass: Any
+
+
+def sample_logdensity(
+    key,
+    logdensity_cols,
+    q0,
+    *,
+    n_warmup: int = 300,
+    n_samples: int = 100,
+    thin: int = 1,
+    eps0: float = 0.05,
+    target_accept: float = 0.651,
+) -> LogdensitySamples:
+    """The one-call adaptive driver for a RAW column log-density
+    ``(D, N) -> (N,)`` — for targets that do not come from a ``@gen``
+    model, most importantly `parallel.data_sharded_logdensity` (big-data
+    posteriors over a chains×data mesh) and hand-written potentials.
+
+    Runs ChEES-adaptive HMC (``kernels.chees_hmc``: step size, diagonal
+    mass, AND trajectory length adapted jointly from cross-chain
+    statistics) from the given ``q0`` (D, N) start columns, then collects
+    ``n_samples`` thinned draws with split-R̂/ESS per dimension. The
+    log-density's only contract is that ``jax.vjp`` works, so sharded
+    (``shard_map``/``psum``) densities drop straight in.
+    """
+    from ..kernels.chees import chees_hmc
+
+    q0 = jnp.asarray(q0, jnp.float32)
+    n_steps = n_samples * thin
+    q, info = jax.jit(
+        lambda q0, k: chees_hmc(
+            logdensity_cols, q0, k, n_warmup=n_warmup, n_steps=n_steps,
+            eps0=eps0, target_accept=target_accept, collect=True,
+        )
+    )(q0, key)
+    draws = info.draws[thin - 1 :: thin]  # (n_samples, D, N)
+    arr = jnp.transpose(draws, (2, 0, 1))  # (chains, samples, D)
+
+    @jax.jit
+    def diagnostics(arr):
+        r = jax.vmap(split_rhat, in_axes=2)(arr)
+        e = jax.vmap(
+            lambda x: ess(x, max_lag=min(n_samples - 1, 64)), in_axes=2
+        )(arr)
+        return r, e
+
+    rhat_d, ess_d = diagnostics(arr)
+    return LogdensitySamples(
+        draws=arr,
+        rhat=rhat_d,
+        ess=ess_d,
+        accept_rate=info.accept_rate,
+        divergence_rate=info.divergence_rate,
+        eps=info.eps,
+        inv_mass=info.inv_mass,
+    )
