@@ -9,9 +9,10 @@ chain state; the fused kernel keeps entire trajectories in VMEM.
 from .chees import ChEESInfo, chees_hmc
 from .elliptical import ess_sweep_cols, ess_transition_cols
 from .hmc import pallas_hmc, warmup_column
-from .model_interface import ColumnPacker, column_chees, column_hmc, column_logdensity, column_nuts, column_pt
+from .model_interface import ColumnPacker, column_chees, column_hmc, column_logdensity, column_nuts, column_pt, column_svgd
 from .pt import PTInfo, geometric_ladder, pt_hmc
 from .nuts import nuts_sweep_cols, nuts_transition
+from .svgd import rbf_kernel_and_grad, svgd
 from .sgld import (
     full_grad_cols,
     minibatch_grad_cols,
@@ -19,4 +20,4 @@ from .sgld import (
     sgld_sweep_cols,
 )
 
-__all__ = ["ChEESInfo", "chees_hmc", "ColumnPacker", "column_chees", "column_hmc", "column_logdensity", "column_nuts", "column_pt", "PTInfo", "ess_sweep_cols", "ess_transition_cols", "full_grad_cols", "geometric_ladder", "minibatch_grad_cols", "pt_hmc", "nuts_sweep_cols", "nuts_transition", "pallas_hmc", "sghmc_sweep_cols", "sgld_sweep_cols", "warmup_column"]
+__all__ = ["ChEESInfo", "chees_hmc", "ColumnPacker", "column_chees", "column_hmc", "column_logdensity", "column_nuts", "column_pt", "column_svgd", "PTInfo", "ess_sweep_cols", "ess_transition_cols", "full_grad_cols", "geometric_ladder", "minibatch_grad_cols", "pt_hmc", "nuts_sweep_cols", "nuts_transition", "pallas_hmc", "rbf_kernel_and_grad", "sghmc_sweep_cols", "sgld_sweep_cols", "svgd", "warmup_column"]
