@@ -76,6 +76,22 @@ class PosteriorSamples(Pytree):
         return self._read(self.ess, addr)
 
 
+
+def _column_diagnostics(arr, n_samples):
+    """Shared split-R̂ / bulk-ESS over draws shaped (chains, samples, dim)
+    — the one place the diagnostics configuration (max_lag) lives."""
+
+    @jax.jit
+    def _diag(arr):
+        r = jax.vmap(split_rhat, in_axes=2)(arr)
+        e = jax.vmap(
+            lambda x: ess(x, max_lag=min(n_samples - 1, 64)), in_axes=2
+        )(arr)
+        return r, e
+
+    return _diag(arr)
+
+
 def sample_posterior(
     key: PRNGKey,
     model: GenerativeFunction,
@@ -264,15 +280,7 @@ def sample_posterior(
     )
     _flat0, unravel = ravel_pytree(grad_tree)
 
-    @jax.jit
-    def diagnostics(draws):
-        r = jax.vmap(split_rhat, in_axes=2)(draws)
-        e = jax.vmap(lambda x: ess(x, max_lag=min(n_samples - 1, 64)), in_axes=2)(
-            draws
-        )
-        return r, e
-
-    rhat_flat, ess_flat = diagnostics(draws)
+    rhat_flat, ess_flat = _column_diagnostics(draws, n_samples)
 
     def unflatten_axis(flat_by_dim):
         """Map per-raveled-dim values back onto the selection's pytree."""
@@ -359,15 +367,7 @@ def _sample_posterior_chees(
     real = draws[:, : packer.dim, :]  # drop tile padding
     arr = jnp.transpose(real, (2, 0, 1))  # (chains, samples, dim)
 
-    @jax.jit
-    def diagnostics(arr):
-        r = jax.vmap(split_rhat, in_axes=2)(arr)
-        e = jax.vmap(
-            lambda x: ess(x, max_lag=min(n_samples - 1, 64)), in_axes=2
-        )(arr)
-        return r, e
-
-    rhat_flat, ess_flat = diagnostics(arr)
+    rhat_flat, ess_flat = _column_diagnostics(arr, n_samples)
     pad = packer.padded_dim - packer.dim
 
     def unflatten(flat):
@@ -432,15 +432,7 @@ def _sample_posterior_pt(
     real = draws[:, : packer.dim, :]
     arr = jnp.transpose(real, (2, 0, 1))  # (chains, samples, dim)
 
-    @jax.jit
-    def diagnostics(arr):
-        r = jax.vmap(split_rhat, in_axes=2)(arr)
-        e = jax.vmap(
-            lambda x: ess(x, max_lag=min(n_samples - 1, 64)), in_axes=2
-        )(arr)
-        return r, e
-
-    rhat_flat, ess_flat = diagnostics(arr)
+    rhat_flat, ess_flat = _column_diagnostics(arr, n_samples)
     pad = packer.padded_dim - packer.dim
 
     def unflatten(flat):
@@ -511,15 +503,7 @@ def sample_logdensity(
     draws = info.draws[thin - 1 :: thin]  # (n_samples, D, N)
     arr = jnp.transpose(draws, (2, 0, 1))  # (chains, samples, D)
 
-    @jax.jit
-    def diagnostics(arr):
-        r = jax.vmap(split_rhat, in_axes=2)(arr)
-        e = jax.vmap(
-            lambda x: ess(x, max_lag=min(n_samples - 1, 64)), in_axes=2
-        )(arr)
-        return r, e
-
-    rhat_d, ess_d = diagnostics(arr)
+    rhat_d, ess_d = _column_diagnostics(arr, n_samples)
     return LogdensitySamples(
         draws=arr,
         rhat=rhat_d,

@@ -31,7 +31,8 @@ from jax import lax
 def rbf_kernel_and_grad(q, bandwidth=None):
     """RBF Gram matrix K(i, j) = exp(−‖q_i − q_j‖²/h) over particle
     COLUMNS plus the repulsion term Σ_j ∇_{q_j} k(q_j, q_i), with the
-    median heuristic ``h = med²/log N`` when ``bandwidth`` is None."""
+    median heuristic ``h = med² / log(N + 1)`` (Liu & Wang's released
+    code) when ``bandwidth`` is None."""
     d2 = (
         jnp.sum(q**2, axis=0)[:, None]
         + jnp.sum(q**2, axis=0)[None, :]
