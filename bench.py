@@ -18,6 +18,8 @@ single-line parsers pick it up. Set BENCH_MODE to run one config:
   hmc_pallas  the Mosaic VMEM kernel on the hmc sweep
   gp      elliptical slice sampling over GP latents (MXU-heavy ellipse
           draws; the latent-Gaussian workload profile)
+  svgd    Stein variational particle flow on the flagship model (N x N
+          Gram matmuls; the MXU-bound inference workload)
 
 ``vs_baseline`` compares each metric against the newest prior round's
 recorded value (BENCH_r*.json); 1.0 when no prior record exists.
@@ -667,9 +669,47 @@ def bench_gp():
     )
 
 
+def bench_svgd():
+    """SVGD particle-flow throughput on the flagship regression posterior
+    via the column bridge: each update is an (N, N) RBF Gram matrix plus
+    two (D, N) x (N, N) matmuls — the MXU-bound inference workload."""
+    from genjax_tpu.kernels.model_interface import column_svgd
+
+    n_particles = int(os.environ.get("BENCH_SVGD_PARTICLES", 4096))
+    n_steps = int(os.environ.get("BENCH_SVGD_STEPS", 100))
+    reps = int(os.environ.get("BENCH_SVGD_REPS", 10))
+    regression, obs, _packer, _ld = _regression_setup()
+
+    def run(seed):
+        q, _ = column_svgd(
+            regression, obs, (), ["tau", "w"],
+            n_particles=n_particles, n_steps=n_steps, seed=seed,
+        )
+        return q
+
+    run_j = jax.jit(run)
+    q = run_j(0)
+    _ = float(q[0, 0])
+    t0 = time.perf_counter()
+    for i in range(1, reps + 1):
+        q = run_j(i)
+    _ = float(q[0, 0])
+    dt = time.perf_counter() - t0
+    _log(
+        f"# svgd; particles={n_particles} steps={n_steps} reps={reps} "
+        f"wall={dt:.2f}s"
+    )
+    emit(
+        f"svgd_particle_updates_per_sec_{n_particles}p",
+        n_particles * n_steps * reps / dt,
+        "particle-updates/sec/chip",
+    )
+
+
 MODES = {
     "chains": bench_chains,
     "gp": bench_gp,
+    "svgd": bench_svgd,
     "chees": bench_chees,
     "hmc": bench_hmc,
     "hmc_pallas": bench_hmc_pallas,
@@ -692,7 +732,7 @@ def main():
     # JSON line also pick it up.
     for name in (
         "hmc", "sir", "vi", "dp", "pf", "chains", "nuts", "chees",
-        "hmc_pallas", "gp",
+        "hmc_pallas", "gp", "svgd",
     ):
         try:
             MODES[name]()
