@@ -154,6 +154,43 @@ def forward_backward_parallel(log_pi, log_trans, log_obs, ys) -> HMMPosterior:
     return HMMPosterior(log_gammas, log_xis, log_marginal)
 
 
+def hmm_posterior_sample(key, log_pi, log_trans, log_obs, ys):
+    """One exact joint draw ``z_{0:T-1} ~ p(z | y)`` by forward-filtering
+    backward-sampling (the dense generalization of
+    ``discrete_hmm.backward_sample``). Returns ``(path (T,),
+    log_marginal)``."""
+    import jax.random as jr
+
+    lo = log_obs[:, ys].T
+
+    def fwd(alpha, lo_t):
+        alpha_new = lo_t + logsumexp(alpha[:, None] + log_trans, axis=0)
+        return alpha_new, alpha_new
+
+    alpha0 = log_pi + lo[0]
+    _, alphas = lax.scan(fwd, alpha0, lo[1:])
+    alphas = jnp.concatenate([alpha0[None], alphas], axis=0)
+    log_marginal = logsumexp(alphas[-1])
+
+    k_last, k_rest = jax.random.split(key)
+    z_last = jr.categorical(k_last, alphas[-1])
+
+    def back(z_next, inp):
+        k, alpha_t = inp
+        z = jr.categorical(k, alpha_t + log_trans[:, z_next])
+        return z, z
+
+    T = ys.shape[0]
+    _, path_rest = lax.scan(
+        back,
+        z_last,
+        (jr.split(k_rest, T - 1), alphas[:-1]),
+        reverse=True,
+    )
+    path = jnp.concatenate([path_rest, z_last[None]])
+    return path, log_marginal
+
+
 def viterbi(log_pi, log_trans, log_obs, ys):
     """MAP state path: returns ``(path (T,), log p(path, y))``."""
     lo = log_obs[:, ys].T

@@ -11,6 +11,7 @@ from genjax_tpu.dists.hmm_tools import (
     forward_backward,
     hmm_em,
     hmm_log_marginal,
+    hmm_posterior_sample,
     viterbi,
 )
 
@@ -76,6 +77,36 @@ class TestExactness:
             for t in range(T - 1):
                 exact[t, zs[t], zs[t + 1]] += w
         np.testing.assert_allclose(xis, exact, atol=1e-5)
+
+    def test_ffbs_path_frequencies_match_enumeration(self):
+        """Joint FFBS draws: both the per-step marginals AND a pairwise
+        (t, t+1) joint frequency must match the enumerated posterior."""
+        import jax
+        import jax.random as jr
+
+        n = 6000
+        paths, _ = jax.jit(
+            jax.vmap(
+                lambda k: hmm_posterior_sample(
+                    k, LP, LT, LO, jnp.asarray(YS)
+                )
+            )
+        )(jr.split(jr.key(0), n))
+        paths = np.asarray(paths)
+        exact_marg = np.zeros((T, N))
+        exact_pair = np.zeros((N, N))  # at (t, t+1) = (2, 3)
+        for zs, lp in PATHS:
+            w = np.exp(lp - LOGZ)
+            for t, z in enumerate(zs):
+                exact_marg[t, z] += w
+            exact_pair[zs[2], zs[3]] += w
+        for t in range(T):
+            freq = np.bincount(paths[:, t], minlength=N) / n
+            np.testing.assert_allclose(freq, exact_marg[t], atol=0.03)
+        pair = np.zeros((N, N))
+        for a, b in zip(paths[:, 2], paths[:, 3]):
+            pair[a, b] += 1.0 / n
+        np.testing.assert_allclose(pair, exact_pair, atol=0.03)
 
     def test_viterbi_matches_brute_force(self):
         best_zs, best_lp = max(PATHS, key=lambda r: r[1])
