@@ -76,6 +76,8 @@ def smc2(
     rw_scales: Any = 0.1,
     n_rejuv: int = 1,
     n_steps: int | None = None,
+    mesh=None,
+    axis: str = "batch",
 ) -> SMC2Result:
     """Run SMC² over a scanned SSM kernel.
 
@@ -96,6 +98,11 @@ def smc2(
         n_rejuv: PMMH exchange moves per rejuvenation.
         n_steps: horizon when ``xs`` has no array leaves (e.g. ``None``
             for kernels that ignore the per-step input).
+        mesh: optional ``jax.sharding.Mesh`` — the θ-particle axis (and
+            every per-θ inner-filter leaf) shards over ``axis``; XLA
+            partitions the whole scan and inserts collectives for the
+            θ-resampling gathers and weight reductions. Placement only:
+            results are bit-identical to the unsharded run.
     """
     t_leaves = jtu.tree_leaves(xs)
     if t_leaves:
@@ -264,9 +271,21 @@ def smc2(
         )
         return state, ess
 
+    thetas0_p, zss0 = thetas0, broadcast_z(init_carry)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        theta_sharding = NamedSharding(mesh, P(axis))
+
+        def place(leaf):
+            return jax.device_put(leaf, theta_sharding)
+
+        thetas0_p = jtu.tree_map(place, thetas0_p)
+        zss0 = jtu.tree_map(place, zss0)
+
     init = (
-        thetas0,
-        broadcast_z(init_carry),
+        thetas0_p,
+        zss0,
         jnp.zeros(n_theta),
         jnp.zeros(n_theta),
         jnp.asarray(0.0),

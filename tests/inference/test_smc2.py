@@ -111,6 +111,40 @@ class TestSMC2:
         ess = np.asarray(res.ess_history)
         assert ess.min() < 0.9 * 192
 
+    def test_mesh_sharding_is_placement_only(self):
+        """Sharding the θ axis over the 8-device mesh must not change the
+        math: same seed → same θ-posterior moments and evidence (allowing
+        float-reduction reorder)."""
+        from genjax_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+        base = self._run(0)
+
+        res = jax.jit(
+            lambda k: smc2(
+                k,
+                kernel,
+                lambda kk: PRIOR_MEAN + PRIOR_SD * jr.normal(kk),
+                lambda a: -0.5 * ((a - PRIOR_MEAN) / PRIOR_SD) ** 2
+                - jnp.log(PRIOR_SD)
+                - 0.5 * jnp.log(2.0 * jnp.pi),
+                0.0,
+                jnp.zeros(T),
+                g.C[:, "y"].set(jnp.asarray(self.ys)),
+                n_theta=192,
+                n_x=96,
+                rw_scales=0.15,
+                n_rejuv=2,
+                mesh=mesh,
+            )
+        )(jr.key(0))
+        np.testing.assert_allclose(
+            np.asarray(res.thetas), np.asarray(base.thetas), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            float(res.log_evidence), float(base.log_evidence), atol=1e-3
+        )
+
     def test_evidence_unbiasedness_across_seeds(self):
         """Mean of exp(logZ_hat - logZ_exact) across independent runs ≈ 1
         (the estimator is unbiased in Z, not log Z)."""
