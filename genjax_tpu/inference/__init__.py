@@ -37,6 +37,7 @@ from .pgibbs import (
 )
 from .tempered import TemperedSMCResult, geometric_ladder, tempered_smc
 from .learning import LaplaceResult, MAPResult, fit_map, laplace_approximation
+from .model_comparison import ELPDResult, compare, psis_loo, waic
 from .sample import LogdensitySamples, PosteriorSamples, sample_logdensity, sample_posterior
 from .smc import ChangeTarget, Importance, ImportanceK, ParticleCollection, SMCAlgorithm
 
@@ -53,6 +54,7 @@ __all__ = [
     "LaplaceResult",
     "MAPResult",
     "MHChainResult",
+    "ELPDResult",
     "LogdensitySamples",
     "PosteriorSamples",
     "fit_map",
@@ -62,8 +64,11 @@ __all__ = [
     "marginal",
     "mh",
     "sample",
+    "compare",
+    "psis_loo",
     "sample_logdensity",
     "sample_posterior",
+    "waic",
     "diagnostics",
     "mcmc",
     "requests",
