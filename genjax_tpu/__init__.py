@@ -104,7 +104,7 @@ from .inference import (
     Target,
     marginal,
 )
-from .inference.requests import EllipticalSlice, HMC, MALA, NUTS, Rejuvenate, SafeHMC, mh_accept
+from .inference.requests import EllipticalSlice, HMC, MALA, NUTS, Rejuvenate, SafeHMC, SliceSample, mh_accept
 from .inference.mcmc import mh, run_chain, run_chains
 from .inference import vi
 
@@ -166,6 +166,7 @@ __all__ = [
     "Rejuvenate",
     "SMCAlgorithm",
     "SafeHMC",
+    "SliceSample",
     "Target",
     "TimeTravelingDebugger",
     "adev",

@@ -1,0 +1,140 @@
+"""Univariate slice sampling (Neal 2003) as an edit request.
+
+No reference counterpart (its request set is gradient-based HMC/MALA plus
+prior-proposal Regenerate — `/root/reference/src/genjax/_src/inference/
+requests/`). Slice sampling is the tuning-free move for a SCALAR site
+with arbitrary density — no step size to adapt, acceptance probability 1,
+and no Gaussian-prior requirement (where `EllipticalSlice` stops): draw a
+level log u < log π(x), step out an interval until it brackets the slice
+(doubling, Neal §4.1), then shrink until a point inside the slice is
+found.
+
+The target is the joint density of the whole trace as a function of the
+selected scalar (``assess`` under the hood), so conditionals over any
+model structure are exact. Both loops are ``lax.while_loop``s of one
+``assess`` each; under ``jax.vmap`` over chains they batch into lock-step
+masked loops like the elliptical kernel's.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+import jax.random as jr
+from jax import lax
+
+from ...core.diff import Diff
+from ...core.pytree import Pytree
+from ...core.typing_ import PRNGKey
+from ...generative.concepts import (
+    Argdiffs,
+    EditRequest,
+    Retdiff,
+    Update,
+    Weight,
+)
+from ...generative.selection import Selection
+from ...generative.trace import Trace
+from .hmc import grad_tree_unzip, grad_tree_zip
+
+
+@Pytree.dataclass
+class SliceSample(EditRequest):
+    """One slice-sampling transition of the selected SCALAR choice.
+
+    ``width`` is the initial bracket size (the only — scale-free —
+    parameter; mixing is robust to it within a few orders of magnitude).
+    ``max_steps`` caps both the doubling and shrink loops. The transition
+    is in detailed balance with the joint, so the SMCP3 weight is 0 and
+    ``mh`` always accepts."""
+
+    selection: Selection
+    width: Any = 1.0
+    max_steps: int = Pytree.static(default=32)
+
+    def edit(
+        self, key: PRNGKey, tr: Trace, argdiffs: Argdiffs
+    ) -> tuple[Trace, Weight, Retdiff, EditRequest]:
+        if not Diff.static_check_no_change(argdiffs):
+            raise NotImplementedError(
+                "SliceSample requires unchanged arguments."
+            )
+
+        from jax.flatten_util import ravel_pytree
+
+        chm = tr.get_choices()
+        complement = chm.filter(~self.selection)
+        filtered = chm.filter_eager(self.selection)
+        grad_tree, nongrad_tree = grad_tree_unzip(filtered)
+        gen_fn = tr.get_gen_fn()
+        primal_args = Diff.tree_primal(argdiffs)
+        z0, unravel = ravel_pytree(grad_tree)
+        if z0.shape != (1,):
+            raise ValueError(
+                "SliceSample targets exactly one scalar choice; the "
+                f"selection ravels to shape {z0.shape}. Use EllipticalSlice "
+                "or HMC for vector blocks."
+            )
+
+        def logp(x):
+            zipped = grad_tree_zip(unravel(x[None]), nongrad_tree)
+            w, _ = gen_fn.assess(zipped.merge(complement), primal_args)
+            return w
+
+        x0 = z0[0]
+        k_u, k_pos, k_dir, k_shrink, k_update = jr.split(key, 5)
+        log_y = logp(x0) + jnp.log(jr.uniform(k_u))
+
+        # --- step out (doubling would need Neal's acceptance test; plain
+        # linear stepping-out keeps the transition exactly reversible) ---
+        w = jnp.asarray(self.width, x0.dtype)
+        lo = x0 - w * jr.uniform(k_pos)
+        hi = lo + w
+        # expand each side while its endpoint is inside the slice
+        def grow(side_state):
+            lo, hi, j = side_state
+            lo = jnp.where(logp(lo) > log_y, lo - w, lo)
+            hi = jnp.where(logp(hi) > log_y, hi + w, hi)
+            return lo, hi, j + 1
+
+        def grow_cond(side_state):
+            lo, hi, j = side_state
+            return jnp.logical_and(
+                j < self.max_steps,
+                jnp.logical_or(logp(lo) > log_y, logp(hi) > log_y),
+            )
+
+        lo, hi, _ = lax.while_loop(grow_cond, grow, (lo, hi, 0))
+
+        # --- shrink ---
+        def shrink_cond(state):
+            x, lo, hi, ok, j = state
+            return jnp.logical_and(j < self.max_steps, ~ok)
+
+        def shrink(state):
+            x, lo, hi, ok, j = state
+            x_new = lo + (hi - lo) * jr.uniform(
+                jr.fold_in(k_shrink, j), dtype=x0.dtype
+            )
+            ok_new = logp(x_new) > log_y
+            lo = jnp.where(jnp.logical_or(ok_new, x_new >= x0), lo, x_new)
+            hi = jnp.where(jnp.logical_or(ok_new, x_new < x0), hi, x_new)
+            x = jnp.where(ok_new, x_new, x)
+            return x, lo, hi, jnp.logical_or(ok, ok_new), j + 1
+
+        x1, _, _, ok, _ = lax.while_loop(
+            shrink_cond, shrink, (x0, lo, hi, jnp.asarray(False), 0)
+        )
+        x1 = jnp.where(ok, x1, x0)  # cap hit ⇒ exact no-op
+
+        values = grad_tree_zip(unravel(x1[None]), nongrad_tree)
+        final_trace, _, retdiff, _ = Update(values).edit(
+            k_update, tr, argdiffs
+        )
+        return (
+            final_trace,
+            jnp.asarray(0.0),
+            retdiff,
+            SliceSample(self.selection, self.width, self.max_steps),
+        )
