@@ -81,7 +81,9 @@ def main():
     K = np.asarray(
         sq_exp_kernel(X, X, np.exp(la), np.exp(ll_))
     ) + 1e-5 * np.eye(N_TRAIN)
-    chol = jnp.asarray(np.linalg.cholesky(K))
+    # HOST numpy: an eager device array captured as a jit constant stalls
+    # TPU lowering ~90s (CLAUDE.md); the trace converts it for free
+    chol = np.linalg.cholesky(K).astype(np.float32)
     noise2 = float(np.exp(2 * ln))
 
     def log_lik(f_cols):

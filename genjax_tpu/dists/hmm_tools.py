@@ -41,20 +41,26 @@ class HMMPosterior(Pytree):
     log_marginal: Any
 
 
-def forward_backward(log_pi, log_trans, log_obs, ys) -> HMMPosterior:
-    """Exact smoothing for a dense HMM."""
-    lo = log_obs[:, ys].T  # (T, N): log p(y_t | z_t = i)
+def _forward_alphas(log_pi, log_trans, lo):
+    """The one sequential forward recursion: ``(alphas (T, N),
+    log_marginal)`` from per-step observation log-likelihood rows ``lo``.
+    Shared by forward_backward / hmm_posterior_sample (and conceptually
+    twinned by the associative-scan :func:`forward_parallel`)."""
 
     def fwd(alpha, lo_t):
-        alpha_new = lo_t + logsumexp(
-            alpha[:, None] + log_trans, axis=0
-        )
+        alpha_new = lo_t + logsumexp(alpha[:, None] + log_trans, axis=0)
         return alpha_new, alpha_new
 
     alpha0 = log_pi + lo[0]
     _, alphas = lax.scan(fwd, alpha0, lo[1:])
     alphas = jnp.concatenate([alpha0[None], alphas], axis=0)
-    log_marginal = logsumexp(alphas[-1])
+    return alphas, logsumexp(alphas[-1])
+
+
+def forward_backward(log_pi, log_trans, log_obs, ys) -> HMMPosterior:
+    """Exact smoothing for a dense HMM."""
+    lo = log_obs[:, ys].T  # (T, N): log p(y_t | z_t = i)
+    alphas, log_marginal = _forward_alphas(log_pi, log_trans, lo)
 
     def bwd(beta, lo_t):
         beta_new = logsumexp(log_trans + (lo_t + beta)[None, :], axis=1)
@@ -78,12 +84,8 @@ def forward_backward(log_pi, log_trans, log_obs, ys) -> HMMPosterior:
 def hmm_log_marginal(log_pi, log_trans, log_obs, ys):
     """Exact ``log p(y_{0:T-1})`` (forward pass only)."""
     lo = log_obs[:, ys].T
-
-    def fwd(alpha, lo_t):
-        return lo_t + logsumexp(alpha[:, None] + log_trans, axis=0), None
-
-    alpha, _ = lax.scan(fwd, log_pi + lo[0], lo[1:])
-    return logsumexp(alpha)
+    _, log_marginal = _forward_alphas(log_pi, log_trans, lo)
+    return log_marginal
 
 
 def forward_parallel(log_pi, log_trans, log_obs, ys):
@@ -162,15 +164,7 @@ def hmm_posterior_sample(key, log_pi, log_trans, log_obs, ys):
     import jax.random as jr
 
     lo = log_obs[:, ys].T
-
-    def fwd(alpha, lo_t):
-        alpha_new = lo_t + logsumexp(alpha[:, None] + log_trans, axis=0)
-        return alpha_new, alpha_new
-
-    alpha0 = log_pi + lo[0]
-    _, alphas = lax.scan(fwd, alpha0, lo[1:])
-    alphas = jnp.concatenate([alpha0[None], alphas], axis=0)
-    log_marginal = logsumexp(alphas[-1])
+    alphas, log_marginal = _forward_alphas(log_pi, log_trans, lo)
 
     k_last, k_rest = jax.random.split(key)
     z_last = jr.categorical(k_last, alphas[-1])

@@ -121,6 +121,14 @@ def psis_loo(log_lik) -> ELPDResult:
     flags an unreliable contribution)."""
     log_lik = jnp.asarray(log_lik)
     s, n = log_lik.shape
+    if s < 25:
+        # the Pareto tail needs ≥ ceil(3·√S) ≥ 5 exceedances to fit; with
+        # fewer draws the smoothed estimate is meaningless — fail loudly
+        # (under jit an empty-tail gather would silently produce garbage)
+        raise ValueError(
+            f"psis_loo needs at least 25 posterior draws, got {s}; use "
+            "waic() or draw more samples"
+        )
     raw_lw = -log_lik  # ∝ 1 / p(y_i | θ_s)
     raw_lw = raw_lw - jnp.max(raw_lw, axis=0, keepdims=True)
     lw, ks = jax.vmap(

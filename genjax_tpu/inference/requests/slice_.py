@@ -6,8 +6,8 @@ requests/`). Slice sampling is the tuning-free move for a SCALAR site
 with arbitrary density — no step size to adapt, acceptance probability 1,
 and no Gaussian-prior requirement (where `EllipticalSlice` stops): draw a
 level log u < log π(x), step out an interval until it brackets the slice
-(doubling, Neal §4.1), then shrink until a point inside the slice is
-found.
+(Neal §4.1, the capped variant with a randomized side budget), then
+shrink until a point inside the slice is found.
 
 The target is the joint density of the whole trace as a function of the
 selected scalar (``assess`` under the hood), so conditionals over any
@@ -45,9 +45,11 @@ class SliceSample(EditRequest):
 
     ``width`` is the initial bracket size (the only — scale-free —
     parameter; mixing is robust to it within a few orders of magnitude).
-    ``max_steps`` caps both the doubling and shrink loops. The transition
-    is in detailed balance with the joint, so the SMCP3 weight is 0 and
-    ``mh`` always accepts."""
+    ``max_steps`` bounds the stepping-out budget (split randomly between
+    the sides, Neal's capped procedure — reversible even when the cap
+    binds) and the shrink loop. The transition is in detailed balance
+    with the joint, so the SMCP3 weight is 0 and ``mh`` always
+    accepts."""
 
     selection: Selection
     width: Any = 1.0
@@ -86,26 +88,37 @@ class SliceSample(EditRequest):
         k_u, k_pos, k_dir, k_shrink, k_update = jr.split(key, 5)
         log_y = logp(x0) + jnp.log(jr.uniform(k_u))
 
-        # --- step out (doubling would need Neal's acceptance test; plain
-        # linear stepping-out keeps the transition exactly reversible) ---
+        # --- stepping out (Neal 2003 fig. 3, the CAPPED variant): the
+        # step budget max_steps is split RANDOMLY between the two sides
+        # (J = floor(m·u), K = m−1−J) — required for reversibility when
+        # the cap binds; a deterministic split biases the interval and
+        # hence the stationary distribution near slice boundaries ---
         w = jnp.asarray(self.width, x0.dtype)
         lo = x0 - w * jr.uniform(k_pos)
         hi = lo + w
-        # expand each side while its endpoint is inside the slice
-        def grow(side_state):
-            lo, hi, j = side_state
-            lo = jnp.where(logp(lo) > log_y, lo - w, lo)
-            hi = jnp.where(logp(hi) > log_y, hi + w, hi)
-            return lo, hi, j + 1
+        j_budget = jnp.floor(
+            self.max_steps * jr.uniform(k_dir)
+        ).astype(jnp.int32)
+        k_budget = self.max_steps - 1 - j_budget
 
-        def grow_cond(side_state):
-            lo, hi, j = side_state
-            return jnp.logical_and(
-                j < self.max_steps,
-                jnp.logical_or(logp(lo) > log_y, logp(hi) > log_y),
+        def expand(pos, budget, direction):
+            # one logp eval per iteration: carry the inside-slice flag
+            def cond(state):
+                _pos, j, inside = state
+                return jnp.logical_and(j < budget, inside)
+
+            def body(state):
+                pos, j, _ = state
+                pos2 = pos + direction * w
+                return pos2, j + 1, logp(pos2) > log_y
+
+            pos, _, _ = lax.while_loop(
+                cond, body, (pos, 0, logp(pos) > log_y)
             )
+            return pos
 
-        lo, hi, _ = lax.while_loop(grow_cond, grow, (lo, hi, 0))
+        lo = expand(lo, j_budget, -1.0)
+        hi = expand(hi, k_budget, 1.0)
 
         # --- shrink ---
         def shrink_cond(state):

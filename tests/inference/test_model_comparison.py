@@ -95,6 +95,12 @@ class TestPSISLOO:
             float(r_w.elpd), float(r_l.elpd), atol=0.2
         )
 
+    def test_too_few_draws_fails_loudly(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="at least 25"):
+            psis_loo(jnp.zeros((10, 4)))
+
     def test_compare_ranks_true_model_first(self):
         _, ll_good, _ = conjugate_draws_and_loglik(self.ys, self.sigma)
         # mis-specified: likelihood evaluated with a wrong (tiny) scale
