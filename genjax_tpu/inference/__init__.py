@@ -38,6 +38,7 @@ from .pgibbs import (
 from .tempered import TemperedSMCResult, geometric_ladder, tempered_smc
 from .learning import LaplaceResult, MAPResult, fit_map, laplace_approximation
 from .model_comparison import ELPDResult, compare, psis_loo, waic
+from .sbc import SBCResult, sbc_ranks, sbc_uniformity
 from .sample import LogdensitySamples, PosteriorSamples, sample_logdensity, sample_posterior
 from .smc import ChangeTarget, Importance, ImportanceK, ParticleCollection, SMCAlgorithm
 
@@ -66,6 +67,9 @@ __all__ = [
     "sample",
     "compare",
     "psis_loo",
+    "SBCResult",
+    "sbc_ranks",
+    "sbc_uniformity",
     "sample_logdensity",
     "sample_posterior",
     "waic",
