@@ -1,6 +1,8 @@
 """Model comparison: WAIC and PSIS-LOO (Vehtari, Gelman & Gabry 2017).
 
-No reference counterpart (the reference has no model-evaluation layer).
+No reference counterpart (the reference has no model-evaluation layer —
+its closest notion is test-side tolerance checks,
+`/root/reference/tests/inference/test_smc.py:31-57`).
 Given a matrix of pointwise log-likelihoods ``log p(y_i | θ_s)`` over
 posterior draws ``s`` and observations ``i`` — obtainable from any
 framework posterior via one vmapped ``assess`` — these estimate expected

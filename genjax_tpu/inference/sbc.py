@@ -2,7 +2,8 @@
 Gelman 2018).
 
 No reference counterpart (the reference validates inference only against
-closed forms in its test suite). SBC is the PRODUCTION validation
+closed forms in its test suite,
+`/root/reference/tests/inference/test_requests.py:120-258`). SBC is the PRODUCTION validation
 protocol for the whole model+sampler pipeline: draw θ₀ from the prior,
 simulate data y | θ₀, run the posterior sampler on y, and record the RANK
 of θ₀ among the posterior draws. If the sampler targets the exact

@@ -1,7 +1,7 @@
 """Gaussian-process regression (exact conjugate answers throughout).
 
-No reference counterpart in the model zoo sense (the reference ships no
-models — SURVEY.md §1). A GP is the canonical MXU workload in a PPL: the
+No reference counterpart (the reference ships no model zoo —
+`/root/reference/docs/cookbook/` notebooks only; SURVEY.md §1). A GP is the canonical MXU workload in a PPL: the
 kernel Gram matrix, its Cholesky factor, and the triangular solves are all
 dense (N, N) linear algebra that XLA tiles straight onto the systolic
 array, and vmapping chains over hyperparameter candidates batches them.

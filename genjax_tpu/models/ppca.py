@@ -1,7 +1,7 @@
 """Probabilistic PCA (Tipping & Bishop 1999) — exact answers throughout.
 
-No reference counterpart (the reference ships no model zoo — SURVEY.md
-§1). PPCA is the canonical linear latent-variable family:
+No reference counterpart (the reference ships no model zoo —
+`/root/reference/docs/cookbook/` notebooks only; SURVEY.md §1). PPCA is the canonical linear latent-variable family:
 
     z ~ N(0, I_q);  x | z ~ N(W z + mu, sigma² I_d)
     ⇒ x ~ N(mu, W Wᵀ + sigma² I_d)        (marginal, exact)

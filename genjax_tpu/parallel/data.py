@@ -1,7 +1,8 @@
 """Data-axis sharding: big-data log-densities over a 2-D (chains × data)
 mesh.
 
-The reference has no counterpart (single-process — SURVEY §2 notes the
+The reference has no counterpart (single-process throughout —
+`/root/reference/src/genjax/` has no pjit/shard_map/collectives; SURVEY §2 notes the
 tensor-parallel equivalent for a PPL is "sharded-array log-density where
 models are large"). A factorized posterior
 
