@@ -206,10 +206,27 @@ def SafeHMC(selection: Selection, eps, L: int = 10) -> DiffAnnotate:
 def mh_accept(key: PRNGKey, trace: Trace, new_trace: Trace, alpha: Weight):
     """Metropolis-Hastings accept step over an edit's α weight: returns the
     accepted trace and the accept flag. TPU-friendly: one ``tree_map`` of
-    selects, vmappable over chains."""
+    selects, vmappable over chains.
+
+    Robust to callee-identity churn: a model whose body constructs local
+    ``@gen``/``Closure`` objects mints fresh (semantically identical)
+    static leaves every handler run, so old/new treedefs can differ while
+    the DYNAMIC leaves align exactly — in that case select leaf-by-leaf
+    and keep the new trace's structure."""
     log_u = jnp.log(jr.uniform(key))
     accept = log_u < alpha
-    out = jtu.tree_map(
-        lambda new, old: jnp.where(accept, new, old), new_trace, trace
-    )
+
+    def pick(new, old):
+        return jnp.where(accept, new, old)
+
+    try:
+        out = jtu.tree_map(pick, new_trace, trace)
+    except ValueError:
+        new_leaves, new_def = jtu.tree_flatten(new_trace)
+        old_leaves = jtu.tree_leaves(trace)
+        if len(new_leaves) != len(old_leaves):
+            raise
+        out = jtu.tree_unflatten(
+            new_def, [pick(n, o) for n, o in zip(new_leaves, old_leaves)]
+        )
     return out, accept

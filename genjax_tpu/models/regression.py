@@ -70,16 +70,52 @@ def logistic_regression(X, *, prior_scale: float = 2.0):
     X = jnp.asarray(X, jnp.float32)
     n, d = X.shape
 
+    # defined OUTSIDE the model body: an inner @gen would mint a fresh
+    # Closure every handler run, destabilizing trace treedefs (mh_accept's
+    # where-select needs old/new traces with identical static structure)
+    @gen
+    def obs_point(i, probs):
+        return flip(probs[i]) @ "y"
+
+    obs_vmap = obs_point.vmap(in_axes=(0, None))
+
     @gen
     def model():
         w = mv_normal_diag(jnp.zeros(d), prior_scale * jnp.ones(d)) @ "w"
         probs = jax.nn.sigmoid(X @ w)
-
-        @gen
-        def obs_point(i, probs):
-            return flip(probs[i]) @ "y"
-
-        _ = obs_point.vmap(in_axes=(0, None))(jnp.arange(n), probs) @ "obs"
+        _ = obs_vmap(jnp.arange(n), probs) @ "obs"
         return probs
+
+    return model
+
+
+def poisson_regression(X, *, prior_scale: float = 1.0):
+    """Poisson GLM: ``w ~ N(0, prior_scale)``,
+    ``y_i ~ Poisson(exp(x_i . w))``. Addresses: ``"w"`` and
+    ``("obs", i, "y")``; constrain with ``C["obs", :, "y"].set(counts)``.
+
+    Returns ``model`` (no conjugate posterior; the log-posterior is
+    strictly concave, so ``laplace_approximation`` is the standard
+    validation reference — see tests/models/test_glm.py)."""
+    import jax.numpy as jnp
+
+    from ..dists import mv_normal_diag, poisson
+
+    X = jnp.asarray(X, jnp.float32)
+    n, d = X.shape
+
+    # outside the body for treedef stability (see logistic_regression)
+    @gen
+    def obs_point(i, rates):
+        return poisson(rates[i]) @ "y"
+
+    obs_vmap = obs_point.vmap(in_axes=(0, None))
+
+    @gen
+    def model():
+        w = mv_normal_diag(jnp.zeros(d), prior_scale * jnp.ones(d)) @ "w"
+        rates = jnp.exp(X @ w)
+        _ = obs_vmap(jnp.arange(n), rates) @ "obs"
+        return rates
 
     return model
