@@ -34,7 +34,11 @@ YS = (0.5 * XS**2 - 0.4 * XS + SIGMA * rng.randn(N)).astype(np.float32)
 
 
 def make_model(degree):
-    feats = jnp.stack([jnp.asarray(XS) ** p for p in range(degree + 1)], 1)
+    # HOST numpy: an eager device array captured as a jit constant stalls
+    # TPU lowering (CLAUDE.md); traces convert host arrays for free
+    feats = np.stack([XS**p for p in range(degree + 1)], 1).astype(
+        np.float32
+    )
 
     @g.gen
     def model():

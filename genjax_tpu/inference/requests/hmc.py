@@ -224,7 +224,13 @@ def mh_accept(key: PRNGKey, trace: Trace, new_trace: Trace, alpha: Weight):
     except ValueError:
         new_leaves, new_def = jtu.tree_flatten(new_trace)
         old_leaves = jtu.tree_leaves(trace)
-        if len(new_leaves) != len(old_leaves):
+        if len(new_leaves) != len(old_leaves) or any(
+            jnp.shape(n) != jnp.shape(o)
+            or jnp.result_type(n) != jnp.result_type(o)
+            for n, o in zip(new_leaves, old_leaves)
+        ):
+            # a REAL structural difference, not just static-identity
+            # churn — mixing leaves positionally would corrupt the trace
             raise
         out = jtu.tree_unflatten(
             new_def, [pick(n, o) for n, o in zip(new_leaves, old_leaves)]

@@ -72,6 +72,12 @@ def sbc_ranks(
         chm = tr.get_choices()
         grad_tree, _ = grad_tree_unzip(chm.filter_eager(selection))
         theta0, _ = ravel_pytree(grad_tree)
+        if theta0.shape[0] == 0:
+            raise ValueError(
+                "sbc_ranks: the selection contains no continuous "
+                "(inexact-dtype) parameters — discrete latents need "
+                "tie-broken ranks and are not supported by this battery"
+            )
         constraint = chm.filter(~selection)
         draws = sampler(k_post, constraint)  # (n_draws, d)
         meta["n_draws"] = draws.shape[0]  # static shape, set at trace time

@@ -97,8 +97,6 @@ def poisson_regression(X, *, prior_scale: float = 1.0):
     Returns ``model`` (no conjugate posterior; the log-posterior is
     strictly concave, so ``laplace_approximation`` is the standard
     validation reference — see tests/models/test_glm.py)."""
-    import jax.numpy as jnp
-
     from ..dists import mv_normal_diag, poisson
 
     X = jnp.asarray(X, jnp.float32)

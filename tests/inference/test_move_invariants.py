@@ -76,6 +76,64 @@ def test_move_invariants(spec):
         tr = new
 
 
+def test_mh_accept_survives_callee_identity_churn():
+    """A model whose body constructs a LOCAL @gen closure mints a fresh
+    Closure every handler run, so old/new traces have unequal treedefs;
+    mh_accept's leaf-aligned fallback must still produce a correct
+    posterior (regression for the fallback path in requests/hmc.py)."""
+    from genjax_tpu.inference.mcmc import mh
+
+    @g.gen
+    def churny():
+        mu = g.normal(0.0, 1.0) @ "mu"
+
+        @g.gen  # deliberately in-body: new identity per run
+        def inner(m):
+            return g.normal(m, 0.5) @ "y"
+
+        inner(mu) @ "obs"
+
+    obs = g.C["obs", "y"].set(1.6)
+    v = 1.0 / (1.0 + 1.0 / 0.25)
+    m_post = v * 1.6 / 0.25
+
+    def one(k):
+        k0, k1 = jr.split(k)
+        tr, _ = churny.generate(k0, obs, ())
+
+        def step(t, kk):
+            t2, _ = mh(kk, t, g.HMC(g.S["mu"], 0.3, L=5))
+            return t2, None
+
+        tr, _ = jax.lax.scan(step, tr, jr.split(k1, 200))
+        return tr.get_choices()["mu"]
+
+    mus = np.asarray(jax.jit(jax.vmap(one))(jr.split(jr.key(11), 256)))
+    np.testing.assert_allclose(mus.mean(), m_post, atol=0.07)
+    np.testing.assert_allclose(mus.var(), v, rtol=0.25)
+
+
+def test_mh_accept_rejects_real_structural_mismatch():
+    """Traces with equal leaf counts but different leaf shapes must still
+    raise — the fallback is for static-identity churn only."""
+    import jax.tree_util as jtu
+    from genjax_tpu.inference.requests.hmc import mh_accept
+
+    a = {"x": jnp.zeros(3), "y": jnp.zeros(())}
+    b = {"x": jnp.zeros(()), "y": jnp.zeros(3)}
+    # force the treedef-mismatch path with a wrapper dataclass pair
+
+    @g.Pytree.dataclass
+    class Box(g.Pytree):
+        v: object
+        tag: object = g.Pytree.static(default=None)
+
+    with pytest.raises(ValueError):
+        mh_accept(
+            jr.key(0), Box(a, tag="p"), Box(b, tag="q"), jnp.asarray(0.0)
+        )
+
+
 @pytest.mark.parametrize("spec", CASES[:3], ids=[c[0] for c in CASES[:3]])
 def test_moves_compose_under_jit_scan(spec):
     """A whole chain of moves jits into one program with finite,
