@@ -208,6 +208,44 @@ def viterbi(log_pi, log_trans, log_obs, ys):
     return path, jnp.max(delta)
 
 
+def viterbi_parallel(log_pi, log_trans, log_obs, ys):
+    """Temporally parallel Viterbi: the max-product forward pass is a
+    (max, +)-semiring matrix-product chain, so the delta values come from
+    one ``associative_scan`` (O(log T) depth). The backtrack is
+    reconstructed from the deltas with a cheap sequential argmax scan
+    (vector ops only — no density evaluations). Same output as
+    :func:`viterbi`."""
+    lo = log_obs[:, ys].T
+    T = ys.shape[0]
+    delta0 = log_pi + lo[0]
+    if T == 1:
+        return jnp.argmax(delta0)[None], jnp.max(delta0)
+    mats = log_trans[None] + lo[1:, None, :]  # (T-1, N, N)
+
+    def combine(a, b):
+        # (max, +) semiring matmul
+        return jnp.max(a[..., :, :, None] + b[..., None, :, :], axis=-2)
+
+    prefix = lax.associative_scan(combine, mats)
+    deltas = jnp.concatenate(
+        [delta0[None], jnp.max(delta0[None, :, None] + prefix, axis=-2)],
+        axis=0,
+    )  # (T, N)
+    z_last = jnp.argmax(deltas[-1])
+
+    def back(z_next, inp):
+        delta_t, lo_next = inp
+        # z_t = argmax_i delta_t(i) + trans(i, z_next): the max-product
+        # recursion guarantees this reconstructs an optimal path
+        z = jnp.argmax(delta_t + log_trans[:, z_next])
+        return z, z
+
+    _, path_rest = lax.scan(
+        back, z_last, (deltas[:-1], lo[1:]), reverse=True
+    )
+    return jnp.concatenate([path_rest, z_last[None]]), jnp.max(deltas[-1])
+
+
 def hmm_em(
     log_pi,
     log_trans,

@@ -11,6 +11,8 @@ from genjax_tpu.dists.hmm_tools import (
     forward_backward,
     forward_backward_parallel,
     forward_parallel,
+    viterbi,
+    viterbi_parallel,
 )
 from genjax_tpu.dists.lgssm import (
     LGSSMParams,
@@ -43,6 +45,23 @@ class TestParallelKalman:
         np.testing.assert_allclose(
             np.asarray(c_par), np.asarray(c_seq), rtol=1e-3, atol=1e-5
         )
+
+
+class TestParallelViterbi:
+    @pytest.mark.parametrize("T", [1, 2, 5, 17, 33])
+    def test_matches_sequential(self, T):
+        N, M = 5, 4
+        pi = rng.dirichlet(np.ones(N))
+        tr = rng.dirichlet(np.ones(N), size=N)
+        ob = rng.dirichlet(np.ones(M), size=N)
+        ys = rng.randint(0, M, size=T)
+        lp = jnp.log(jnp.asarray(pi, jnp.float32))
+        lt = jnp.log(jnp.asarray(tr, jnp.float32))
+        lo = jnp.log(jnp.asarray(ob, jnp.float32))
+        p1, l1 = viterbi(lp, lt, lo, jnp.asarray(ys))
+        p2, l2 = jax.jit(viterbi_parallel)(lp, lt, lo, jnp.asarray(ys))
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
 
 
 class TestParallelSmoother:
