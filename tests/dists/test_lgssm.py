@@ -7,6 +7,7 @@ import jax
 import jax.numpy as jnp
 import jax.random as jr
 import numpy as np
+import pytest
 
 import genjax_tpu as g
 from genjax_tpu.dists.lgssm import (
@@ -116,6 +117,66 @@ class TestAgainstJointGaussian:
         )
         np.testing.assert_allclose(
             np.asarray(covs_f)[-1], np.asarray(covs_s)[-1], rtol=1e-5
+        )
+
+
+class TestRandomSystems:
+    @pytest.mark.parametrize("seed", [1, 2, 3, 4, 5])
+    def test_log_marginal_matches_joint_gaussian_random_system(self, seed):
+        """Randomized (A, Q, C, R, mu0, P0) with Dz=3, Dy=2: the filter's
+        log-marginal must equal the dense joint-Gaussian density of the
+        stacked observations (exact, any stable-or-not system)."""
+        r = np.random.RandomState(seed)
+        dz, dy, t = 3, 2, 4
+        A_ = (0.8 * r.randn(dz, dz) / np.sqrt(dz)).astype(np.float32)
+        q_root = r.randn(dz, dz).astype(np.float32) / np.sqrt(dz)
+        Q_ = q_root @ q_root.T + 0.2 * np.eye(dz, dtype=np.float32)
+        C_ = r.randn(dy, dz).astype(np.float32)
+        r_root = r.randn(dy, dy).astype(np.float32)
+        R_ = r_root @ r_root.T / dy + 0.2 * np.eye(dy, dtype=np.float32)
+        mu0 = r.randn(dz).astype(np.float32)
+        P0_ = 0.5 * np.eye(dz, dtype=np.float32)
+        params = LGSSMParams(
+            A=jnp.asarray(A_), Q=jnp.asarray(Q_), C=jnp.asarray(C_),
+            R=jnp.asarray(R_), mu0=jnp.asarray(mu0), P0=jnp.asarray(P0_),
+        )
+        ys = r.randn(t, dy).astype(np.float32)
+
+        # dense joint in numpy
+        nz = t * dz
+        mean_z = np.zeros(nz)
+        mean_z[:dz] = mu0
+        cov_z = np.zeros((nz, nz))
+        cov_z[:dz, :dz] = P0_
+        for k in range(1, t):
+            mean_z[k * dz : (k + 1) * dz] = (
+                A_ @ mean_z[(k - 1) * dz : k * dz]
+            )
+            prev = cov_z[(k - 1) * dz : k * dz, (k - 1) * dz : k * dz]
+            cov_z[k * dz : (k + 1) * dz, k * dz : (k + 1) * dz] = (
+                A_ @ prev @ A_.T + Q_
+            )
+            for s in range(k):
+                cross = cov_z[s * dz : (s + 1) * dz, (k - 1) * dz : k * dz]
+                cov_z[s * dz : (s + 1) * dz, k * dz : (k + 1) * dz] = (
+                    cross @ A_.T
+                )
+                cov_z[k * dz : (k + 1) * dz, s * dz : (s + 1) * dz] = (
+                    cross @ A_.T
+                ).T
+        Cbig = np.kron(np.eye(t), C_)
+        cov_y = Cbig @ cov_z @ Cbig.T + np.kron(np.eye(t), R_)
+        expected = np_mvn_logpdf(ys.ravel(), Cbig @ mean_z, cov_y)
+
+        _, _, lm_seq = kalman_filter(params, jnp.asarray(ys))
+        np.testing.assert_allclose(float(lm_seq), expected, rtol=2e-3)
+        # the parallel filter agrees on the same random system
+        from genjax_tpu.dists.lgssm import kalman_filter_parallel
+
+        m_seq, c_seq, _ = kalman_filter(params, jnp.asarray(ys))
+        m_par, c_par = kalman_filter_parallel(params, jnp.asarray(ys))
+        np.testing.assert_allclose(
+            np.asarray(m_par), np.asarray(m_seq), rtol=1e-3, atol=1e-4
         )
 
 
