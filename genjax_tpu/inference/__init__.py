@@ -35,7 +35,7 @@ from .pgibbs import (
     particle_gibbs,
     pmmh,
 )
-from .tempered import TemperedSMCResult, geometric_ladder, tempered_smc
+from .tempered import AdaptiveTemperedSMCResult, TemperedSMCResult, adaptive_tempered_smc, geometric_ladder, tempered_smc
 from .learning import LaplaceResult, MAPResult, fit_map, laplace_approximation
 from .model_comparison import ELPDResult, compare, psis_loo, waic
 from .sbc import SBCResult, sbc_ranks, sbc_uniformity
@@ -78,7 +78,9 @@ __all__ = [
     "requests",
     "run_chain",
     "run_chains",
+    "AdaptiveTemperedSMCResult",
     "TemperedSMCResult",
+    "adaptive_tempered_smc",
     "geometric_ladder",
     "tempered",
     "tempered_smc",

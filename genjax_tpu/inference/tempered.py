@@ -64,27 +64,11 @@ def tempered_smc(
     betas = jnp.asarray(betas)
     k = n_particles
 
-    if rejuvenation is not None and not isinstance(rejuvenation, Selection):
-        from ..generative.concepts import DiffAnnotate
-        from .requests.nuts import NUTS as _NUTS
-
-        inner_req = rejuvenation
-        while isinstance(inner_req, DiffAnnotate):
-            inner_req = inner_req.request
-        if isinstance(inner_req, _NUTS):
-            # The tempered-target correction alpha = w - (1-beta)*dllh
-            # composes around PROPOSAL-style requests whose returned
-            # weight is the full-posterior MH log-alpha of a not-yet-
-            # accepted move (HMC, MALA, Rejuvenate). NUTS applies its
-            # multinomial accept internally and returns w = 0, so the
-            # composite kernel would silently lose invariance for the
-            # tempered target at beta < 1.
-            raise ValueError(
-                "tempered_smc rejuvenation does not support NUTS: it "
-                "accepts internally, so the tempered-target MH "
-                "correction cannot be composed around it. Use HMC, "
-                "MALA, Rejuvenate, or a Selection (prior Regenerate)."
-            )
+    # The tempered-target correction alpha = w - (1-beta)*dllh composes
+    # around PROPOSAL-style requests whose returned weight is the
+    # full-posterior MH log-alpha of a not-yet-accepted move (HMC, MALA,
+    # Rejuvenate); NUTS accepts internally, hence the shared rejection.
+    _validate_rejuvenation(rejuvenation)
 
     # Distinct parents for particle-init keys vs per-rung keys: with
     # fold_in(key, t) == split(key, k)[t] in this JAX version, deriving
@@ -104,6 +88,9 @@ def tempered_smc(
         return tr, llh
 
     traces, llhs = jax.vmap(init_one, out_axes=(-1, 0))(init_keys)
+    rejuvenate = _make_rejuvenator(
+        constraint, rejuvenation, n_rejuvenation, k
+    )
 
     def to_rows(tree):
         return jtu.tree_map(lambda v: jnp.moveaxis(v, -1, 0), tree)
@@ -135,62 +122,11 @@ def tempered_smc(
         )
 
         # MCMC rejuvenation targeting the tempered posterior
-        # prior(z) * llh(z)^beta.
-        accept_rate = jnp.asarray(0.0)
-        if rejuvenation is not None:
-            from ..generative.concepts import Regenerate
-
-            request = (
-                Regenerate(rejuvenation)
-                if isinstance(rejuvenation, Selection)
-                else rejuvenation
-            )
-            is_prior_regen = isinstance(request, Regenerate)
-
-            def rejuv_once(carry, kk):
-                traces, llhs = carry
-
-                def per_particle(kp, tr, llh):
-                    new_tr, w, _rd, _bwd = tr.edit(jr.fold_in(kp, 0), request)
-                    new_llh = _constrained_score(constraint, new_tr)
-                    dllh = new_llh - llh
-                    if is_prior_regen:
-                        # Regenerate returns the joint-density ratio;
-                        # subtracting the selected choices' own score
-                        # change converts it to the full-posterior MH
-                        # alpha (same conversion as inference.mcmc.mh) —
-                        # this keeps the prior-density change of any
-                        # UNSELECTED latents that depend on the
-                        # regenerated choices, which does not cancel
-                        # against the prior proposal in hierarchies
-                        sel = request.selection
-                        w = w - (
-                            new_tr.project(jr.fold_in(kp, 2), sel)
-                            - tr.project(jr.fold_in(kp, 3), sel)
-                        )
-                    # w is now the full-posterior alpha (HMC/Rejuvenate
-                    # return it directly); remove the untempered
-                    # likelihood share for the rung's target
-                    alpha = w - (1.0 - beta) * dllh
-                    accept = jnp.log(jr.uniform(jr.fold_in(kp, 1))) < alpha
-                    out_tr = jtu.tree_map(
-                        lambda a, b: jnp.where(accept, a, b), new_tr, tr
-                    )
-                    out_llh = jnp.where(accept, new_llh, llh)
-                    return out_tr, out_llh, jnp.asarray(accept, jnp.float32)
-
-                pkeys = jr.split(kk, k)
-                traces, llhs, accs = jax.vmap(
-                    per_particle, in_axes=(0, -1, 0), out_axes=(-1, 0, 0)
-                )(pkeys, traces, llhs)
-                return (traces, llhs), jnp.mean(accs)
-
-            (traces, llhs), accs = lax.scan(
-                rejuv_once,
-                (traces, llhs),
-                jr.split(jr.fold_in(rung_key, 2), n_rejuvenation),
-            )
-            accept_rate = jnp.mean(accs)
+        # prior(z) * llh(z)^beta — shared sweep (see _make_rejuvenator for
+        # the Regenerate→MH-alpha conversion notes).
+        traces, llhs, accept_rate = rejuvenate(
+            traces, llhs, beta, jr.fold_in(rung_key, 2)
+        )
 
         return (traces, llhs, log_w, log_z), (ess, accept_rate)
 
@@ -206,6 +142,231 @@ def tempered_smc(
     return TemperedSMCResult(
         to_rows(traces), log_w, log_marginal, ess_hist, acc_hist
     )
+
+
+@Pytree.dataclass
+class AdaptiveTemperedSMCResult(Pytree):
+    traces: Any
+    log_weights: Any
+    log_marginal: Any
+    beta_history: Any  # (max_rungs,) — 1.0 entries after termination
+    n_rungs: Any
+    ess_history: Any
+    accept_history: Any
+
+
+def adaptive_tempered_smc(
+    key: PRNGKey,
+    model: GenerativeFunction,
+    constraint: ChoiceMap,
+    args: tuple,
+    *,
+    n_particles: int,
+    cess_target: float = 0.9,
+    max_rungs: int = 64,
+    n_bisect: int = 30,
+    rejuvenation: EditRequest | Selection | None = None,
+    n_rejuvenation: int = 1,
+    ess_threshold: float = 0.5,
+    method: str = "systematic",
+) -> AdaptiveTemperedSMCResult:
+    """Tempered SMC with the ladder chosen ON-LINE (Zhou, Johansen &
+    Aston 2016): each rung's temperature increment is found by bisection
+    so the CONDITIONAL ESS of the incremental weights stays at
+    ``cess_target``·N — steep likelihoods get dense rungs automatically,
+    flat ones are crossed in a few. Fixed shapes throughout: one
+    ``lax.scan`` of ``max_rungs`` steps with no-op masking after β
+    reaches 1, so the adaptive program jits exactly like the fixed-ladder
+    one. Same rejuvenation semantics as :func:`tempered_smc`."""
+    k = n_particles
+    _validate_rejuvenation(rejuvenation)
+    init_key, ladder_key = jr.split(key)
+
+    def init_one(kk):
+        tr, llh = model.generate(kk, constraint, args)
+        return tr, llh
+
+    traces, llhs = jax.vmap(init_one, out_axes=(-1, 0))(
+        jr.split(init_key, k)
+    )
+
+    def to_rows(tree):
+        return jtu.tree_map(lambda v: jnp.moveaxis(v, -1, 0), tree)
+
+    def to_lanes(tree):
+        return jtu.tree_map(lambda v: jnp.moveaxis(v, 0, -1), tree)
+
+    def cess(log_w, llhs, delta):
+        """Conditional ESS of incremental weights exp(delta·llh) under the
+        current normalized weights (Zhou et al. 2016 eq. 3.2)."""
+        logW = log_w - logsumexp(log_w)
+        lu = delta * llhs
+        num = 2.0 * logsumexp(logW + lu)
+        den = logsumexp(logW + 2.0 * lu)
+        return k * jnp.exp(num - den)
+
+    def choose_delta(log_w, llhs, beta):
+        """Bisect delta in (0, 1−beta] so CESS ≈ cess_target·k."""
+        hi0 = 1.0 - beta
+        target = cess_target * k
+
+        def body(_, bounds):
+            lo, hi = bounds
+            mid = 0.5 * (lo + hi)
+            too_big = cess(log_w, llhs, mid) < target
+            return jnp.where(too_big, lo, mid), jnp.where(too_big, mid, hi)
+
+        full = cess(log_w, llhs, hi0) >= target
+        lo, hi = lax.fori_loop(0, n_bisect, body, (jnp.asarray(0.0), hi0))
+        return jnp.where(full, hi0, lo)
+
+    rejuvenate = _make_rejuvenator(
+        constraint, rejuvenation, n_rejuvenation, k
+    )
+
+    def rung(state, t):
+        traces, llhs, log_w, log_z, beta, done = state
+        rung_key = jr.fold_in(ladder_key, t)
+
+        def active(operand):
+            traces, llhs, log_w, log_z, beta, _ = operand
+            delta = choose_delta(log_w, llhs, beta)
+            beta_new = jnp.minimum(beta + delta, 1.0)
+            log_w = log_w + delta * llhs
+            ess = effective_sample_size(log_w)
+
+            def do_resample(op):
+                traces, llhs, log_w, log_z = op
+                inc = logsumexp(log_w) - jnp.log(k)
+                rows, llhs = resample_particles(
+                    jr.fold_in(rung_key, 1),
+                    (to_rows(traces), llhs),
+                    log_w,
+                    k,
+                    method,
+                )
+                return to_lanes(rows), llhs, jnp.zeros((k,)), log_z + inc
+
+            traces, llhs, log_w, log_z = lax.cond(
+                ess < ess_threshold * k,
+                do_resample,
+                lambda o: o,
+                (traces, llhs, log_w, log_z),
+            )
+            traces, llhs, acc = rejuvenate(
+                traces, llhs, beta_new, jr.fold_in(rung_key, 2)
+            )
+            return (
+                (traces, llhs, log_w, log_z, beta_new, beta_new >= 1.0),
+                (beta_new, ess, acc, jnp.asarray(1.0)),
+            )
+
+        def idle(operand):
+            traces, llhs, log_w, log_z, beta, done = operand
+            return (
+                (traces, llhs, log_w, log_z, beta, done),
+                (beta, jnp.asarray(jnp.inf), jnp.asarray(0.0), jnp.asarray(0.0)),
+            )
+
+        return lax.cond(done, idle, active, state)
+
+    init_state = (
+        traces,
+        llhs,
+        jnp.zeros((k,)),
+        jnp.asarray(0.0),
+        jnp.asarray(0.0),
+        jnp.asarray(False),
+    )
+    (traces, llhs, log_w, log_z, _beta, _done), (
+        beta_hist,
+        ess_hist,
+        acc_hist,
+        active_hist,
+    ) = lax.scan(rung, init_state, jnp.arange(max_rungs))
+    log_marginal = log_z + logsumexp(log_w) - jnp.log(k)
+    return AdaptiveTemperedSMCResult(
+        traces=to_rows(traces),
+        log_weights=log_w,
+        log_marginal=log_marginal,
+        beta_history=beta_hist,
+        n_rungs=jnp.sum(active_hist),
+        ess_history=ess_hist,
+        accept_history=acc_hist,
+    )
+
+
+def _validate_rejuvenation(rejuvenation):
+    if rejuvenation is not None and not isinstance(rejuvenation, Selection):
+        from ..generative.concepts import DiffAnnotate
+        from .requests.nuts import NUTS as _NUTS
+
+        inner_req = rejuvenation
+        while isinstance(inner_req, DiffAnnotate):
+            inner_req = inner_req.request
+        if isinstance(inner_req, _NUTS):
+            raise ValueError(
+                "tempered-SMC rejuvenation does not support NUTS: it "
+                "accepts internally, so the tempered-target MH "
+                "correction cannot be composed around it. Use HMC, "
+                "MALA, Rejuvenate, or a Selection (prior Regenerate)."
+            )
+
+
+def _make_rejuvenator(constraint, rejuvenation, n_rejuvenation, k):
+    """Shared tempered-target rejuvenation sweep: ``(traces, llhs, beta,
+    key) -> (traces, llhs, accept_rate)`` — the MH correction
+    ``alpha = w − (1 − beta)·Δllh`` documented in :func:`tempered_smc`."""
+    if rejuvenation is None:
+        return lambda traces, llhs, beta, key: (
+            traces,
+            llhs,
+            jnp.asarray(0.0),
+        )
+
+    from ..generative.concepts import Regenerate
+
+    request = (
+        Regenerate(rejuvenation)
+        if isinstance(rejuvenation, Selection)
+        else rejuvenation
+    )
+    is_prior_regen = isinstance(request, Regenerate)
+
+    def rejuvenate(traces, llhs, beta, key):
+        def rejuv_once(carry, kk):
+            traces, llhs = carry
+
+            def per_particle(kp, tr, llh):
+                new_tr, w, _rd, _bwd = tr.edit(jr.fold_in(kp, 0), request)
+                new_llh = _constrained_score(constraint, new_tr)
+                dllh = new_llh - llh
+                if is_prior_regen:
+                    sel = request.selection
+                    w = w - (
+                        new_tr.project(jr.fold_in(kp, 2), sel)
+                        - tr.project(jr.fold_in(kp, 3), sel)
+                    )
+                alpha = w - (1.0 - beta) * dllh
+                accept = jnp.log(jr.uniform(jr.fold_in(kp, 1))) < alpha
+                out_tr = jtu.tree_map(
+                    lambda a, b: jnp.where(accept, a, b), new_tr, tr
+                )
+                out_llh = jnp.where(accept, new_llh, llh)
+                return out_tr, out_llh, jnp.asarray(accept, jnp.float32)
+
+            pkeys = jr.split(kk, k)
+            traces, llhs, accs = jax.vmap(
+                per_particle, in_axes=(0, -1, 0), out_axes=(-1, 0, 0)
+            )(pkeys, traces, llhs)
+            return (traces, llhs), jnp.mean(accs)
+
+        (traces, llhs), accs = lax.scan(
+            rejuv_once, (traces, llhs), jr.split(key, n_rejuvenation)
+        )
+        return traces, llhs, jnp.mean(accs)
+
+    return rejuvenate
 
 
 def _constrained_score(constraint, trace):
