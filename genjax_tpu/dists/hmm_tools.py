@@ -88,6 +88,22 @@ def hmm_log_marginal(log_pi, log_trans, log_obs, ys):
     return log_marginal
 
 
+
+def _semiring_prefix(log_trans, lo, reduce_fn):
+    """Prefix products of the per-step matrices ``M_t(i, j) = trans(i, j)
+    + obs_t(j)`` over a (reduce, +) semiring via ``associative_scan`` —
+    the shared core of the parallel forward, smoothing, and Viterbi
+    passes. ``reduce_fn`` is ``logsumexp`` (sum-product) or ``jnp.max``
+    (max-product). Returns ``(mats, prefix)`` with prefix[t] =
+    M_1 ⊗ … ⊗ M_{t+1}."""
+    mats = log_trans[None] + lo[1:, None, :]  # (T-1, N, N)
+
+    def combine(a, b):
+        return reduce_fn(a[..., :, :, None] + b[..., None, :, :], axis=-2)
+
+    return mats, lax.associative_scan(combine, mats)
+
+
 def forward_parallel(log_pi, log_trans, log_obs, ys):
     """Temporally PARALLEL forward pass via ``lax.associative_scan``:
     the forward recursion is a chain of log-space matrix products
@@ -103,13 +119,7 @@ def forward_parallel(log_pi, log_trans, log_obs, ys):
     vs the sequential N² — the crossover is wherever the T-step latency
     chain dominates, which on TPU is almost immediately)."""
     lo = log_obs[:, ys].T  # (T, N)
-    mats = log_trans[None] + lo[1:, None, :]  # (T-1, N, N)
-
-    def combine(a, b):
-        # (log, +) semiring matmul, batched over the scan's tree levels
-        return logsumexp(a[..., :, :, None] + b[..., None, :, :], axis=-2)
-
-    prefix = lax.associative_scan(combine, mats)  # (T-1, N, N)
+    _, prefix = _semiring_prefix(log_trans, lo, logsumexp)
     alpha0 = log_pi + lo[0]
     alphas_rest = logsumexp(
         alpha0[None, :, None] + prefix, axis=-2
@@ -131,7 +141,7 @@ def forward_backward_parallel(log_pi, log_trans, log_obs, ys) -> HMMPosterior:
             jnp.zeros((0,) + log_trans.shape),
             log_marginal,
         )
-    mats = log_trans[None] + lo[1:, None, :]  # (T-1, N, N)
+    mats, _ = _semiring_prefix(log_trans, lo, logsumexp)
 
     def combine(a, b):
         return logsumexp(a[..., :, :, None] + b[..., None, :, :], axis=-2)
@@ -220,29 +230,20 @@ def viterbi_parallel(log_pi, log_trans, log_obs, ys):
     delta0 = log_pi + lo[0]
     if T == 1:
         return jnp.argmax(delta0)[None], jnp.max(delta0)
-    mats = log_trans[None] + lo[1:, None, :]  # (T-1, N, N)
-
-    def combine(a, b):
-        # (max, +) semiring matmul
-        return jnp.max(a[..., :, :, None] + b[..., None, :, :], axis=-2)
-
-    prefix = lax.associative_scan(combine, mats)
+    _, prefix = _semiring_prefix(log_trans, lo, jnp.max)
     deltas = jnp.concatenate(
         [delta0[None], jnp.max(delta0[None, :, None] + prefix, axis=-2)],
         axis=0,
     )  # (T, N)
     z_last = jnp.argmax(deltas[-1])
 
-    def back(z_next, inp):
-        delta_t, lo_next = inp
+    def back(z_next, delta_t):
         # z_t = argmax_i delta_t(i) + trans(i, z_next): the max-product
         # recursion guarantees this reconstructs an optimal path
         z = jnp.argmax(delta_t + log_trans[:, z_next])
         return z, z
 
-    _, path_rest = lax.scan(
-        back, z_last, (deltas[:-1], lo[1:]), reverse=True
-    )
+    _, path_rest = lax.scan(back, z_last, deltas[:-1], reverse=True)
     return jnp.concatenate([path_rest, z_last[None]]), jnp.max(deltas[-1])
 
 

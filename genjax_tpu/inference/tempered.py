@@ -41,6 +41,25 @@ class TemperedSMCResult(Pytree):
     accept_history: Any
 
 
+
+def _to_rows(tree):
+    return jtu.tree_map(lambda v: jnp.moveaxis(v, -1, 0), tree)
+
+
+def _to_lanes(tree):
+    return jtu.tree_map(lambda v: jnp.moveaxis(v, 0, -1), tree)
+
+
+def _resample_block(resample_key, traces, llhs, log_w, log_z, k, method):
+    """Resample (lanes layout in, lanes layout out) and fold the current
+    normalizer into log_z — the one place the evidence increment lives."""
+    inc = logsumexp(log_w) - jnp.log(k)
+    rows, llhs = resample_particles(
+        resample_key, (_to_rows(traces), llhs), log_w, k, method
+    )
+    return _to_lanes(rows), llhs, jnp.zeros((k,)), log_z + inc
+
+
 def tempered_smc(
     key: PRNGKey,
     model: GenerativeFunction,
@@ -92,12 +111,6 @@ def tempered_smc(
         constraint, rejuvenation, n_rejuvenation, k
     )
 
-    def to_rows(tree):
-        return jtu.tree_map(lambda v: jnp.moveaxis(v, -1, 0), tree)
-
-    def to_lanes(tree):
-        return jtu.tree_map(lambda v: jnp.moveaxis(v, 0, -1), tree)
-
     def rung(state, inp):
         traces, llhs, log_w, log_z = state
         t, beta_prev, beta = inp
@@ -106,17 +119,11 @@ def tempered_smc(
 
         ess = effective_sample_size(log_w)
 
-        def do_resample(operand):
-            traces, llhs, log_w, log_z = operand
-            inc = logsumexp(log_w) - jnp.log(k)
-            rows, llhs = resample_particles(
-                jr.fold_in(rung_key, 1), (to_rows(traces), llhs), log_w, k, method
-            )
-            return to_lanes(rows), llhs, jnp.zeros((k,)), log_z + inc
-
         traces, llhs, log_w, log_z = lax.cond(
             ess < ess_threshold * k,
-            do_resample,
+            lambda o: _resample_block(
+                jr.fold_in(rung_key, 1), *o, k=k, method=method
+            ),
             lambda o: o,
             (traces, llhs, log_w, log_z),
         )
@@ -140,7 +147,7 @@ def tempered_smc(
     log_marginal = log_z + logsumexp(log_w) - jnp.log(k)
     # restore the conventional particles-leading layout on the outputs
     return TemperedSMCResult(
-        to_rows(traces), log_w, log_marginal, ess_hist, acc_hist
+        _to_rows(traces), log_w, log_marginal, ess_hist, acc_hist
     )
 
 
@@ -149,9 +156,13 @@ class AdaptiveTemperedSMCResult(Pytree):
     traces: Any
     log_weights: Any
     log_marginal: Any
-    beta_history: Any  # (max_rungs,) — 1.0 entries after termination
+    beta_history: Any  # (max_rungs,); idle tail repeats the final beta
+    final_beta: Any  # 1.0 on success — if < 1 the ladder EXHAUSTED
+    #   max_rungs and log_marginal estimates the partially tempered
+    #   target's normalizer, NOT the evidence: raise max_rungs or lower
+    #   cess_target
     n_rungs: Any
-    ess_history: Any
+    ess_history: Any  # 0.0 after termination (mask by n_rungs)
     accept_history: Any
 
 
@@ -179,6 +190,11 @@ def adaptive_tempered_smc(
     reaches 1, so the adaptive program jits exactly like the fixed-ladder
     one. Same rejuvenation semantics as :func:`tempered_smc`."""
     k = n_particles
+    if not 0.0 < cess_target < 1.0:
+        raise ValueError(
+            f"cess_target must be in (0, 1), got {cess_target} — at 1.0 "
+            "the bisection returns a zero temperature increment forever"
+        )
     _validate_rejuvenation(rejuvenation)
     init_key, ladder_key = jr.split(key)
 
@@ -189,12 +205,6 @@ def adaptive_tempered_smc(
     traces, llhs = jax.vmap(init_one, out_axes=(-1, 0))(
         jr.split(init_key, k)
     )
-
-    def to_rows(tree):
-        return jtu.tree_map(lambda v: jnp.moveaxis(v, -1, 0), tree)
-
-    def to_lanes(tree):
-        return jtu.tree_map(lambda v: jnp.moveaxis(v, 0, -1), tree)
 
     def cess(log_w, llhs, delta):
         """Conditional ESS of incremental weights exp(delta·llh) under the
@@ -235,21 +245,11 @@ def adaptive_tempered_smc(
             log_w = log_w + delta * llhs
             ess = effective_sample_size(log_w)
 
-            def do_resample(op):
-                traces, llhs, log_w, log_z = op
-                inc = logsumexp(log_w) - jnp.log(k)
-                rows, llhs = resample_particles(
-                    jr.fold_in(rung_key, 1),
-                    (to_rows(traces), llhs),
-                    log_w,
-                    k,
-                    method,
-                )
-                return to_lanes(rows), llhs, jnp.zeros((k,)), log_z + inc
-
             traces, llhs, log_w, log_z = lax.cond(
                 ess < ess_threshold * k,
-                do_resample,
+                lambda o: _resample_block(
+                    jr.fold_in(rung_key, 1), *o, k=k, method=method
+                ),
                 lambda o: o,
                 (traces, llhs, log_w, log_z),
             )
@@ -265,7 +265,8 @@ def adaptive_tempered_smc(
             traces, llhs, log_w, log_z, beta, done = operand
             return (
                 (traces, llhs, log_w, log_z, beta, done),
-                (beta, jnp.asarray(jnp.inf), jnp.asarray(0.0), jnp.asarray(0.0)),
+                # finite idle sentinels: mask histories by n_rungs
+                (beta, jnp.asarray(0.0), jnp.asarray(0.0), jnp.asarray(0.0)),
             )
 
         return lax.cond(done, idle, active, state)
@@ -278,7 +279,7 @@ def adaptive_tempered_smc(
         jnp.asarray(0.0),
         jnp.asarray(False),
     )
-    (traces, llhs, log_w, log_z, _beta, _done), (
+    (traces, llhs, log_w, log_z, final_beta, _done), (
         beta_hist,
         ess_hist,
         acc_hist,
@@ -286,10 +287,11 @@ def adaptive_tempered_smc(
     ) = lax.scan(rung, init_state, jnp.arange(max_rungs))
     log_marginal = log_z + logsumexp(log_w) - jnp.log(k)
     return AdaptiveTemperedSMCResult(
-        traces=to_rows(traces),
+        traces=_to_rows(traces),
         log_weights=log_w,
         log_marginal=log_marginal,
         beta_history=beta_hist,
+        final_beta=final_beta,
         n_rungs=jnp.sum(active_hist),
         ess_history=ess_hist,
         accept_history=acc_hist,

@@ -168,15 +168,17 @@ class TestRandomSystems:
         cov_y = Cbig @ cov_z @ Cbig.T + np.kron(np.eye(t), R_)
         expected = np_mvn_logpdf(ys.ravel(), Cbig @ mean_z, cov_y)
 
-        _, _, lm_seq = kalman_filter(params, jnp.asarray(ys))
+        m_seq, c_seq, lm_seq = kalman_filter(params, jnp.asarray(ys))
         np.testing.assert_allclose(float(lm_seq), expected, rtol=2e-3)
-        # the parallel filter agrees on the same random system
+        # the parallel filter agrees (means AND covariances)
         from genjax_tpu.dists.lgssm import kalman_filter_parallel
 
-        m_seq, c_seq, _ = kalman_filter(params, jnp.asarray(ys))
         m_par, c_par = kalman_filter_parallel(params, jnp.asarray(ys))
         np.testing.assert_allclose(
             np.asarray(m_par), np.asarray(m_seq), rtol=1e-3, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(c_par), np.asarray(c_seq), rtol=1e-3, atol=1e-4
         )
 
 

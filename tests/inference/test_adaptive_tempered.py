@@ -7,7 +7,6 @@ import jax
 import jax.numpy as jnp
 import jax.random as jr
 import numpy as np
-from scipy.stats import norm
 
 import genjax_tpu as g
 from genjax_tpu.inference.tempered import (
