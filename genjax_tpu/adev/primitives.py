@@ -19,7 +19,6 @@ import jax.numpy as jnp
 import jax.random as jr
 
 from ..core.pytree import Pytree
-from ..core.typing_ import PRNGKey
 from .core import (
     ADEVPrimitive,
     Dual,

@@ -40,7 +40,6 @@ from ..generative.concepts import (
     Weight,
 )
 from ..generative.gfi import GenerativeFunction
-from ..generative.mask import Mask
 from ..generative.selection import Selection
 from ..generative.trace import Trace
 

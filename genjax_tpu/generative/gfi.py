@@ -15,11 +15,10 @@ import abc
 import functools
 from typing import Any, Callable
 
-import jax.numpy as jnp
 
 from ..core.diff import Diff
 from ..core.handlers import dispatch_trace
-from ..core.pytree import Closure, Pytree
+from ..core.pytree import Pytree
 from ..core.typing_ import PRNGKey
 from .choice_map import ChoiceMap
 from .concepts import (

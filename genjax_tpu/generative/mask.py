@@ -14,13 +14,13 @@ carry per-particle validity.
 
 from __future__ import annotations
 
-from typing import Any, Callable, TypeVar
+from typing import Any, TypeVar
 
 import jax.numpy as jnp
 import jax.tree_util as jtu
 
 from ..core.pytree import Pytree
-from ..core.staging import FlagOp, staged_choose
+from ..core.staging import FlagOp
 from ..core.typing_ import Flag
 
 R = TypeVar("R")

@@ -19,7 +19,7 @@ from typing import Any
 from ..core.diff import Diff
 from ..core.pytree import Pytree
 from ..core.typing_ import PRNGKey
-from .concepts import Arguments, EditRequest, Retdiff, Score, Update, Weight
+from .concepts import Arguments, EditRequest, Retdiff, Score, Weight
 
 
 class Trace(Pytree):

@@ -22,7 +22,6 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
-import jax.tree_util as jtu
 from jax.scipy.special import logsumexp
 
 from ..core.pytree import Pytree

@@ -18,7 +18,6 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 import jax.random as jr
-import jax.tree_util as jtu
 
 from ..core.typing_ import PRNGKey
 from ..generative.choice_map import C, ChoiceMap

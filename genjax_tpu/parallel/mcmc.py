@@ -19,7 +19,6 @@ import jax.random as jr
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..core.pytree import Pytree
 from ..core.typing_ import PRNGKey
 from ..generative.concepts import EditRequest
 from ..generative.selection import Selection
