@@ -8,12 +8,13 @@ posteriors where they exist) so inference can be validated in place.
 
 from .gp import gp_log_marginal, gp_posterior, gp_regression, sq_exp_kernel
 from .ppca import ppca_em, ppca_log_likelihood, ppca_ml, ppca_model, ppca_posterior
-from .hmm import discrete_hmm_model
+from .hmm import dense_hmm_model, discrete_hmm_model
 from .mixture import dp_mixture_model, gaussian_mixture_model
 from .regression import hierarchical_regression, linear_regression, logistic_regression, poisson_regression
 from .ssm import linear_gaussian_ssm, stochastic_volatility
 
 __all__ = [
+    "dense_hmm_model",
     "discrete_hmm_model",
     "dp_mixture_model",
     "gaussian_mixture_model",

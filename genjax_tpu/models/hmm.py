@@ -30,3 +30,33 @@ def discrete_hmm_model(config: DiscreteHMMConfiguration, max_length: int):
         return (z, None)
 
     return ScanCombinator(kernel, length=max_length), config
+
+
+def dense_hmm_model(log_pi, log_trans, log_obs, length: int):
+    """A ``@gen`` scanned model for an ARBITRARY dense HMM, matching the
+    ``dists.hmm_tools`` convention exactly (``log_pi (N,)``,
+    ``log_trans (N, N)`` rows, ``log_obs (N, M)`` rows): the first latent
+    draws from ``log_pi`` (carry −1 selects it), then transitions.
+    Addresses: ``(t, "z")`` latent, ``(t, "y")`` observation; constrain
+    with ``C[:, "y"].set(ys)``.
+
+    Pairs with ``hmm_log_marginal`` / ``forward_backward`` / ``viterbi``
+    / ``hmm_posterior_sample`` for exact answers; returns the scanned
+    model (run with initial carry ``-1`` and ``xs = None, n_steps=length``
+    or ``jnp.zeros(length)``)."""
+    from ..combinators.scan import ScanCombinator
+    from ..dists import categorical
+
+    log_pi = jnp.asarray(log_pi)
+    log_trans = jnp.asarray(log_trans)
+    log_obs = jnp.asarray(log_obs)
+    # row -1 of the stacked table is the initial distribution
+    table = jnp.concatenate([log_trans, log_pi[None]], axis=0)
+
+    @gen
+    def kernel(state, _x):
+        z = categorical(table[state, :]) @ "z"
+        y = categorical(log_obs[z, :]) @ "y"
+        return (z, y)
+
+    return ScanCombinator(kernel, length=length)
