@@ -6,7 +6,7 @@ every family returns a ``@gen`` generative function plus helpers (exact
 posteriors where they exist) so inference can be validated in place.
 """
 
-from .gp import gp_log_marginal, gp_posterior, gp_regression, sq_exp_kernel
+from .gp import gp_classify_laplace, gp_classify_predict, gp_log_marginal, gp_posterior, gp_regression, sq_exp_kernel
 from .ppca import ppca_em, ppca_log_likelihood, ppca_ml, ppca_model, ppca_posterior
 from .hmm import dense_hmm_model, discrete_hmm_model
 from .mixture import dp_mixture_model, gaussian_mixture_model
@@ -18,6 +18,8 @@ __all__ = [
     "discrete_hmm_model",
     "dp_mixture_model",
     "gaussian_mixture_model",
+    "gp_classify_laplace",
+    "gp_classify_predict",
     "gp_log_marginal",
     "gp_posterior",
     "gp_regression",

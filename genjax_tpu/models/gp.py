@@ -116,3 +116,87 @@ def gp_posterior(
     mean = Ks @ cho_solve((chol, True), y)
     cov = Kss - Ks @ cho_solve((chol, True), Ks.T)
     return mean, cov
+
+
+def gp_classify_laplace(
+    X, y01, amplitude, lengthscale, *, jitter: float = 1e-5, n_newton: int = 20
+):
+    """Laplace approximation for GP BINARY classification (Rasmussen &
+    Williams 2006, Algorithm 3.1): logistic likelihood, Newton iterations
+    to the posterior mode of the latent function values, Gaussian
+    curvature around it. Returns ``(f_hat (N,), cov (N, N),
+    log_marginal_approx)``; pair with :func:`gp_classify_predict` for test
+    points — and with ``kernels.elliptical.ess_sweep_cols`` for EXACT
+    latent posterior sampling to audit the approximation."""
+    import jax
+
+    X = _as_points(X)
+    y = jnp.asarray(y01, jnp.float32)
+    n = X.shape[0]
+    K = sq_exp_kernel(X, X, amplitude, lengthscale) + jitter * jnp.eye(n)
+
+    def newton_step(f, _):
+        pi = jax.nn.sigmoid(f)
+        W = pi * (1.0 - pi)  # Hessian diag of -log lik
+        grad = y - pi
+        # (K^-1 + W)^-1 (W f + grad) via the stabilized B-form (RW 3.26)
+        sw = jnp.sqrt(W)
+        B = jnp.eye(n) + sw[:, None] * K * sw[None, :]
+        L = jnp.linalg.cholesky(B)
+        b = W * f + grad
+        a = b - sw * jax.scipy.linalg.cho_solve(
+            (L, True), sw * (K @ b)
+        )
+        return K @ a, None
+
+    f_hat, _ = jax.lax.scan(newton_step, jnp.zeros(n), None, length=n_newton)
+    pi = jax.nn.sigmoid(f_hat)
+    W = pi * (1.0 - pi)
+    sw = jnp.sqrt(W)
+    B = jnp.eye(n) + sw[:, None] * K * sw[None, :]
+    L = jnp.linalg.cholesky(B)
+    # posterior covariance (K^-1 + W)^-1 = K - K sw B^-1 sw K
+    V = jax.scipy.linalg.solve_triangular(L, sw[:, None] * K, lower=True)
+    cov = K - V.T @ V
+    # approximate log marginal (RW 3.32)
+    a = jnp.linalg.solve(K, f_hat)
+    log_lik = jnp.sum(y * f_hat - jnp.logaddexp(0.0, f_hat))
+    lml = (
+        -0.5 * f_hat @ a
+        + log_lik
+        - jnp.sum(jnp.log(jnp.diag(L)))
+    )
+    return f_hat, cov, lml
+
+
+def gp_classify_predict(
+    X, y01, X_test, amplitude, lengthscale, *, jitter: float = 1e-5
+):
+    """Predictive class probabilities at ``X_test`` under the Laplace
+    approximation, with the probit-style moderation integral approximated
+    by MacKay's kappa correction."""
+    import jax
+
+    f_hat, cov, _ = gp_classify_laplace(
+        X, y01, amplitude, lengthscale, jitter=jitter
+    )
+    X = _as_points(X)
+    X_test = _as_points(X_test)
+    y = jnp.asarray(y01, jnp.float32)
+    n = X.shape[0]
+    K = sq_exp_kernel(X, X, amplitude, lengthscale) + jitter * jnp.eye(n)
+    Ks = sq_exp_kernel(X_test, X, amplitude, lengthscale)
+    Kss_diag = amplitude**2 * jnp.ones(X_test.shape[0])
+    pi = jax.nn.sigmoid(f_hat)
+    mean_star = Ks @ (y - pi)  # RW 3.21: K_*^T (y - pi) at the mode
+    # var via the B-form
+    W = pi * (1.0 - pi)
+    sw = jnp.sqrt(W)
+    B = jnp.eye(n) + sw[:, None] * K * sw[None, :]
+    L = jnp.linalg.cholesky(B)
+    v = jax.scipy.linalg.solve_triangular(
+        L, sw[:, None] * Ks.T, lower=True
+    )
+    var_star = Kss_diag - jnp.sum(v * v, axis=0)
+    kappa = 1.0 / jnp.sqrt(1.0 + jnp.pi * var_star / 8.0)
+    return jax.nn.sigmoid(kappa * mean_star), mean_star, var_star
