@@ -9,6 +9,17 @@ facade ``/root/reference/src/genjax/inference/__init__.py``.
 # here would let the later `from .smc2 import ... smc2` rebind shadow it
 # inconsistently. `from genjax_tpu.inference.smc2 import ...` still works.
 from . import adaptation, diagnostics, gibbs, involutive, learning, mcmc, pgibbs, requests, sample, smc, tempered
+# (like smc2 above, the `advi`/`pathfinder` public names are the fit
+# functions, not the modules)
+from .advi import ADVIPosterior, ADVIResult, advi, column_advi
+from .pathfinder import (
+    MultiPathfinderResult,
+    PathfinderPosterior,
+    PathfinderResult,
+    column_pathfinder,
+    multi_pathfinder,
+    pathfinder,
+)
 from . import enumerate_
 from .enumerate_ import EnumerationResult, enumerate_posterior
 from . import predictive
@@ -111,4 +122,14 @@ __all__ = [
     "pmmh",
     "smc2",
     "SMC2Result",
+    "ADVIPosterior",
+    "ADVIResult",
+    "advi",
+    "column_advi",
+    "MultiPathfinderResult",
+    "PathfinderPosterior",
+    "PathfinderResult",
+    "column_pathfinder",
+    "multi_pathfinder",
+    "pathfinder",
 ]
