@@ -6,6 +6,7 @@ every family returns a ``@gen`` generative function plus helpers (exact
 posteriors where they exist) so inference can be validated in place.
 """
 
+from .bnn import bayesian_nn, bnn_exact_linear_posterior, bnn_predict
 from .gp import gp_classify_laplace, gp_classify_predict, gp_log_marginal, gp_posterior, gp_regression, sq_exp_kernel
 from .ppca import ppca_em, ppca_log_likelihood, ppca_ml, ppca_model, ppca_posterior
 from .hmm import dense_hmm_model, discrete_hmm_model
@@ -14,6 +15,9 @@ from .regression import hierarchical_regression, linear_regression, logistic_reg
 from .ssm import linear_gaussian_ssm, stochastic_volatility
 
 __all__ = [
+    "bayesian_nn",
+    "bnn_exact_linear_posterior",
+    "bnn_predict",
     "dense_hmm_model",
     "discrete_hmm_model",
     "dp_mixture_model",
