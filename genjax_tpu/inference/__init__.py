@@ -35,6 +35,12 @@ from .gibbs import (
     gibbs_sweep,
     mh_move,
 )
+from . import nested
+from .nested import (
+    NestedSamplingResult,
+    column_nested_sampling,
+    nested_sampling,
+)
 from .sp import Algorithm, Marginal, SampleDistribution, Target, marginal
 from .mcmc import MHChainResult, mh, run_chain, run_chains
 from .smc2 import SMC2Result, smc2
@@ -126,6 +132,10 @@ __all__ = [
     "ADVIResult",
     "advi",
     "column_advi",
+    "NestedSamplingResult",
+    "column_nested_sampling",
+    "nested",
+    "nested_sampling",
     "MultiPathfinderResult",
     "PathfinderPosterior",
     "PathfinderResult",
