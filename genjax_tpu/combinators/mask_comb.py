@@ -119,11 +119,20 @@ class MaskCombinator(GenerativeFunction):
         )
 
         bwd_chm = bwd.constraint if isinstance(bwd, Update) else ChoiceMap.empty()
+        # DEVIATION (documented, ARCHITECTURE.md §Deviations): the reference
+        # masks the backward constraint by *post_check* (mask.py:262-264),
+        # which erases the inner restore-values exactly when the flag turns
+        # off — a True→False flip combined with an inner update then cannot
+        # be reversed (the dormant inner keeps the mutated value, and the
+        # reverse False→True flip turns the WRONG score back on; caught by
+        # test_edit_fuzz.py::test_structural_flip_invariants). The inner
+        # edit always runs regardless of the flag (fixed shapes), so its
+        # backward constraint must always apply on the way back.
         return (
             MaskTrace(self, new_inner, post_check),
             final_weight,
             Mask(retdiff, check_diff),
-            Update(bwd_chm.mask(post_check)),
+            Update(bwd_chm),
         )
 
 

@@ -26,6 +26,7 @@ from ..generative.concepts import (
     EditRequest,
     EmptyRequest,
     NotSupportedEditRequest,
+    Regenerate,
     Retdiff,
     Update,
     Weight,
@@ -148,6 +149,8 @@ class SwitchCombinator(GenerativeFunction):
         request: EditRequest,
         argdiffs: Any,
     ) -> tuple[SwitchTrace, Weight, Retdiff, EditRequest]:
+        if isinstance(request, Regenerate):
+            return self._edit_regenerate(key, trace, request, argdiffs)
         if not isinstance(request, Update):
             raise NotSupportedEditRequest(
                 f"SwitchCombinator cannot serve {type(request).__name__}."
@@ -217,6 +220,74 @@ class SwitchCombinator(GenerativeFunction):
         else:
             weight = weight - trace.get_score()
             bwd = Update(trace.get_choices())
+        new_tr = SwitchTrace(self, primals, subtraces, retval, score)
+        return new_tr, weight, Diff.tree_diff_unknown_change(retval), bwd
+
+    def _edit_regenerate(
+        self,
+        key: PRNGKey,
+        trace: SwitchTrace,
+        request: "Regenerate",
+        argdiffs: Any,
+    ) -> tuple[SwitchTrace, Weight, Retdiff, EditRequest]:
+        """``Regenerate`` through a switch — BEYOND the reference, which
+        asserts ``Update`` only (switch.py:265): an upstream ``Regenerate``
+        whose resampled choice feeds the switch *index* (e.g. a sampled
+        mixture/branch indicator) reaches this combinator with a changed
+        ``idx_diff`` and must be servable for the staged incremental edit
+        path to stay total.
+
+        Semantics (same weight convention as the Update index-change path
+        above): with an unchanged index, the selected branch serves the
+        Regenerate and the weight is the branch's score delta; with a
+        changed index the old branch's choices leave (-old_score) and the
+        new branch is drawn fresh from its internal proposal, whose density
+        cancels (weight 0 from generate with no constraint). Either way the
+        backward request is ``Update(trace.get_choices())`` — restoring
+        every old value deterministically — so a round-trip cancels the
+        weight exactly (tests/generative_functions/test_edit_fuzz.py).
+        """
+        from ..checkify_ import suppress_constraint_validation
+
+        idx_diff, branch_argdiffs = argdiffs[0], argdiffs[1:]
+        primals = Diff.tree_primal(argdiffs)
+        new_idx = primals[0]
+        idx_unchanged = Diff.tree_tangent(idx_diff) is NoChange
+
+        if idx_unchanged:
+            fs = [f.edit for f in self.branches]
+            ops = [
+                (key, tr, request, ad)
+                for tr, ad in zip(trace.subtraces, branch_argdiffs)
+            ]
+        else:
+
+            def make_fresh_gen(f):
+                def fresh_gen(key, _req, ad):
+                    p = Diff.tree_primal(ad)
+                    tr, w_gen = f.generate(key, ChoiceMap.empty(), p)
+                    return (
+                        tr,
+                        w_gen,
+                        Diff.tree_diff_unknown_change(tr.get_retval()),
+                        EmptyRequest(),
+                    )
+
+                return fresh_gen
+
+            fs = [make_fresh_gen(f) for f in self.branches]
+            ops = [(key, request, ad) for ad in branch_argdiffs]
+
+        with suppress_constraint_validation():
+            rets = multi_switch(new_idx, fs, ops)
+        subtraces = tuple(t[0] for t in rets)
+        score, weight, retval = tree_choose(
+            new_idx,
+            [(tr.get_score(), w, Diff.tree_primal(rd)) for tr, w, rd, _ in rets],
+        )
+        if not idx_unchanged:
+            weight = weight - trace.get_score()
+        bwd = Update(trace.get_choices())
         new_tr = SwitchTrace(self, primals, subtraces, retval, score)
         return new_tr, weight, Diff.tree_diff_unknown_change(retval), bwd
 

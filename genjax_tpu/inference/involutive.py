@@ -36,15 +36,14 @@ from typing import Any, Callable
 import jax
 import jax.numpy as jnp
 import jax.random as jr
-from jax.flatten_util import ravel_pytree
-
 from ..core.pytree import Pytree
 from ..core.typing_ import PRNGKey
 from ..generative.choice_map import ChoiceMap
 from ..generative.concepts import Update
 from ..generative.gfi import GenerativeFunction
 from ..generative.trace import Trace
-from .requests.hmc import grad_tree_unzip, grad_tree_zip, mh_accept
+from .requests.grad_view import split_ravel
+from .requests.hmc import mh_accept
 
 
 @Pytree.dataclass
@@ -60,16 +59,10 @@ class InvolutiveInfo(Pytree):
 
 
 def _continuous_ravel(t_choices, u_choices):
-    """Split (t, u) into continuous (raveled) and passthrough parts."""
-    tg, tn = grad_tree_unzip(t_choices)
-    ug, un = grad_tree_unzip(u_choices)
-    flat, unravel = ravel_pytree((tg, ug))
-
-    def rebuild(z):
-        tg2, ug2 = unravel(z)
-        return grad_tree_zip(tg2, tn), grad_tree_zip(ug2, un)
-
-    return flat, rebuild
+    """Split (t, u) into continuous (raveled) and passthrough parts —
+    one ``split_ravel`` over the pair keeps both trees on a single
+    vector layout."""
+    return split_ravel((t_choices, u_choices))
 
 
 def involutive_mh(
@@ -112,10 +105,7 @@ def involutive_mh(
     elif jacobian == "auto":
 
         def f(z):
-            t2, u2 = involution(*rebuild(z))
-            tg2, _ = grad_tree_unzip(t2)
-            ug2, _ = grad_tree_unzip(u2)
-            flat_out, _ = ravel_pytree((tg2, ug2))
+            flat_out, _ = split_ravel(involution(*rebuild(z)))
             return flat_out
 
         out_dim = jax.eval_shape(f, flat_in).shape[0]
@@ -138,10 +128,7 @@ def involutive_mh(
     if check:
         # Round-trip on the continuous ravel: f(f(t, u)) must restore the
         # continuous coordinates (discrete leaves are not compared).
-        t_rt, u_rt = involution(t_new, u_new)
-        tg_rt, _ = grad_tree_unzip(t_rt)
-        ug_rt, _ = grad_tree_unzip(u_rt)
-        flat_rt, _ = ravel_pytree((tg_rt, ug_rt))
+        flat_rt, _ = split_ravel(involution(t_new, u_new))
         if flat_rt.size != flat_in.size:
             involution_error = jnp.asarray(jnp.inf)
         else:

@@ -16,14 +16,13 @@ import jax
 import jax.numpy as jnp
 import jax.random as jr
 from jax import lax
-from jax.flatten_util import ravel_pytree
 
 from ..core.pytree import Pytree
 from ..core.typing_ import PRNGKey
 from ..generative.choice_map import ChoiceMap
 from ..generative.gfi import GenerativeFunction
 from ..generative.selection import Selection
-from .requests.hmc import grad_tree_unzip, grad_tree_zip
+from .requests.grad_view import split_ravel
 
 
 @Pytree.dataclass
@@ -64,14 +63,11 @@ def fit_map(
 
     tr, _ = model.generate(key, constraint, args)
     chm = tr.get_choices()
-    complement = chm.filter(~selection)
-    grad_tree0, nongrad_tree = grad_tree_unzip(chm.filter_eager(selection))
-    _z0, unravel = ravel_pytree(grad_tree0)
+    frozen = chm.filter(~selection)
+    _z0, rebuild = split_ravel(chm.filter_eager(selection))
 
     def log_joint(z):
-        zipped = grad_tree_zip(unravel(z), nongrad_tree)
-        full = zipped.merge(complement)
-        w, _ = model.assess(full, args)
+        w, _ = model.assess(rebuild(z).merge(frozen), args)
         return w
 
     opt = optax.adam(learning_rate)
@@ -81,8 +77,7 @@ def fit_map(
     def run(key):
         def init_one(k):
             t, _ = model.generate(k, constraint, args)
-            g_tree, _ = grad_tree_unzip(t.get_choices().filter_eager(selection))
-            z, _ = ravel_pytree(g_tree)
+            z, _ = split_ravel(t.get_choices().filter_eager(selection))
             return z.astype(jnp.float32)
 
         zs = jax.vmap(init_one)(jr.split(key, n_restarts))
@@ -106,7 +101,7 @@ def fit_map(
 
     z_best, lj, traj = run(key)
     return MAPResult(
-        choices=grad_tree_zip(unravel(z_best), nongrad_tree),
+        choices=rebuild(z_best),
         log_joint=lj,
         trajectory=traj,
     )
@@ -126,13 +121,10 @@ class LaplaceResult(Pytree):
 
     def unpack(self, z):
         # mean/cov live on the GRAD-ONLY ravel (the same one fit_map and
-        # the Hessian use); unravel through it and re-zip the fixed
-        # nongrad leaves, or any non-differentiable leaf in the selection
-        # would misalign the vector against the full-tree ravel
-        tree = self.map_result.choices
-        grad_tree, nongrad_tree = grad_tree_unzip(tree)
-        _flat, unravel = ravel_pytree(grad_tree)
-        return grad_tree_zip(unravel(z), nongrad_tree)
+        # the Hessian use); split_ravel keeps any non-differentiable leaf
+        # in the selection out of the vector, so the layout matches
+        _flat, rebuild = split_ravel(self.map_result.choices)
+        return rebuild(z)
 
 
 def laplace_approximation(
@@ -151,15 +143,12 @@ def laplace_approximation(
 
     tr, _ = model.generate(key, constraint, args)
     chm = tr.get_choices()
-    complement = chm.filter(~selection)
-    _g0, nongrad_tree = grad_tree_unzip(chm.filter_eager(selection))
-    z_hat, unravel = ravel_pytree(
-        grad_tree_unzip(res.choices)[0]
-    )
+    frozen = chm.filter(~selection)
+    _z0, rebuild = split_ravel(chm.filter_eager(selection))
+    z_hat, _ = split_ravel(res.choices)
 
     def log_joint(z):
-        zipped = grad_tree_zip(unravel(z), nongrad_tree)
-        w, _ = model.assess(zipped.merge(complement), args)
+        w, _ = model.assess(rebuild(z).merge(frozen), args)
         return w
 
     h = jax.hessian(log_joint)(z_hat)

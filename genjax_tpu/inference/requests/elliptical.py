@@ -45,7 +45,7 @@ from ...generative.concepts import (
 )
 from ...generative.selection import Selection
 from ...generative.trace import Trace
-from .hmc import grad_tree_unzip, grad_tree_zip
+from .grad_view import selected_logdensity
 
 _TWO_PI = 6.283185307179586
 
@@ -73,15 +73,12 @@ class EllipticalSlice(EditRequest):
                 "EllipticalSlice requires unchanged arguments."
             )
 
-        from jax.flatten_util import ravel_pytree
-
-        chm = tr.get_choices()
-        complement = chm.filter(~self.selection)
-        filtered = chm.filter_eager(self.selection)
-        grad_tree, nongrad_tree = grad_tree_unzip(filtered)
-        gen_fn = tr.get_gen_fn()
-        primal_args = Diff.tree_primal(argdiffs)
-        z0, unravel = ravel_pytree(grad_tree)
+        z0, logdensity, to_choices = selected_logdensity(
+            tr.get_gen_fn(),
+            tr.get_choices(),
+            self.selection,
+            Diff.tree_primal(argdiffs),
+        )
         d = z0.shape[0]
 
         mean = jnp.broadcast_to(jnp.asarray(self.mean, z0.dtype), z0.shape)
@@ -103,9 +100,7 @@ class EllipticalSlice(EditRequest):
             )
 
         def loglik(z):
-            zipped = grad_tree_zip(unravel(z), nongrad_tree)
-            joint, _ = gen_fn.assess(zipped.merge(complement), primal_args)
-            return joint - prior_logpdf(z)
+            return logdensity(z) - prior_logpdf(z)
 
         k_nu, k_u, k_theta, k_update = jr.split(key, 4)
         eps = jr.normal(k_nu, z0.shape, z0.dtype)
@@ -138,7 +133,7 @@ class EllipticalSlice(EditRequest):
         )
         z1 = jnp.where(ok, proposal(theta), z0)
 
-        values = grad_tree_zip(unravel(z1), nongrad_tree)
+        values = to_choices(z1)
         final_trace, _, retdiff, _ = Update(values).edit(
             k_update, tr, argdiffs
         )

@@ -24,7 +24,6 @@ from jax import lax
 from ...core.diff import Diff
 from ...core.pytree import Pytree
 from ...core.typing_ import PRNGKey, static_check_supports_grad
-from ...generative.choice_map import ChoiceMap
 from ...generative.concepts import (
     Argdiffs,
     DiffAnnotate,
@@ -33,18 +32,22 @@ from ...generative.concepts import (
     Update,
     Weight,
 )
-from ...generative.mask import Mask
 from ...generative.selection import Selection
 from ...generative.trace import Trace
 
 
 # ----------------------------------------------------------------------
-# grad/nongrad pytree unzip (reference hmc.py:49-65)
+# grad/nongrad helpers — the shared raveled-vector path lives in
+# grad_view.py (split_ravel / selected_logdensity / selection_gradient);
+# the paired-tree unzip/zip below serves the transforms that work on
+# trees of gradients directly (involutive MH, MAP/Laplace, diagnostics)
 # ----------------------------------------------------------------------
 
-
-def _leaf_value(v):
-    return v.value if isinstance(v, Mask) else v
+from .grad_view import (  # noqa: E402 — re-exported for existing importers
+    selected_logdensity,
+    selection_gradient,
+    split_ravel,
+)
 
 
 def grad_tree_unzip(tree):
@@ -58,47 +61,16 @@ def grad_tree_unzip(tree):
 
 
 def grad_tree_zip(grad_tree, nongrad_tree):
-    return jtu.tree_map(
-        lambda v1, v2: v1 if v1 is not None else v2,
-        grad_tree,
-        nongrad_tree,
-        is_leaf=lambda x: x is None,
+    """Inverse of ``grad_tree_unzip``: every ``None`` slot of one side is
+    filled from the other."""
+    g_leaves, treedef = jtu.tree_flatten(
+        grad_tree, is_leaf=lambda x: x is None
     )
-
-
-def selection_gradient(
-    selection: Selection, trace: Trace, argdiffs: Argdiffs
-) -> tuple[ChoiceMap, ChoiceMap]:
-    """Differentiate ``assess`` w.r.t. the selected choices
-    (reference hmc.py:70). Returns ``(selected_values, gradients)`` as
-    choice-map pytrees."""
-    chm = trace.get_choices()
-    filtered = chm.filter(selection)
-    complement = chm.filter(~selection)
-    grad_tree, nongrad_tree = grad_tree_unzip(filtered)
-    gen_fn = trace.get_gen_fn()
-
-    def differentiable_assess(grad_tree):
-        zipped = grad_tree_zip(grad_tree, nongrad_tree)
-        full_choices = zipped.merge(complement)
-        weight, _ = gen_fn.assess(full_choices, Diff.tree_primal(argdiffs))
-        return weight
-
-    def _grad_or_zero(g, v):
-        if g is not None:
-            return g
-        if v is None:
-            # structural None (e.g. a dense IndexedChm's idx slot)
-            return None
-        return jnp.zeros_like(jnp.asarray(v, dtype=jnp.result_type(float)))
-
-    gradients = jtu.tree_map(
-        _grad_or_zero,
-        jax.grad(differentiable_assess)(grad_tree),
-        nongrad_tree,
-        is_leaf=lambda x: x is None,
+    n_leaves = jtu.tree_leaves(nongrad_tree, is_leaf=lambda x: x is None)
+    return jtu.tree_unflatten(
+        treedef,
+        [n if g is None else g for g, n in zip(g_leaves, n_leaves)],
     )
-    return grad_tree_zip(grad_tree, nongrad_tree), gradients
 
 
 # ----------------------------------------------------------------------
@@ -128,26 +100,18 @@ class HMC(EditRequest):
         if not Diff.static_check_no_change(argdiffs):
             raise NotImplementedError("HMC requires unchanged arguments.")
 
-        from jax.flatten_util import ravel_pytree
-
         # One differentiable log-joint over the RAVELED selected values
-        # (the NUTS-request formulation): the leapfrog scan carries three
-        # flat vectors, each step costs one value_and_grad of assess, and
-        # a diagonal mass matrix is a single elementwise vector op. The
+        # (grad_view.selected_logdensity — the path shared with NUTS and
+        # the slice samplers): the leapfrog scan carries three flat
+        # vectors, each step costs one value_and_grad of assess, and a
+        # diagonal mass matrix is a single elementwise vector op. The
         # trace is materialized once at the end.
-        chm = tr.get_choices()
-        complement = chm.filter(~self.selection)
-        filtered = chm.filter_eager(self.selection)
-        grad_tree, nongrad_tree = grad_tree_unzip(filtered)
-        gen_fn = tr.get_gen_fn()
-        primal_args = Diff.tree_primal(argdiffs)
-        z0, unravel = ravel_pytree(grad_tree)
-
-        def logdensity(z):
-            zipped = grad_tree_zip(unravel(z), nongrad_tree)
-            weight, _ = gen_fn.assess(zipped.merge(complement), primal_args)
-            return weight
-
+        z0, logdensity, to_choices = selected_logdensity(
+            tr.get_gen_fn(),
+            tr.get_choices(),
+            self.selection,
+            Diff.tree_primal(argdiffs),
+        )
         vg = jax.value_and_grad(logdensity)
         if self.inv_mass is None:
             inv_mass = jnp.ones_like(z0)
@@ -177,8 +141,7 @@ class HMC(EditRequest):
         )
         lp1 = lps[-1]
 
-        values = grad_tree_zip(unravel(z1), nongrad_tree)
-        final_trace, _, retdiff, _ = Update(values).edit(
+        final_trace, _, retdiff, _ = Update(to_choices(z1)).edit(
             k_update, tr, argdiffs
         )
         alpha = lp1 - lp0 + kinetic(r0) - kinetic(r1)

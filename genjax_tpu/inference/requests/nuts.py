@@ -21,7 +21,6 @@ from typing import Any
 
 import jax.numpy as jnp
 import jax.random as jr
-from jax.flatten_util import ravel_pytree
 
 from ...core.diff import Diff
 from ...core.pytree import Pytree
@@ -35,7 +34,7 @@ from ...generative.concepts import (
 )
 from ...generative.selection import Selection
 from ...generative.trace import Trace
-from .hmc import grad_tree_unzip, grad_tree_zip
+from .grad_view import selected_logdensity
 
 
 @Pytree.dataclass
@@ -61,21 +60,12 @@ class NUTS(EditRequest):
             raise NotImplementedError("NUTS requires unchanged arguments.")
         from ...kernels.nuts import nuts_transition
 
-        chm = tr.get_choices()
-        complement = chm.filter(~self.selection)
-        filtered = chm.filter_eager(self.selection)
-        grad_tree, nongrad_tree = grad_tree_unzip(filtered)
-        gen_fn = tr.get_gen_fn()
-        primal_args = Diff.tree_primal(argdiffs)
-
-        z0, unravel = ravel_pytree(grad_tree)
-
-        def logdensity(z):
-            zipped = grad_tree_zip(unravel(z), nongrad_tree)
-            full_choices = zipped.merge(complement)
-            weight, _ = gen_fn.assess(full_choices, primal_args)
-            return weight
-
+        z0, logdensity, to_choices = selected_logdensity(
+            tr.get_gen_fn(),
+            tr.get_choices(),
+            self.selection,
+            Diff.tree_primal(argdiffs),
+        )
         k_move, k_update = jr.split(key)
         z_new, info = nuts_transition(
             logdensity,
@@ -86,8 +76,7 @@ class NUTS(EditRequest):
             divergence_threshold=self.divergence_threshold,
             inv_mass=self.inv_mass,
         )
-        values = grad_tree_zip(unravel(z_new), nongrad_tree)
-        new_tr, _w, retdiff, _bwd = Update(values).edit(
+        new_tr, _w, retdiff, _bwd = Update(to_choices(z_new)).edit(
             k_update, tr, argdiffs
         )
         bwd = NUTS(

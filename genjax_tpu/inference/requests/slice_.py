@@ -36,7 +36,7 @@ from ...generative.concepts import (
 )
 from ...generative.selection import Selection
 from ...generative.trace import Trace
-from .hmc import grad_tree_unzip, grad_tree_zip
+from .grad_view import selected_logdensity
 
 
 @Pytree.dataclass
@@ -63,15 +63,12 @@ class SliceSample(EditRequest):
                 "SliceSample requires unchanged arguments."
             )
 
-        from jax.flatten_util import ravel_pytree
-
-        chm = tr.get_choices()
-        complement = chm.filter(~self.selection)
-        filtered = chm.filter_eager(self.selection)
-        grad_tree, nongrad_tree = grad_tree_unzip(filtered)
-        gen_fn = tr.get_gen_fn()
-        primal_args = Diff.tree_primal(argdiffs)
-        z0, unravel = ravel_pytree(grad_tree)
+        z0, logdensity, to_choices = selected_logdensity(
+            tr.get_gen_fn(),
+            tr.get_choices(),
+            self.selection,
+            Diff.tree_primal(argdiffs),
+        )
         if z0.shape != (1,):
             raise ValueError(
                 "SliceSample targets exactly one scalar choice; the "
@@ -80,9 +77,7 @@ class SliceSample(EditRequest):
             )
 
         def logp(x):
-            zipped = grad_tree_zip(unravel(x[None]), nongrad_tree)
-            w, _ = gen_fn.assess(zipped.merge(complement), primal_args)
-            return w
+            return logdensity(x[None])
 
         x0 = z0[0]
         k_u, k_pos, k_dir, k_shrink, k_update = jr.split(key, 5)
@@ -141,8 +136,7 @@ class SliceSample(EditRequest):
         )
         x1 = jnp.where(ok, x1, x0)  # cap hit ⇒ exact no-op
 
-        values = grad_tree_zip(unravel(x1[None]), nongrad_tree)
-        final_trace, _, retdiff, _ = Update(values).edit(
+        final_trace, _, retdiff, _ = Update(to_choices(x1[None])).edit(
             k_update, tr, argdiffs
         )
         return (

@@ -25,7 +25,6 @@ import jax.numpy as jnp
 import jax.random as jr
 import jax.tree_util as jtu
 from jax import lax
-from jax.flatten_util import ravel_pytree
 
 from ..core.diff import Diff
 from ..core.pytree import Pytree
@@ -189,12 +188,9 @@ def sample_posterior(
         )
 
     def ravel_selected(tr):
-        from .requests.hmc import grad_tree_unzip
+        from .requests.grad_view import split_ravel
 
-        grad_tree, _ = grad_tree_unzip(
-            tr.get_choices().filter_eager(selection)
-        )
-        flat, _ = ravel_pytree(grad_tree)
+        flat, _ = split_ravel(tr.get_choices().filter_eager(selection))
         return flat
 
     @jax.jit
@@ -273,12 +269,17 @@ def sample_posterior(
     # unpack draws back to per-address arrays + diagnostics (host-side
     # bookkeeping over static structure; the heavy reductions stay jitted)
     template = jtu.tree_map(lambda l: l[..., 0], traces)
-    from .requests.hmc import grad_tree_unzip
+    from .requests.grad_view import split_ravel
 
-    grad_tree, _ = grad_tree_unzip(
+    _flat0, rebuild = split_ravel(
         template.get_choices().filter_eager(selection)
     )
-    _flat0, unravel = ravel_pytree(grad_tree)
+
+    def unravel(z):
+        # positions carry only the sampled (continuous) leaves; blank the
+        # fixed non-differentiable leaves so per-draw trees don't replicate
+        # template values
+        return rebuild(z, nongrad_fill=lambda _l: None)
 
     rhat_flat, ess_flat = _column_diagnostics(draws, n_samples)
 

@@ -19,13 +19,12 @@ from typing import Any, Callable
 import jax
 import jax.numpy as jnp
 import jax.random as jr
-from jax.flatten_util import ravel_pytree
 
 from ..core.pytree import Pytree
 from ..core.typing_ import PRNGKey
 from ..generative.gfi import GenerativeFunction
 from ..generative.selection import Selection
-from .requests.hmc import grad_tree_unzip
+from .requests.grad_view import split_ravel
 
 
 @Pytree.dataclass
@@ -70,8 +69,7 @@ def sbc_ranks(
         k_sim, k_post = jr.split(k)
         tr = model.simulate(k_sim, args)
         chm = tr.get_choices()
-        grad_tree, _ = grad_tree_unzip(chm.filter_eager(selection))
-        theta0, _ = ravel_pytree(grad_tree)
+        theta0, _ = split_ravel(chm.filter_eager(selection))
         if theta0.shape[0] == 0:
             raise ValueError(
                 "sbc_ranks: the selection contains no continuous "

@@ -56,6 +56,9 @@ flip_enum = adev_distribution(
 flip_mvd = adev_distribution(
     adev_prims.flip_mvd, _logpdf_of(_catalog.flip), "flip_mvd"
 )
+flip_reinforce = adev_distribution(
+    adev_prims.flip_reinforce, _logpdf_of(_catalog.flip), "flip_reinforce"
+)
 categorical_enum = adev_distribution(
     adev_prims.categorical_enum_parallel,
     _logpdf_of(_catalog.categorical),

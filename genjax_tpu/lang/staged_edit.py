@@ -91,7 +91,10 @@ def _value_has_tracer(v, depth: int) -> bool:
     try:
         leaves = jtu.tree_leaves(v)
     except Exception:
-        return False
+        # Cannot prove the value is tracer-free: fail CONSERVATIVE. A
+        # wrong True costs one handler-path fallback (slower, sound); a
+        # wrong False silently reuses stale subtraces (wrong posterior).
+        return True
     return any(isinstance(l, Tracer) for l in leaves)
 
 
@@ -110,8 +113,15 @@ def _closure_captures_tracer(obj, depth: int = 0) -> bool:
     import dataclasses
     import types
 
-    if depth > 8 or obj is None:
+    if obj is None:
         return False
+    if depth > 8:
+        # Recursion budget exhausted before the scan finished: we could
+        # NOT prove the closure is tracer-free, so the give-up answer must
+        # be the conservative one — report a capture so the caller raises
+        # ``StagingUnsupported`` and the edit takes the (sound) handler
+        # fallback, instead of silently reusing stale subtraces.
+        return True
     if isinstance(obj, types.FunctionType):
         for cell in obj.__closure__ or ():
             try:

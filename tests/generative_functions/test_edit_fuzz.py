@@ -32,17 +32,76 @@ def base_block(mu):
     return a + b
 
 
+@g.gen
+def branch_pos(mu):
+    x = g.normal(mu, 1.0) @ "x"
+    return x
+
+
+@g.gen
+def branch_neg(mu):
+    x = g.normal(-mu, 0.5) @ "x"
+    return x
+
+
 @st.composite
 def models(draw):
-    """A small grammar of compositions; returns (gen_fn, args, addr_paths)
-    where addr_paths lists editable address paths."""
+    """A grammar over ALL eight combinators; returns
+    ``(gen_fn, args, update_paths, regen_paths)`` where ``update_paths``
+    lists float-valued addresses servable by ``Update`` and ``regen_paths``
+    those servable by ``Regenerate`` (``Mask`` is Update-only, matching
+    reference mask.py:186; ``Switch``/``mix``/``or_else`` regeneration —
+    including resampling the mixture component itself — is repo-native,
+    switch.py ``_edit_regenerate``)."""
     kind = draw(
         st.sampled_from(
-            ["plain", "nested", "scan", "vmap", "partial", "local_closure"]
+            [
+                "plain",
+                "nested",
+                "scan",
+                "vmap",
+                "partial",
+                "local_closure",
+                "switch",
+                "or_else",
+                "mask",
+                "mix",
+                "dimap",
+            ]
         )
     )
+    if kind == "switch":
+        sw = g.switch(branch_pos, branch_neg)
+        idx = draw(st.sampled_from([0, 1]))
+        return sw, (idx, (0.3,), (0.3,)), [("x",)], [("x",)]
+    if kind == "or_else":
+        oe = g.or_else(branch_pos, branch_neg)
+        flag = draw(st.booleans())
+        return oe, (flag, (0.3,), (0.3,)), [("x",)], [("x",)]
+    if kind == "mask":
+        # Update-only (reference parity); flag transitions are fuzzed
+        # separately in test_structural_flip_invariants
+        return base_block.mask(), (True, 0.3), [("a",), ("b",)], []
+    if kind == "mix":
+        mx = g.mix(branch_pos, branch_neg)
+        logits = jnp.log(jnp.array([0.4, 0.6]))
+        return (
+            mx,
+            (logits, (0.3,), (0.3,)),
+            [("component_sample", "x")],
+            # resampling the component flips the inner switch index —
+            # the staged evaluator routes the index change into
+            # Switch._edit_regenerate
+            [("component_sample", "x"), ("mixture_component",)],
+        )
+    if kind == "dimap":
+        dm = base_block.dimap(
+            pre=lambda u, v: (u + v,), post=lambda args, r: r * 2.0
+        )
+        paths = [("a",), ("b",)]
+        return dm, (0.1, 0.2), paths, paths
     if kind == "plain":
-        return base_block, (0.3,), [("a",), ("b",)]
+        return base_block, (0.3,), [("a",), ("b",)], None
     if kind == "partial":
         # the callee is re-partial_apply-ed per execution: its closed-over
         # pytree leaves ride dispatch_edit's merge path
@@ -53,7 +112,7 @@ def models(draw):
             v = g.normal(u, 1.0) @ "top"
             return v
 
-        return curried, (0.3,), [("sub", "a"), ("sub", "b"), ("top",)]
+        return curried, (0.3,), [("sub", "a"), ("sub", "b"), ("top",)], None
     if kind == "local_closure":
         # a local @gen capturing an upstream SAMPLE through a Python
         # closure: the handler fallback + closure-mismatch rescore path
@@ -69,7 +128,7 @@ def models(draw):
             out = leafs() @ "dep"
             return out
 
-        return closure_model, (0.3,), [("root",), ("dep", "c")]
+        return closure_model, (0.3,), [("root",), ("dep", "c")], None
     if kind == "nested":
 
         @g.gen
@@ -78,7 +137,7 @@ def models(draw):
             v = g.normal(u, 1.0) @ "top"
             return v
 
-        return nested, (0.3,), [("inner", "a"), ("inner", "b"), ("top",)]
+        return nested, (0.3,), [("inner", "a"), ("inner", "b"), ("top",)], None
     if kind == "scan":
 
         @g.gen
@@ -91,6 +150,7 @@ def models(draw):
             kern.scan(n=n),
             (0.0, jnp.linspace(-1, 1, n)),
             [(i, "z") for i in range(n)],
+            None,
         )
     # vmap
     n = draw(st.integers(2, 3))
@@ -98,16 +158,18 @@ def models(draw):
         base_block.vmap(in_axes=(0,)),
         (jnp.linspace(-1, 1, n),),
         [(i, a) for i in range(n) for a in ("a", "b")],
+        None,
     )
 
 
 @st.composite
-def edit_programs(draw, paths):
+def edit_programs(draw, update_paths, regen_paths):
     ops = []
     for _ in range(draw(st.integers(1, 3))):
-        kind = draw(st.sampled_from(["update", "regenerate"]))
-        path = draw(st.sampled_from(paths))
+        kinds = ["update"] if not regen_paths else ["update", "regenerate"]
+        kind = draw(st.sampled_from(kinds))
         if kind == "update":
+            path = draw(st.sampled_from(update_paths))
             v = draw(
                 st.floats(
                     min_value=-3, max_value=3, allow_nan=False, width=32
@@ -115,7 +177,7 @@ def edit_programs(draw, paths):
             )
             ops.append(("update", path, v))
         else:
-            ops.append(("regenerate", path, None))
+            ops.append(("regenerate", draw(st.sampled_from(regen_paths)), None))
     return ops
 
 
@@ -124,11 +186,13 @@ def read(chm, path):
     return v.unmask() if isinstance(v, g.Mask) else v
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=80, deadline=None)
 @given(st.data())
 def test_edit_sequences_preserve_invariants(data):
-    gen_fn, args, paths = data.draw(models())
-    program = data.draw(edit_programs(paths))
+    gen_fn, args, update_paths, regen_paths = data.draw(models())
+    if regen_paths is None:
+        regen_paths = update_paths
+    program = data.draw(edit_programs(update_paths, regen_paths))
 
     tr = gen_fn.simulate(KEY, args)
     step_key = jax.random.key(1)
@@ -158,9 +222,177 @@ def test_edit_sequences_preserve_invariants(data):
 
         # reversal restores the previous state
         back, wb, _, _ = new_tr.edit(jax.random.fold_in(step_key, 99), bwd)
-        assert float(w + wb) == pytest.approx(0.0, abs=2e-3), (kind, path)
         assert float(back.get_score()) == pytest.approx(
             old_score, abs=2e-3
         ), (kind, path)
+        # weight cancellation holds whenever the forward move sampled no
+        # fresh structure; resampling a component index draws the newly
+        # selected branch fresh, so only score restoration applies there
+        if not (kind == "regenerate" and path == ("mixture_component",)):
+            assert float(w + wb) == pytest.approx(0.0, abs=2e-3), (kind, path)
 
         tr = new_tr
+
+
+# ----------------------------------------------------------------------
+# structural edits: mask flag flips, switch/or_else index flips, dimap
+# argument changes — the argdiff-driven transitions (reference
+# mask.py:179's four-way table and switch.py:257's index-change path)
+# ----------------------------------------------------------------------
+
+
+def _nochange(args):
+    return jax.tree_util.tree_map(lambda x: g.Diff(x, g.NoChange), args)
+
+
+def _structural_spec(kind):
+    """Returns (gen_fn, states, make_args, make_argdiffs, update_paths).
+
+    ``states`` enumerates the structural knob (mask flag / switch index /
+    or_else flag / dimap pre-arg); ``make_argdiffs(new, changed)`` builds
+    argdiffs moving the knob with everything else NoChange."""
+    if kind == "mask":
+        mm = base_block.mask()
+
+        def margs(s):
+            return (jnp.asarray(s), 0.3)
+
+        def mdiffs(s, changed):
+            tan = g.UnknownChange if changed else g.NoChange
+            return (g.Diff(jnp.asarray(s), tan), g.Diff(0.3, g.NoChange))
+
+        return mm, [True, False], margs, mdiffs, [("a",), ("b",)]
+    if kind == "switch":
+        sw = g.switch(branch_pos, branch_neg)
+
+        def sargs(s):
+            return (jnp.asarray(s), (0.3,), (0.3,))
+
+        def sdiffs(s, changed):
+            tan = g.UnknownChange if changed else g.NoChange
+            return (
+                g.Diff(jnp.asarray(s), tan),
+                (g.Diff(0.3, g.NoChange),),
+                (g.Diff(0.3, g.NoChange),),
+            )
+
+        return sw, [0, 1], sargs, sdiffs, [("x",)]
+    if kind == "or_else":
+        oe = g.or_else(branch_pos, branch_neg)
+
+        def oargs(s):
+            return (jnp.asarray(s), (0.3,), (0.3,))
+
+        def odiffs(s, changed):
+            tan = g.UnknownChange if changed else g.NoChange
+            return (
+                g.Diff(jnp.asarray(s), tan),
+                (g.Diff(0.3, g.NoChange),),
+                (g.Diff(0.3, g.NoChange),),
+            )
+
+        return oe, [True, False], oargs, odiffs, [("x",)]
+    # dimap: the structural knob is the first pre-image argument
+    dm = base_block.dimap(pre=lambda u, v: (u + v,), post=lambda args, r: r * 2.0)
+
+    def dargs(s):
+        return (jnp.float32(s), 0.2)
+
+    def ddiffs(s, changed):
+        tan = g.UnknownChange if changed else g.NoChange
+        return (g.Diff(jnp.float32(s), tan), g.Diff(0.2, g.NoChange))
+
+    return dm, [-0.5, 0.1, 0.8], dargs, ddiffs, [("a",), ("b",)]
+
+
+def _masked_score_zero(kind, state):
+    return (kind == "mask" and not state) or False
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.data())
+def test_structural_flip_invariants(data):
+    """Flag flips / index flips / arg changes interleaved with value
+    updates: after every move the new trace is assess-consistent at the
+    NEW args, and applying the backward request with REVERSED argdiffs
+    restores the previous score exactly."""
+    kind = data.draw(st.sampled_from(["mask", "switch", "or_else", "dimap"]))
+    gen_fn, states, make_args, make_argdiffs, upd_paths = _structural_spec(kind)
+
+    state = data.draw(st.sampled_from(states))
+    tr = gen_fn.simulate(KEY, make_args(state))
+
+    for i in range(data.draw(st.integers(1, 3))):
+        step_key = jax.random.key(100 + i)
+        old_score = float(tr.get_score())
+        old_state = state
+
+        move = data.draw(st.sampled_from(["flip", "update", "flip+update"]))
+        if "flip" in move:
+            state = data.draw(st.sampled_from(states))
+        changed = state is not old_state
+        if "update" in move:
+            path = data.draw(st.sampled_from(upd_paths))
+            v = data.draw(
+                st.floats(min_value=-2, max_value=2, allow_nan=False, width=32)
+            )
+            req = g.Update(g.C[path].set(jnp.float32(v)))
+        else:
+            req = g.Update(g.C.empty())
+
+        new_tr, w, _rd, bwd = gen_fn.edit(
+            step_key, tr, req, make_argdiffs(state, changed)
+        )
+        assert jnp.isfinite(jnp.asarray(w)).all(), (kind, move)
+
+        # consistency at the NEW args
+        if _masked_score_zero(kind, state):
+            assert float(new_tr.get_score()) == pytest.approx(0.0, abs=1e-6)
+        else:
+            score, _ = gen_fn.assess(new_tr.get_choices(), make_args(state))
+            assert float(new_tr.get_score()) == pytest.approx(
+                float(score), abs=2e-3
+            ), (kind, move)
+
+        # reversal with reversed argdiffs restores the previous score
+        back, _wb, _, _ = gen_fn.edit(
+            jax.random.fold_in(step_key, 7),
+            new_tr,
+            bwd,
+            make_argdiffs(old_state, changed),
+        )
+        assert float(back.get_score()) == pytest.approx(
+            old_score, abs=2e-3
+        ), (kind, move)
+
+        tr = new_tr
+
+
+# ----------------------------------------------------------------------
+# upstream Regenerate driving a switch index change (repo-native:
+# Switch._edit_regenerate; the reference asserts Update-only at
+# switch.py:265 and would refuse this model)
+# ----------------------------------------------------------------------
+
+
+@g.gen
+def _indexed_model(mu):
+    z = g.categorical(jnp.log(jnp.array([0.5, 0.5]))) @ "z"
+    v = g.switch(branch_pos, branch_neg)(z, (mu,), (mu,)) @ "v"
+    vv = v.unmask() if isinstance(v, g.Mask) else v
+    obs = g.normal(vv, 1.0) @ "obs"
+    return obs
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 10_000))
+def test_regenerate_through_switch_index(seed):
+    tr = _indexed_model.simulate(jax.random.key(seed), (0.3,))
+    kk = jax.random.key(seed + 1)
+    new_tr, _w, _rd, bwd = tr.edit(kk, g.Regenerate(g.S["z"]))
+    score, _ = _indexed_model.assess(new_tr.get_choices(), (0.3,))
+    assert float(new_tr.get_score()) == pytest.approx(float(score), abs=2e-3)
+    back, _wb, _, _ = new_tr.edit(jax.random.fold_in(kk, 9), bwd)
+    assert float(back.get_score()) == pytest.approx(
+        float(tr.get_score()), abs=2e-3
+    )
