@@ -19,6 +19,7 @@ from .mesh import host_local_mesh, initialize_distributed, make_mesh, shard_batc
 from .mcmc import run_chains_sharded, warmup_adapt_step_size
 from .resampling import (
     collective_resample,
+    collective_weight_stats,
     effective_sample_size,
     multinomial_indices,
     redistribute,
@@ -35,6 +36,7 @@ from .smc import SSMParticleFilter, sharded_importance
 __all__ = [
     "SSMParticleFilter",
     "collective_resample",
+    "collective_weight_stats",
     "data_sharded_logdensity",
     "effective_sample_size",
     "host_local_mesh",

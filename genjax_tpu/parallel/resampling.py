@@ -234,6 +234,23 @@ def resample_particles(key, particles, log_weights, n=None, method="systematic")
 # ----------------------------------------------------------------------
 
 
+def collective_weight_stats(log_weights, axis_name: str):
+    """Global ``(ess, log_normalizer)`` of a sharded weight vector in TWO
+    collectives: one scalar ``pmax`` for the stable shift, then one psum of
+    a stacked pair ``(Σ exp(lw−m), Σ exp(2(lw−m)))`` — the fused form every
+    per-step caller (adaptive-resampling PF) should use instead of separate
+    ESS and normalizer reductions (3–5 collectives otherwise)."""
+    global_max = lax.pmax(jnp.max(log_weights), axis_name)
+    shifted = jnp.exp(log_weights - global_max)
+    sums = lax.psum(
+        jnp.stack([jnp.sum(shifted), jnp.sum(shifted * shifted)]), axis_name
+    )
+    ess = sums[0] * sums[0] / sums[1]
+    k_global = log_weights.shape[0] * lax.axis_size(axis_name)
+    log_norm = global_max + jnp.log(sums[0]) - jnp.log(k_global)
+    return ess, log_norm
+
+
 def collective_log_normalizer(log_weights, axis_name: str):
     """log Σ_global exp(lw) − log K_global, stably, with one pmax and one
     psum over ICI."""
@@ -242,7 +259,7 @@ def collective_log_normalizer(log_weights, axis_name: str):
     local_sum = jnp.sum(jnp.exp(log_weights - global_max))
     global_sum = lax.psum(local_sum, axis_name)
     k_local = log_weights.shape[0]
-    k_global = k_local * lax.psum(1, axis_name)
+    k_global = k_local * lax.axis_size(axis_name)
     return global_max + jnp.log(global_sum) - jnp.log(k_global)
 
 
@@ -254,16 +271,20 @@ def collective_resample(
     *,
     method: str = "systematic",
     mode: str = "local",
+    log_z_inc=None,
 ):
     """Resample a sharded particle collection inside ``shard_map``.
 
     Returns ``(new_particles, new_log_weights, log_marginal_increment)``
     where the increment is the global mean-weight normalizer (add it to a
-    running logZ estimate).
-    """
+    running logZ estimate). Callers that already paid for the global
+    weight statistics this step (``collective_weight_stats``) pass the
+    normalizer via ``log_z_inc`` so ``"local"`` mode adds ZERO extra
+    collectives."""
     shard_idx = lax.axis_index(axis_name)
     k_local = log_weights.shape[0]
-    log_z_inc = collective_log_normalizer(log_weights, axis_name)
+    if log_z_inc is None:
+        log_z_inc = collective_log_normalizer(log_weights, axis_name)
 
     if mode == "local":
         # Per-shard resampling; the shard's mean weight is retained so the

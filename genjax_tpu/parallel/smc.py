@@ -27,6 +27,7 @@ from ..generative.choice_map import ChoiceMap
 from ..generative.gfi import GenerativeFunction
 from .resampling import (
     collective_resample,
+    collective_weight_stats,
     effective_sample_size,
     resample_particles,
 )
@@ -213,11 +214,11 @@ def _pf_run_sharded(
             carries, ws = jax.vmap(extend)(pkeys, carries)
             log_w = log_w + ws
 
-            # global ESS via collectives
-            g_max = lax.pmax(jnp.max(log_w), axis)
-            s1 = lax.psum(jnp.sum(jnp.exp(log_w - g_max)), axis)
-            s2 = lax.psum(jnp.sum(jnp.exp(2.0 * (log_w - g_max))), axis)
-            ess = s1 * s1 / s2
+            # ONE fused collective pair per step: global ESS for the
+            # adaptive-resampling decision AND the normalizer the resample
+            # branch needs — so resampling adds no further reductions in
+            # "local" mode (all_gather mode still pays its gathers)
+            ess, log_z_inc = collective_weight_stats(log_w, axis)
 
             def do_resample(args):
                 carries, log_w, log_z = args
@@ -228,6 +229,7 @@ def _pf_run_sharded(
                     axis,
                     method=pf.method,
                     mode=resample_mode,
+                    log_z_inc=log_z_inc,
                 )
                 return new_c, new_lw, log_z + inc
 

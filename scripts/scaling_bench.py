@@ -33,6 +33,27 @@ def sync(x):
     return float(jnp.sum(jax.tree_util.tree_leaves(x)[0]))
 
 
+# Short timing windows on a shared microVM host are dominated by
+# scheduling noise (3x swings observed run-to-run). Methodology: per
+# (mode, shard-count), time TRIALS windows of `reps` dispatches each and
+# keep the FASTEST window — the least-interference estimate of the
+# program's actual rate.
+TRIALS = int(os.environ.get("SCALING_TRIALS", 3))
+
+
+def _best_rate(run, sync_out, work_per_rep, reps):
+    _ = sync_out(run(0))  # compile + warm
+    best = float("inf")
+    for t in range(TRIALS):
+        t0 = time.perf_counter()
+        out = None
+        for i in range(1, reps + 1):
+            out = run(1 + t * reps + i)
+        _ = sync_out(out)
+        best = min(best, time.perf_counter() - t0)
+    return work_per_rep * reps / best
+
+
 def bench_pf(n_shards: int, n_particles: int, T: int) -> float:
     import genjax_tpu as g
     from genjax_tpu.parallel import SSMParticleFilter, make_mesh
@@ -49,15 +70,9 @@ def bench_pf(n_shards: int, n_particles: int, T: int) -> float:
     pf = SSMParticleFilter(kernel, n_particles=n_particles)
 
     run = lambda s: pf.run_sharded(jr.key(s), 0.0, jnp.zeros(T), obs, mesh)
-    _ = sync(run(0).log_weights)  # compile+warm
-    t0 = time.perf_counter()
-    reps = 5
-    out = None
-    for i in range(1, reps + 1):
-        out = run(i)
-    _ = sync(out.log_weights)
-    dt = time.perf_counter() - t0
-    return n_particles * T * reps / dt  # particle-steps per second
+    return _best_rate(
+        run, lambda o: sync(o.log_weights), n_particles * T, reps=10
+    )
 
 
 def bench_chains(n_shards: int, n_chains: int, n_steps: int) -> float:
@@ -80,15 +95,9 @@ def bench_chains(n_shards: int, n_chains: int, n_steps: int) -> float:
         jr.key(s), make_trace, g.HMC(g.S["mu"], 0.3, L=5),
         n_steps=n_steps, n_chains=n_chains, mesh=mesh,
     )
-    _ = sync(run(0).accept_rate)
-    t0 = time.perf_counter()
-    reps = 3
-    out = None
-    for i in range(1, reps + 1):
-        out = run(i)
-    _ = sync(out.accept_rate)
-    dt = time.perf_counter() - t0
-    return n_chains * n_steps * reps / dt
+    return _best_rate(
+        run, lambda o: sync(o.accept_rate), n_chains * n_steps, reps=6
+    )
 
 
 def main():

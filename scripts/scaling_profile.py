@@ -1,0 +1,297 @@
+"""Where does the weak-scaling loss go? (VERDICT r2 item 2)
+
+Produces SCALING_PROFILE.json with three kinds of evidence:
+
+1. **Static collective audit** — the compiled HLO of the sharded PF
+   program at each shard count: number of collective ops (all-reduce /
+   all-gather / collective-permute / reduce-scatter), their payload
+   bytes, and the per-step collective payload. This is the traffic the
+   TPU ICI path would carry (sub-microsecond per scalar all-reduce on a
+   v5e pod slice).
+
+2. **Ablation** — weak-scaling efficiency of (a) the full adaptive PF
+   (collectives every step), (b) the same per-shard particle work with
+   NO cross-shard reductions (collective-free shard_map), and (c) the
+   embarrassingly-parallel sharded chains driver. If (b) and (c) lose
+   efficiency at 8 shards too, the loss is not collective placement —
+   it is the host: this box has fewer physical cores than virtual
+   devices, so weak scaling past the core count necessarily degrades.
+
+3. **Host inventory** — physical core count vs virtual device count.
+
+Run:
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 SCALING_CPU=1 \
+      python scripts/scaling_profile.py
+"""
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+if os.environ.get("SCALING_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import jax.random as jr
+
+COLLECTIVE_RE = re.compile(
+    r"^\s*\S+ = \S+ (all-reduce|all-gather|collective-permute|reduce-scatter)",
+)
+SHAPE_RE = re.compile(r"(f32|f64|s32|u32|pred|bf16)\[([0-9,]*)\]")
+
+DTYPE_BYTES = {"f32": 4, "f64": 8, "s32": 4, "u32": 4, "pred": 1, "bf16": 2}
+
+
+def hlo_collectives(compiled_text: str):
+    """Count collective ops in compiled HLO and sum their payload bytes."""
+    ops = []
+    for line in compiled_text.splitlines():
+        m = COLLECTIVE_RE.match(line)
+        if not m:
+            continue
+        kind = m.group(1)
+        # payload: first shape on the line (the op's result)
+        sm = SHAPE_RE.search(line)
+        nbytes = 0
+        if sm:
+            dt, dims = sm.group(1), sm.group(2)
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            nbytes = n * DTYPE_BYTES.get(dt, 4)
+        ops.append({"kind": kind, "bytes": nbytes})
+    total = sum(o["bytes"] for o in ops)
+    by_kind = {}
+    for o in ops:
+        by_kind[o["kind"]] = by_kind.get(o["kind"], 0) + 1
+    return {"count": len(ops), "bytes": total, "by_kind": by_kind}
+
+
+def make_pf(n_particles):
+    import genjax_tpu as g
+    from genjax_tpu.parallel import SSMParticleFilter
+
+    @g.gen
+    def kernel(c, x):
+        z = g.normal(c, 1.0) @ "z"
+        y = g.normal(z, 0.5) @ "y"
+        return (z, y)
+
+    return SSMParticleFilter(kernel, n_particles=n_particles)
+
+
+def sync(x):
+    return float(jnp.sum(jax.tree_util.tree_leaves(x)[0]))
+
+
+TRIALS = int(os.environ.get("SCALING_TRIALS", 3))
+
+
+def bench(run, reps):
+    """Best-of-TRIALS timing windows (scheduling noise on the shared
+    microVM host swings single windows by up to 3x; the fastest window is
+    the least-interference estimate)."""
+    out = run(0)  # compile + warm
+    _ = sync(out)
+    best = float("inf")
+    for t in range(TRIALS):
+        t0 = time.perf_counter()
+        for i in range(1, reps + 1):
+            out = run(1 + t * reps + i)
+        _ = sync(out)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def pf_with_collectives(n_shards, n_particles, T, ess_threshold=0.5):
+    """ess_threshold=0.5: the full adaptive filter (collectives + actual
+    resampling work). ess_threshold=0.0: per-step collective weight stats
+    still run, but the resample branch never fires — isolates the
+    cross-shard reduction cost from the resampling compute."""
+    import genjax_tpu as g
+    from genjax_tpu.parallel import SSMParticleFilter, make_mesh
+
+    mesh = make_mesh(n_shards)
+    ys = jnp.zeros(T)
+    obs = g.C[:, "y"].set(ys)
+    pf = SSMParticleFilter(
+        make_pf(1).kernel, n_particles=n_particles, ess_threshold=ess_threshold
+    )
+
+    def run(s):
+        return pf.run_sharded(jr.key(s), 0.0, jnp.zeros(T), obs, mesh).log_weights
+
+    reps = 10
+    dt = bench(run, reps)
+    return n_particles * T * reps / dt
+
+
+def pf_collective_free(n_shards, n_particles, T):
+    """Identical per-shard particle work, ZERO cross-shard communication:
+    each shard runs an independent (never-resampling) SIS filter."""
+    import functools
+
+    import genjax_tpu as g
+    from genjax_tpu.parallel import make_mesh
+
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+    import inspect
+
+    from jax import lax
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh(n_shards)
+    ys = jnp.zeros(T)
+    obs = g.C[:, "y"].set(ys)
+    pf = make_pf(n_particles)
+    k_local = n_particles // n_shards
+
+    def shard_program(key):
+        shard = lax.axis_index("batch")
+
+        def step(state, t):
+            carries, log_w = state
+            pkeys = jr.split(jr.fold_in(jr.fold_in(key, t), shard), k_local)
+
+            def extend(pkey, c):
+                tr, w = pf.kernel.generate(
+                    pkey, obs.get_submap(t), (c, 0.0)
+                )
+                c_new, _y = tr.get_retval()
+                return c_new, w
+
+            carries, ws = jax.vmap(extend)(pkeys, carries)
+            return (carries, log_w + ws), None
+
+        init = (jnp.zeros(k_local), jnp.zeros(k_local))
+        (carries, log_w), _ = lax.scan(step, init, jnp.arange(T))
+        return log_w
+
+    _params = inspect.signature(shard_map).parameters
+    _ck = {"check_vma": False} if "check_vma" in _params else {"check_rep": False}
+    prog = jax.jit(
+        shard_map(shard_program, mesh=mesh, in_specs=(P(),), out_specs=P("batch"), **_ck)
+    )
+
+    reps = 10
+    dt = bench(lambda s: prog(jr.key(s)), reps)
+    return n_particles * T * reps / dt
+
+
+def chains_rate(n_shards, n_chains, n_steps):
+    import genjax_tpu as g
+    from genjax_tpu.parallel import make_mesh, run_chains_sharded
+
+    @g.gen
+    def model():
+        mu = g.normal(0.0, 1.0) @ "mu"
+        _ = g.normal(mu, 1.0) @ "y"
+
+    obs = g.C["y"].set(2.0)
+    mesh = make_mesh(n_shards)
+
+    def make_trace(k):
+        tr, _ = model.generate(k, obs, ())
+        return tr
+
+    def run(s):
+        return run_chains_sharded(
+            jr.key(s), make_trace, g.HMC(g.S["mu"], 0.3, L=5),
+            n_steps=n_steps, n_chains=n_chains, mesh=mesh,
+        ).accept_rate
+
+    reps = 6
+    dt = bench(run, reps)
+    return n_chains * n_steps * reps / dt
+
+
+def pf_hlo_audit(n_shards, n_particles, T):
+    """Compile the sharded PF and audit its collectives statically."""
+    import genjax_tpu as g
+    from genjax_tpu.parallel import make_mesh
+    from genjax_tpu.parallel.smc import _pf_run_sharded
+
+    mesh = make_mesh(n_shards)
+    ys = jnp.zeros(T)
+    obs = g.C[:, "y"].set(ys)
+    pf = make_pf(n_particles)
+    lowered = _pf_run_sharded.lower(
+        pf, jr.key(0), 0.0, jnp.zeros(T), obs,
+        mesh=mesh, axis="batch", resample_mode="local", n_steps=None,
+    )
+    text = lowered.compile().as_text()
+    audit = hlo_collectives(text)
+    # the scan body executes T times; collectives inside the (unrolled or
+    # looped) scan body are per-step — report both raw and per-step
+    audit["per_step_estimate"] = {
+        "count": audit["count"] / T if T else None,
+    }
+    return audit
+
+
+def main():
+    n_dev = len(jax.devices())
+    T = 20
+    results = {
+        "host": {
+            "physical_cores": os.cpu_count(),
+            "virtual_devices": n_dev,
+            "device_kind": jax.devices()[0].device_kind,
+            "note": (
+                "weak scaling past the physical core count cannot stay "
+                "linear on a CPU mesh: 8 virtual devices time-slice "
+                f"{os.cpu_count()} cores, and the 1-shard baseline "
+                "additionally uses XLA intra-op threading across all cores"
+            ),
+        },
+        "hlo_collectives": {},
+        "rates": {"pf": {}, "pf_stats_only": {}, "pf_nocollective": {}, "chains": {}},
+    }
+
+    for s in (1, 2, 4, 8):
+        if s > n_dev:
+            continue
+        results["hlo_collectives"][s] = pf_hlo_audit(s, 4096 * s, T)
+        print(f"# hlo audit s={s}: {results['hlo_collectives'][s]}", file=sys.stderr)
+
+    for s in (1, 2, 4, 8):
+        if s > n_dev:
+            continue
+        results["rates"]["pf"][s] = pf_with_collectives(s, 4096 * s, T)
+        results["rates"]["pf_stats_only"][s] = pf_with_collectives(
+            s, 4096 * s, T, ess_threshold=0.0
+        )
+        results["rates"]["pf_nocollective"][s] = pf_collective_free(s, 4096 * s, T)
+        results["rates"]["chains"][s] = chains_rate(s, 1024 * s, 20)
+        print(
+            f"# s={s}: pf {results['rates']['pf'][s]/1e6:.2f}M "
+            f"stats {results['rates']['pf_stats_only'][s]/1e6:.2f}M "
+            f"nocoll {results['rates']['pf_nocollective'][s]/1e6:.2f}M "
+            f"chains {results['rates']['chains'][s]/1e6:.2f}M",
+            file=sys.stderr,
+        )
+
+    eff = {}
+    for name, rates in results["rates"].items():
+        base = rates.get(1)
+        if not base:
+            continue
+        eff[name] = {
+            s: rates[s] / (base * s) for s in rates if s != 1
+        }
+    results["efficiency"] = eff
+    print(json.dumps(results, indent=2, default=float))
+
+
+if __name__ == "__main__":
+    main()

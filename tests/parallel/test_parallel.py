@@ -374,3 +374,97 @@ class TestCompileCaching:
         after_first = _run_chains_jit._cache_size()
         run_chains_sharded(jax.random.key(1), make_trace, req, 5, 16, mesh)
         assert _run_chains_jit._cache_size() == after_first > before
+
+
+def _make_shard_map(prog, in_specs, out_specs):
+    """shard_map across jax versions (check_vma vs check_rep kwarg)."""
+    import inspect
+
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    mesh = make_mesh()
+    _params = inspect.signature(shard_map).parameters
+    kw = (
+        {"check_vma": False}
+        if "check_vma" in _params
+        else {"check_rep": False}
+    )
+    return shard_map(
+        prog, mesh=mesh, in_specs=in_specs, out_specs=out_specs, **kw
+    )
+
+
+class TestCollectiveWeightStats:
+    """The fused per-step reduction (one pmax + one stacked psum) that
+    serves BOTH the adaptive-resampling ESS decision and the logZ
+    normalizer (parallel/resampling.py collective_weight_stats)."""
+
+    def test_matches_unsharded_ess_and_normalizer(self):
+        from jax.scipy.special import logsumexp
+        from jax.sharding import PartitionSpec as P
+
+        from genjax_tpu.parallel import collective_weight_stats
+
+        n_dev = len(jax.devices())
+        k = 64 * n_dev
+        lw = jax.random.normal(KEY, (k,)) * 3.0
+
+        f = _make_shard_map(
+            lambda lw: collective_weight_stats(lw, "batch"),
+            in_specs=(P("batch"),),
+            out_specs=(P(), P()),
+        )
+        ess, log_norm = jax.jit(f)(lw)
+
+        w = jnp.exp(lw - jnp.max(lw))
+        ess_true = jnp.sum(w) ** 2 / jnp.sum(w * w)
+        log_norm_true = logsumexp(lw) - jnp.log(float(k))
+        assert float(ess) == pytest.approx(float(ess_true), rel=1e-5)
+        assert float(log_norm) == pytest.approx(
+            float(log_norm_true), rel=1e-5
+        )
+
+    def test_resample_log_z_inc_passthrough(self):
+        """collective_resample with a precomputed normalizer must produce
+        exactly the outputs of the self-computing path (same key), so the
+        fused-stats caller saves collectives without changing semantics."""
+        from jax.sharding import PartitionSpec as P
+
+        from genjax_tpu.parallel import (
+            collective_resample,
+            collective_weight_stats,
+        )
+
+        n_dev = len(jax.devices())
+        k = 64 * n_dev
+        particles = jnp.arange(float(k))
+        lw = jax.random.normal(jax.random.key(5), (k,))
+
+        def prog(key, particles, lw, precompute):
+            def with_inc(_):
+                _, inc = collective_weight_stats(lw, "batch")
+                return collective_resample(
+                    key, particles, lw, "batch", mode="local", log_z_inc=inc
+                )
+
+            def without(_):
+                return collective_resample(
+                    key, particles, lw, "batch", mode="local"
+                )
+
+            return jax.lax.cond(precompute, with_inc, without, None)
+
+        f = jax.jit(
+            _make_shard_map(
+                prog,
+                in_specs=(P(), P("batch"), P("batch"), P()),
+                out_specs=(P("batch"), P("batch"), P()),
+            )
+        )
+        out_pre = f(KEY, particles, lw, jnp.asarray(True))
+        out_self = f(KEY, particles, lw, jnp.asarray(False))
+        for a, b in zip(out_pre, out_self):
+            assert jnp.allclose(a, b, rtol=1e-5), (a, b)
