@@ -16,6 +16,9 @@ single-line parsers pick it up. Set BENCH_MODE to run one config:
   vi      ADEV ELBO gradient steps (reparam guide, conjugate target)
   dp      DP-mixture tempered SMC (stick-breaking, rung ladder)
   hmc_pallas  the Mosaic VMEM kernel on the hmc sweep
+  hmc_pallas_elementwise  pallas vs xla on an iid-normal (elementwise)
+          model — the regime where the VMEM kernel wins; emits the
+          measured speedup as its own line
   gp      elliptical slice sampling over GP latents (MXU-heavy ellipse
           draws; the latent-Gaussian workload profile)
   svgd    Stein variational particle flow on the flagship model (N x N
@@ -97,6 +100,56 @@ def emit(metric, value, unit):
     }
     _EMITTED.append(record)
     print(json.dumps(record), flush=True)
+    # every record is also persisted immediately, so a truncated stdout
+    # capture (the driver keeps only the tail) never loses early modes
+    try:
+        with open("BENCH_EMITTED.json", "w") as f:
+            json.dump(_EMITTED, f, indent=1)
+    except OSError:
+        pass
+
+
+def _ess_line(metric, sweep_draw, carry0, reps, *, max_lag=32):
+    """ESS/sec (the north-star unit) for any sweep kernel.
+
+    ``sweep_draw(carry, i) -> (carry, draw_row)`` runs ONE sweep and
+    returns a per-chain scalar draw (thinning = the sweep length); the
+    whole collection is a single jitted ``lax.scan`` so the measurement
+    adds no per-sweep dispatch overhead. Timed over a second (warm) scan.
+    """
+    from genjax_tpu.inference.diagnostics import ess
+
+    @jax.jit
+    def collect(c):
+        return jax.lax.scan(
+            sweep_draw, c, 1000 + jnp.arange(reps, dtype=jnp.int32)
+        )
+
+    c, draws = collect(carry0)  # compile + warm
+    _ = float(draws[0, 0])
+    t0 = time.perf_counter()
+    c, draws = collect(c)
+    _ = float(draws[0, 0])
+    dt = time.perf_counter() - t0
+    stacked = jnp.transpose(draws)  # (chains, reps)
+    total_ess = float(ess(stacked, max_lag=min(reps - 1, max_lag)))
+    emit(metric, total_ess / dt, "ESS/sec/chip")
+    return c
+
+
+def _achieved_gflops(metric, jitted, args, dt_per_call):
+    """Achieved GFLOP/s from XLA's own cost model: compiled-program flops
+    divided by measured wall time per call (MXU-utilization evidence for
+    the matmul-bound modes)."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        if flops > 0 and dt_per_call > 0:
+            emit(metric, flops / dt_per_call / 1e9, "GFLOP/s")
+    except Exception as e:  # pragma: no cover — cost model availability
+        _log(f"# cost_analysis unavailable for {metric}: {e}")
 
 
 def _regression_setup():
@@ -164,37 +217,16 @@ def bench_hmc():
     samples_per_sec = n_chains * n_steps * reps / dt
 
     # ESS/sec (north-star unit), measured in a SEPARATE timed phase: one
-    # jitted scan runs ess_reps sweeps and collects a param-0 slice per
-    # sweep (thinning = n_steps), so the collection adds no per-sweep
-    # dispatch overhead to the measurement.
-    try:
-        from genjax_tpu.inference.diagnostics import ess
+    # jitted scan runs sweeps and collects a param-0 slice per sweep
+    # (thinning = n_steps), so the collection adds no per-sweep dispatch
+    # overhead to the measurement.
+    def sweep_draw(q, s):
+        q, _acc = pallas_hmc(
+            ld, q, s, n_steps=n_steps, eps=0.02, L=L, backend=backend
+        )
+        return q, q[0, :]
 
-        ess_reps = min(reps, 25)
-
-        @jax.jit
-        def collect(q):
-            def one(q, s):
-                q, _acc = pallas_hmc(
-                    ld, q, s, n_steps=n_steps, eps=0.02, L=L, backend=backend
-                )
-                return q, q[0, :]
-
-            return jax.lax.scan(
-                one, q, 1000 + jnp.arange(ess_reps, dtype=jnp.int32)
-            )
-
-        q2, draws = collect(q)  # compile + warm
-        _ = float(draws[0, 0])
-        t1 = time.perf_counter()
-        q2, draws = collect(q2)
-        _ = float(draws[0, 0])
-        dt_ess = time.perf_counter() - t1
-        stacked = jnp.transpose(draws)  # (chains, ess_reps)
-        total_ess = float(ess(stacked, max_lag=min(ess_reps - 1, 32)))
-        emit("hmc_ess_per_sec_per_chip", total_ess / dt_ess, "ESS/sec/chip")
-    except Exception as e:  # pragma: no cover
-        _log(f"# ess computation failed: {e}")
+    _ess_line("hmc_ess_per_sec_per_chip", sweep_draw, q, min(reps, 25))
 
     _log(
         f"# hmc fused column ({backend}); chains={n_chains} steps/sweep={n_steps} "
@@ -265,6 +297,15 @@ def bench_nuts():
         "samples/sec/chip",
     )
 
+    def sweep_draw(q, s):
+        q, _acc, _l = nuts_sweep_cols(
+            ld, q, s, n_steps=n_steps, eps=eps, max_depth=max_depth,
+            inv_mass=inv_mass,
+        )
+        return q, q[0, :]
+
+    _ess_line("nuts_ess_per_sec_per_chip", sweep_draw, q, max(reps, 10))
+
 
 def bench_chains():
     """Trace-based MH-HMC chains through the full GFI (run_chains with the
@@ -319,6 +360,17 @@ def bench_chains():
         f"trace_mcmc_transitions_per_sec_{n_chains}chains",
         n_chains * n_steps * reps / dt,
         "transitions/sec/chip",
+    )
+
+    ess_key = jr.key(5)
+
+    def sweep_draw(trs, s):
+        trs, _acc = sweep(jr.fold_in(ess_key, s), trs)
+        tau = trs.get_choices()["tau"]
+        return trs, jnp.ravel(tau)
+
+    _ess_line(
+        "trace_mcmc_ess_per_sec_per_chip", sweep_draw, trs, min(reps, 25)
     )
 
 
@@ -400,8 +452,11 @@ def bench_sir():
 
 
 def bench_vi():
-    """ADEV ELBO gradient-step throughput: reparam guide on the conjugate
-    normal-normal target, batched gradient estimates per step."""
+    """ADEV ELBO gradient-step throughput on the BASELINE.json-named
+    workload: a two-component Gaussian MIXTURE model, guide = REINFORCE
+    over the component indicator + reparameterized component location
+    (the reparam + REINFORCE estimator pair), batched gradient estimates
+    per step."""
     import genjax_tpu as g
     from genjax_tpu.inference import Target, vi
 
@@ -412,13 +467,20 @@ def bench_vi():
 
     @g.gen
     def model_fn(phi):  # phi rides through Target.args for the guide
-        mu = g.normal(0.0, 1.0) @ "mu"
+        z = g.flip(0.5) @ "z"
+        mu = g.normal(jnp.where(z, 2.0, -2.0), 1.0) @ "mu"
         _ = g.normal(mu, 0.5) @ "y"
 
     @g.gen
     def guide_fn(target):
         (phi,) = target.args
-        _ = vi.normal_reparam(phi[0], jnp.exp(phi[1])) @ "mu"
+        # REINFORCE through the discrete component choice...
+        z = vi.flip_reinforce(jax.nn.sigmoid(phi[0])) @ "z"
+        zf = jnp.asarray(z, jnp.float32)
+        m = zf * phi[1] + (1.0 - zf) * phi[3]
+        s = jnp.exp(zf * phi[2] + (1.0 - zf) * phi[4])
+        # ...reparameterization through the continuous location
+        _ = vi.normal_reparam(m, s) @ "mu"
 
     guide = Marginal(
         guide_fn, g.Pytree.const(g.Selection.all()), g.Pytree.const(None)
@@ -434,7 +496,8 @@ def bench_vi():
         g_mean = jax.tree_util.tree_map(lambda v: jnp.mean(v, axis=0), grads)
         return phi - 0.05 * g_mean  # descent on the negative ELBO
 
-    phi = jnp.array([0.0, -1.0])
+    # phi = (component logit, mu1, log_s1, mu0, log_s0)
+    phi = jnp.array([0.0, 1.0, -1.0, -1.0, -1.0])
     phi = step(jr.key(0), phi)
     _ = float(phi[0])
     t0 = time.perf_counter()
@@ -443,11 +506,11 @@ def bench_vi():
     _ = float(phi[0])
     dt = time.perf_counter() - t0
     _log(
-        f"# vi; batch={batch} reps={reps} wall={dt:.2f}s "
-        f"phi=({float(phi[0]):.3f},{float(phi[1]):.3f})"
+        f"# vi (mixture, reparam+reinforce); batch={batch} reps={reps} "
+        f"wall={dt:.2f}s phi={[round(float(p), 3) for p in phi]}"
     )
     emit(
-        "vi_gradient_estimates_per_sec", batch * reps / dt,
+        "vi_mixture_gradient_estimates_per_sec", batch * reps / dt,
         "grad-estimates/sec/chip",
     )
 
@@ -542,6 +605,63 @@ def bench_hmc_pallas():
         f"hmc_pallas_samples_per_sec_per_chip_{n_chains}chains",
         n_chains * n_steps * reps / dt,
         "samples/sec/chip",
+    )
+
+
+def bench_hmc_pallas_elementwise():
+    """Purely elementwise model (iid normals, the regime where the
+    VMEM-resident Mosaic kernel is claimed to beat its XLA twin —
+    ARCHITECTURE §3). Runs BOTH backends on the identical sweep and emits
+    the pallas rate plus the measured pallas/xla speedup, so the claim is
+    a committed BENCH line rather than prose. Also the regime
+    ``select_hmc_backend`` routes to pallas automatically."""
+    from genjax_tpu.kernels import pallas_hmc
+
+    n_chains = int(os.environ.get("BENCH_CHAINS", 65536))
+    n_steps = int(os.environ.get("BENCH_STEPS", 50))
+    reps = int(os.environ.get("BENCH_PALLAS_REPS", 20))
+    d = 8
+
+    def ld(q):  # (D, NB) -> (NB,): no dot_general anywhere in the jaxpr
+        return -0.5 * jnp.sum(q * q, axis=0)
+
+    block_n = min(1024, n_chains)
+    # host numpy init (never let an eager device array become a constant)
+    q0 = np.asarray(
+        np.random.default_rng(0).normal(size=(d, n_chains)), np.float32
+    )
+    # CPU smoke runs execute the kernel body under the Pallas interpreter
+    interpret = jax.devices()[0].platform != "tpu"
+    rates = {}
+    for backend in ("pallas", "xla"):
+        sweep = jax.jit(
+            lambda q, s, b=backend: pallas_hmc(
+                ld, q, s, n_steps=n_steps, eps=0.2, L=5, backend=b,
+                block_n=block_n, interpret=interpret,
+            )
+        )
+        q, acc = sweep(q0, 0)  # compile + warm
+        _ = float(acc)
+        t0 = time.perf_counter()
+        for i in range(1, reps + 1):
+            q, acc = sweep(q, i)
+        _ = float(acc)
+        dt = time.perf_counter() - t0
+        rates[backend] = n_chains * n_steps * reps / dt
+        _log(
+            f"# hmc elementwise [{backend}]; chains={n_chains} "
+            f"steps={n_steps} reps={reps} wall={dt:.2f}s "
+            f"accept={float(acc):.2f}"
+        )
+    emit(
+        "hmc_pallas_elementwise_samples_per_sec_per_chip",
+        rates["pallas"],
+        "samples/sec/chip",
+    )
+    emit(
+        "hmc_pallas_elementwise_speedup_vs_xla",
+        rates["pallas"] / rates["xla"],
+        "x",
     )
 
 
@@ -667,6 +787,17 @@ def bench_gp():
         n_chains * n_steps * reps / dt,
         "transitions/sec/chip",
     )
+    # achieved GFLOP/s of the compiled sweep (MXU-utilization evidence:
+    # the ellipse draws are (D, D) @ (D, N) matmuls)
+    _achieved_gflops(
+        "gp_achieved_gflops", sweep, (q, 0), dt / reps
+    )
+
+    def sweep_draw(q, s):
+        q = ess_sweep_cols(ll, q, s, n_steps=n_steps, chol_prior=chol)[0]
+        return q, q[0, :]
+
+    _ess_line("gp_mcmc_ess_per_sec_per_chip", sweep_draw, q, max(reps, 10))
 
 
 def bench_svgd():
@@ -704,6 +835,8 @@ def bench_svgd():
         n_particles * n_steps * reps / dt,
         "particle-updates/sec/chip",
     )
+    # achieved GFLOP/s (the (N, N) Gram + two (D, N) x (N, N) matmuls)
+    _achieved_gflops("svgd_achieved_gflops", run_j, (0,), dt / reps)
 
 
 MODES = {
@@ -713,6 +846,7 @@ MODES = {
     "chees": bench_chees,
     "hmc": bench_hmc,
     "hmc_pallas": bench_hmc_pallas,
+    "hmc_pallas_elementwise": bench_hmc_pallas_elementwise,
     "nuts": bench_nuts,
     "pf": bench_pf,
     "sir": bench_sir,
@@ -732,7 +866,7 @@ def main():
     # JSON line also pick it up.
     for name in (
         "hmc", "sir", "vi", "dp", "pf", "chains", "nuts", "chees",
-        "hmc_pallas", "gp", "svgd",
+        "hmc_pallas", "hmc_pallas_elementwise", "gp", "svgd",
     ):
         try:
             MODES[name]()

@@ -163,6 +163,44 @@ def _hmc_kernel(
     out_q_ref[:] = q_final
 
 
+_MXU_PRIMS = frozenset({"dot_general", "conv_general_dilated"})
+
+
+def _jaxpr_has_mxu_ops(jaxpr) -> bool:
+    """Does the (recursively traversed) jaxpr contain matmul/conv ops?"""
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name in _MXU_PRIMS:
+            return True
+        for v in eqn.params.values():
+            inner = getattr(v, "jaxpr", None)
+            if inner is not None and _jaxpr_has_mxu_ops(inner):
+                return True
+            if isinstance(v, (tuple, list)):
+                for u in v:
+                    inner = getattr(u, "jaxpr", None)
+                    if inner is not None and _jaxpr_has_mxu_ops(inner):
+                        return True
+    return False
+
+
+def select_hmc_backend(logdensity_cols: Callable, d: int, block_n: int) -> str:
+    """Data-driven ``"xla"`` vs ``"pallas"`` choice: stage the log-density
+    once and inspect its jaxpr. Matmuls/convs (MXU ops) → ``"xla"`` (its
+    scheduler overlaps MXU and VPU work the hand-written kernel cannot);
+    purely elementwise bodies on an actual TPU → ``"pallas"`` (the
+    VMEM-resident sweep wins when every op is a lane op — measured 1.26×
+    on iid normals, see ``bench.py hmc_pallas_elementwise``)."""
+    try:
+        if jax.devices()[0].platform != "tpu":
+            return "xla"
+        closed = jax.make_jaxpr(logdensity_cols)(
+            jax.ShapeDtypeStruct((d, block_n), jnp.float32)
+        )
+        return "xla" if _jaxpr_has_mxu_ops(closed.jaxpr) else "pallas"
+    except Exception:
+        return "xla"
+
+
 def pallas_hmc(
     logdensity_cols: Callable,
     q0,
@@ -187,6 +225,9 @@ def pallas_hmc(
     - ``"pallas"``: the VMEM-resident Mosaic kernel — wins on small purely
       elementwise models (1.26× over XLA on iid normals), loses where the
       MXU is involved. Also the only TPU path with in-kernel RNG.
+    - ``"auto"``: stage the log-density and pick from its jaxpr
+      (``select_hmc_backend``): MXU ops present → xla, purely elementwise
+      on a TPU → pallas.
 
     Args:
         logdensity_cols: batched log-density ``(D, NB) -> (NB,)`` in jnp.
@@ -198,6 +239,10 @@ def pallas_hmc(
         ``(q_final, accept_rate)`` — positions ``(D, N)`` and the mean
         acceptance rate over chains and steps.
     """
+    if backend == "auto":
+        backend = select_hmc_backend(
+            logdensity_cols, q0.shape[0], min(block_n, q0.shape[1])
+        )
     if backend == "xla":
         # Identical algorithm/layout in plain JAX.
         return _reference_hmc(

@@ -122,7 +122,7 @@ def column_hmc(
     seed: int = 0,
     block_n: int = 1024,
     interpret: bool = False,
-    backend: str = "xla",
+    backend: str = "auto",
     warmup: bool = False,
     inv_mass=None,
 ):
@@ -131,7 +131,30 @@ def column_hmc(
     size and a diagonal mass matrix from cross-chain variance before the
     main sweep (``eps`` then seeds the adaptation). Returns ``(positions,
     accept_rate, packer)``; decode single chains with
-    ``packer.unpack(positions[:, i])``."""
+    ``packer.unpack(positions[:, i])``.
+
+    ``backend="auto"`` (default) stages the model's column log-density and
+    picks from its jaxpr: matmul/conv ops → the XLA scan sweep, purely
+    elementwise on a TPU → the VMEM-resident Pallas kernel
+    (``kernels.hmc.select_hmc_backend``).
+
+    >>> import jax
+    >>> import jax.numpy as jnp
+    >>> import genjax_tpu as g
+    >>> from genjax_tpu.kernels import column_hmc
+    >>> @g.gen
+    ... def model():
+    ...     mu = g.normal(0.0, 1.0) @ "mu"
+    ...     _ = g.normal(mu, 1.0) @ "y"
+    >>> q, accept, packer = column_hmc(
+    ...     model, g.C["y"].set(2.0), (), ["mu"],
+    ...     n_chains=256, n_steps=100, eps=0.5, L=5, seed=1,
+    ... )
+    >>> q.shape   # (packed dims padded to the sublane multiple, chains)
+    (8, 256)
+    >>> bool(abs(jnp.mean(q[0]) - 1.0) < 0.3)   # posterior mean = 1
+    True
+    """
     if constraint is None:
         # unconstrained use (pure prior sweeps) is advertised: normalize
         # here so generate/assess downstream see a real ChoiceMap
