@@ -11,6 +11,34 @@ with XLA collectives.
 Capability parity target: ``genjax`` (MIT Probabilistic Computing Project),
 reference at ``/root/reference`` — see each module's docstring for the
 file:line parity map.
+
+Quickstart — model, trace, score (every example below executes in CI,
+``tests/test_doctests.py``):
+
+    >>> import jax
+    >>> import genjax_tpu as g
+    >>> @g.gen
+    ... def model():
+    ...     mu = g.normal(0.0, 1.0) @ "mu"
+    ...     y = g.normal(mu, 0.5) @ "y"
+    ...     return y
+    >>> tr = model.simulate(jax.random.key(0), ())
+    >>> chm = tr.get_choices()
+    >>> sorted([chm["mu"].ndim, chm["y"].ndim])   # scalar choices
+    [0, 0]
+
+    Constrain the observation and importance-weight the rest:
+
+    >>> obs = g.C["y"].set(1.2)
+    >>> tr, weight = model.generate(jax.random.key(1), obs, ())
+    >>> float(tr.get_choices()["y"])
+    1.2
+
+    ``assess`` of a full choice map equals the trace's own score:
+
+    >>> score, ret = model.assess(tr.get_choices(), ())
+    >>> bool(jax.numpy.isclose(score, tr.get_score()))
+    True
 """
 
 from . import core

@@ -17,7 +17,17 @@ from .vmap import VmapCombinator
 
 def repeat(*, n: int):
     """``repeat(n=n)(gen_fn)``: a gen fn with the same argument signature
-    whose choices/retval carry a leading axis of ``n`` i.i.d. repetitions."""
+    whose choices/retval carry a leading axis of ``n`` i.i.d. repetitions.
+
+    >>> import jax
+    >>> import genjax_tpu as g
+    >>> one = g.gen(lambda: g.normal(0.0, 1.0) @ "v")
+    >>> tr = g.repeat(n=4)(one).simulate(jax.random.key(0), ())
+    >>> tr.get_retval().shape
+    (4,)
+    >>> tr.get_choices()[2, "v"].shape
+    ()
+    """
 
     def decorator(gen_fn: GenerativeFunction):
         # Inner shape: (dummy_lane, packed_args) — dummy mapped, args shared.

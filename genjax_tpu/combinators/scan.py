@@ -416,7 +416,26 @@ class ScanCombinator(GenerativeFunction):
 
 def scan(*, n: int | None = None):
     """``(c, a) -> (c, b)`` kernel ⇒ ``(c, [a]) -> (c, [b])``
-    (reference scan.py:672)."""
+    (reference scan.py:672).
+
+    The kernel's choices stack along a leading time axis; index into them
+    with the timestep:
+
+    >>> import jax
+    >>> import jax.numpy as jnp
+    >>> import genjax_tpu as g
+    >>> @g.scan(n=5)
+    ... @g.gen
+    ... def walk(pos, _):
+    ...     step = g.normal(pos, 1.0) @ "step"
+    ...     return step, pos
+    >>> tr = walk.simulate(jax.random.key(0), (0.0, None))
+    >>> tr.get_choices()[2, "step"].shape   # index by timestep
+    ()
+    >>> final, history = tr.get_retval()
+    >>> history.shape
+    (5,)
+    """
 
     def decorator(gen_fn: GenerativeFunction) -> ScanCombinator:
         return ScanCombinator(gen_fn, length=n)

@@ -294,5 +294,18 @@ class SwitchCombinator(GenerativeFunction):
 
 def switch(*branches: GenerativeFunction) -> SwitchCombinator:
     """Build a ``SwitchCombinator`` over ``branches`` (reference
-    switch.py:311)."""
+    switch.py:311).
+
+    Args are ``(index, branch0_args, branch1_args, ...)``; all branches
+    execute under ``lax.switch``-style masking so shapes stay static:
+
+    >>> import jax
+    >>> import genjax_tpu as g
+    >>> near = g.gen(lambda: g.normal(0.0, 0.1) @ "v")
+    >>> far = g.gen(lambda: g.normal(100.0, 0.1) @ "v")
+    >>> sw = g.switch(near, far)
+    >>> tr = sw.simulate(jax.random.key(0), (1, (), ()))
+    >>> bool(tr.get_retval() > 50.0)   # index 1 picked `far`
+    True
+    """
     return SwitchCombinator(tuple(branches))

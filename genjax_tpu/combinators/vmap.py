@@ -281,7 +281,23 @@ def _lossless_bwd(bwds) -> EditRequest:
 
 
 def vmap(*, in_axes: Any = 0, axis_size: int | None = None, axis_name: str | None = None):
-    """Decorator form: ``vmap(in_axes=...)(gen_fn)`` (reference vmap.py:384)."""
+    """Decorator form: ``vmap(in_axes=...)(gen_fn)`` (reference vmap.py:384).
+
+    One batched execution; choices index by lane first:
+
+    >>> import jax
+    >>> import jax.numpy as jnp
+    >>> import genjax_tpu as g
+    >>> @g.vmap(in_axes=(0,))
+    ... @g.gen
+    ... def batched(mu):
+    ...     return g.normal(mu, 1.0) @ "x"
+    >>> tr = batched.simulate(jax.random.key(0), (jnp.zeros(3),))
+    >>> tr.get_choices()[1, "x"].shape
+    ()
+    >>> tr.get_retval().shape
+    (3,)
+    """
 
     def decorator(gen_fn: GenerativeFunction) -> VmapCombinator:
         return VmapCombinator(gen_fn, in_axes=in_axes, axis_size=axis_size, axis_name=axis_name)

@@ -35,6 +35,19 @@ class Pytree:
     Subclasses are declared with the ``@Pytree.dataclass`` decorator. Fields
     declared with ``Pytree.static()`` are stored in the treedef (must be
     hashable); all other fields are dynamic pytree children.
+
+    >>> import jax
+    >>> import jax.numpy as jnp
+    >>> from genjax_tpu import Pytree
+    >>> @Pytree.dataclass
+    ... class Particle(Pytree):
+    ...     pos: jnp.ndarray
+    ...     name: str = Pytree.static(default="p")
+    >>> p = Particle(jnp.zeros(3))
+    >>> [leaf.shape for leaf in jax.tree_util.tree_leaves(p)]
+    [(3,)]
+    >>> jax.tree_util.tree_map(lambda x: x + 1.0, p).name  # static rides along
+    'p'
     """
 
     @staticmethod

@@ -64,7 +64,22 @@ class DistributionTrace(Trace):
 
 
 class Distribution(GenerativeFunction):
-    """Measure over a single choice, with (possibly estimated) densities."""
+    """Measure over a single choice, with (possibly estimated) densities.
+
+    Distributions are generative functions: use them standalone or at an
+    address inside ``@gen``:
+
+    >>> import jax
+    >>> import jax.numpy as jnp
+    >>> import genjax_tpu as g
+    >>> round(float(g.normal.logpdf(0.0, 0.0, 1.0)), 5)  # N(0,1) at 0
+    -0.91894
+    >>> tr = g.normal.simulate(jax.random.key(0), (0.0, 1.0))
+    >>> bool(jnp.isclose(
+    ...     tr.get_score(), g.normal.logpdf(tr.get_retval(), 0.0, 1.0)
+    ... ))
+    True
+    """
 
     @abc.abstractmethod
     def random_weighted(self, key: PRNGKey, *args) -> tuple[Score, Any]:

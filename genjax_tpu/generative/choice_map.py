@@ -96,7 +96,21 @@ def _leading_axis_size(chm: "ChoiceMap") -> int | None:
 
 
 class ChoiceMap(Pytree):
-    """Hierarchical, address-indexed storage of sampled values."""
+    """Hierarchical, address-indexed storage of sampled values.
+
+    Build with the ``C`` builder, read with ``[]``, combine with ``|``
+    (left wins) or ``^`` (disjoint), restrict with ``filter``:
+
+    >>> import genjax_tpu as g
+    >>> chm = g.C["obs", "y"].set(1.0) | g.C["mu"].set(0.5)
+    >>> float(chm["obs", "y"]), float(chm["mu"])
+    (1.0, 0.5)
+    >>> kept = chm.filter(g.S["mu"])
+    >>> kept("obs").static_is_empty(), float(kept["mu"])
+    (True, 0.5)
+    >>> float((g.C["mu"].set(9.9) | chm)["mu"])   # left priority
+    9.9
+    """
 
     # ------------------------------------------------------------------
     # abstract interface

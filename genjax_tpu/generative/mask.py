@@ -46,6 +46,17 @@ def _check_flag_prefix(value: Any, flag: Flag) -> None:
 
 @Pytree.dataclass(init=False)
 class Mask(Pytree):
+    """Existence uncertainty as data: a value plus a validity flag, so
+    optional structure stays fixed-shape under ``jit``.
+
+    >>> import genjax_tpu as g
+    >>> m = g.Mask(1.5, True)
+    >>> float(m.unmask()), bool(m.flag)
+    (1.5, True)
+    >>> float(g.Mask(2.5, False).unmask(default=0.0))   # invalid -> default
+    0.0
+    """
+
     value: Any
     flag: Flag
 

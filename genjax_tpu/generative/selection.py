@@ -27,6 +27,18 @@ from ..core.typing_ import Flag
 
 
 class Selection(Pytree):
+    """A predicate over addresses — what to regenerate, project, or
+    filter. Build with ``S``; combine with ``|``/``&``/``~``; test
+    membership with ``in``:
+
+    >>> import genjax_tpu as g
+    >>> sel = g.S["x"] | g.S["y", "z"]
+    >>> ("x",) in sel, ("y", "z") in sel, ("y",) in sel
+    (True, True, False)
+    >>> ("x",) in ~sel, ("other",) in ~sel
+    (False, True)
+    """
+
     # ----- interface -----
 
     @abc.abstractmethod

@@ -15,7 +15,17 @@ import jax.numpy as jnp
 def split_rhat(draws) -> jnp.ndarray:
     """Split-chain potential scale reduction factor (Gelman et al., BDA3 /
     Vehtari et al. 2021). ``draws``: (n_chains, n_draws[, ...]). Values
-    near 1 indicate convergence."""
+    near 1 indicate convergence.
+
+    >>> import jax
+    >>> from genjax_tpu.inference.diagnostics import split_rhat
+    >>> iid = jax.random.normal(jax.random.key(0), (4, 400))
+    >>> bool(split_rhat(iid) < 1.05)      # well-mixed chains
+    True
+    >>> shifted = iid + jax.numpy.arange(4)[:, None] * 5.0
+    >>> bool(split_rhat(shifted) > 1.5)   # chains disagree
+    True
+    """
     n_chains, n_draws = draws.shape[0], draws.shape[1]
     half = n_draws // 2
     split = jnp.concatenate(
@@ -34,6 +44,12 @@ def ess(draws, max_lag: int | None = None) -> jnp.ndarray:
     """Bulk effective sample size (Vehtari et al. 2021): split chains,
     cross-chain pooled-variance autocorrelations, Geyer initial positive
     sequence with a fixed lag budget. ``draws``: (n_chains, n_draws).
+
+    >>> import jax
+    >>> from genjax_tpu.inference.diagnostics import ess
+    >>> iid = jax.random.normal(jax.random.key(0), (4, 400))
+    >>> bool(ess(iid) > 1000.0)   # iid draws: ESS near n_chains*n_draws
+    True
 
     The lag-t correlation is ``rho_t = 1 - (W - mean_acov_t) / var_plus``
     with ``var_plus = (n-1)/n W + B/n`` — between-chain disagreement

@@ -23,7 +23,7 @@ from jax import lax
 
 from ...core.diff import Diff
 from ...core.pytree import Pytree
-from ...core.typing_ import PRNGKey, static_check_supports_grad
+from ...core.typing_ import PRNGKey
 from ...generative.concepts import (
     Argdiffs,
     DiffAnnotate,
@@ -36,41 +36,12 @@ from ...generative.selection import Selection
 from ...generative.trace import Trace
 
 
-# ----------------------------------------------------------------------
-# grad/nongrad helpers — the shared raveled-vector path lives in
-# grad_view.py (split_ravel / selected_logdensity / selection_gradient);
-# the paired-tree unzip/zip below serves the transforms that work on
-# trees of gradients directly (involutive MH, MAP/Laplace, diagnostics)
-# ----------------------------------------------------------------------
-
+# the shared raveled-vector gradient path lives in grad_view.py
 from .grad_view import (  # noqa: E402 — re-exported for existing importers
     selected_logdensity,
     selection_gradient,
     split_ravel,
 )
-
-
-def grad_tree_unzip(tree):
-    grad_tree = jtu.tree_map(
-        lambda v: v if static_check_supports_grad(v) else None, tree
-    )
-    nongrad_tree = jtu.tree_map(
-        lambda v: v if not static_check_supports_grad(v) else None, tree
-    )
-    return grad_tree, nongrad_tree
-
-
-def grad_tree_zip(grad_tree, nongrad_tree):
-    """Inverse of ``grad_tree_unzip``: every ``None`` slot of one side is
-    filled from the other."""
-    g_leaves, treedef = jtu.tree_flatten(
-        grad_tree, is_leaf=lambda x: x is None
-    )
-    n_leaves = jtu.tree_leaves(nongrad_tree, is_leaf=lambda x: x is None)
-    return jtu.tree_unflatten(
-        treedef,
-        [n if g is None else g for g, n in zip(g_leaves, n_leaves)],
-    )
 
 
 # ----------------------------------------------------------------------

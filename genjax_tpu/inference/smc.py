@@ -183,7 +183,23 @@ class Importance(SMCAlgorithm):
 @Pytree.dataclass
 class ImportanceK(SMCAlgorithm):
     """K-particle importance sampling (reference smc.py:283). Particles are
-    vmapped on-chip; shard the particle axis for multi-chip scale."""
+    vmapped on-chip; shard the particle axis for multi-chip scale.
+
+    >>> import jax
+    >>> import jax.numpy as jnp
+    >>> import genjax_tpu as g
+    >>> from genjax_tpu.inference import ImportanceK, Target
+    >>> @g.gen
+    ... def model():
+    ...     mu = g.normal(0.0, 1.0) @ "mu"
+    ...     _ = g.normal(mu, 0.5) @ "y"
+    >>> target = Target(model, (), g.C["y"].set(1.0))
+    >>> alg = ImportanceK(target, k_particles=500)
+    >>> key = jax.random.key(0)
+    >>> logz, chm = alg.random_weighted(key, target)  # weight + posterior draw
+    >>> chm["mu"].shape
+    ()
+    """
 
     target: Target
     q: SampleDistribution | None = None

@@ -574,7 +574,29 @@ def _kwargs_call(inner: Closure, args: tuple, kwargs: dict):
 
 def gen(fn: Callable) -> StaticGenerativeFunction:
     """Decorator: a Python function with addressed calls becomes a
-    ``StaticGenerativeFunction`` (reference static.py:1044)."""
+    ``StaticGenerativeFunction`` (reference static.py:1044).
+
+    Addressed calls (``dist(args) @ "addr"`` or ``gen_fn(args) @ "addr"``)
+    record random choices; everything else is ordinary traced JAX:
+
+    >>> import jax
+    >>> import genjax_tpu as g
+    >>> @g.gen
+    ... def pair(shift):
+    ...     x = g.normal(shift, 1.0) @ "x"
+    ...     return x + shift
+    >>> @g.gen
+    ... def model():
+    ...     a = pair(1.0) @ "sub"       # generative functions nest
+    ...     b = g.flip(0.5) @ "b"
+    ...     return a
+    >>> tr = model.simulate(jax.random.key(0), ())
+    >>> chm = tr.get_choices()
+    >>> bool(jax.numpy.isclose(tr.get_retval(), chm["sub", "x"] + 1.0))
+    True
+    >>> chm["b"].dtype.name
+    'bool'
+    """
     if isinstance(fn, Closure):
         closure = fn
     else:
