@@ -186,9 +186,11 @@ def read(chm, path):
     return v.unmask() if isinstance(v, g.Mask) else v
 
 
-@settings(max_examples=80, deadline=None)
-@given(st.data())
-def test_edit_sequences_preserve_invariants(data):
+# Each battery runs twice: a reduced fast-lane pass on every commit, and
+# the full-budget pass in the slow lane (-m slow) — VERDICT r2 item 8.
+
+
+def _edit_sequences_body(data):
     gen_fn, args, update_paths, regen_paths = data.draw(models())
     if regen_paths is None:
         regen_paths = update_paths
@@ -232,6 +234,19 @@ def test_edit_sequences_preserve_invariants(data):
             assert float(w + wb) == pytest.approx(0.0, abs=2e-3), (kind, path)
 
         tr = new_tr
+
+
+@settings(max_examples=16, deadline=None)
+@given(st.data())
+def test_edit_sequences_preserve_invariants(data):
+    _edit_sequences_body(data)
+
+
+@pytest.mark.slow
+@settings(max_examples=80, deadline=None)
+@given(st.data())
+def test_edit_sequences_preserve_invariants_full(data):
+    _edit_sequences_body(data)
 
 
 # ----------------------------------------------------------------------
@@ -309,9 +324,7 @@ def _masked_score_zero(kind, state):
     return (kind == "mask" and not state) or False
 
 
-@settings(max_examples=60, deadline=None)
-@given(st.data())
-def test_structural_flip_invariants(data):
+def _structural_flip_body(data):
     """Flag flips / index flips / arg changes interleaved with value
     updates: after every move the new trace is assess-consistent at the
     NEW args, and applying the backward request with REVERSED argdiffs
@@ -368,6 +381,19 @@ def test_structural_flip_invariants(data):
         tr = new_tr
 
 
+@settings(max_examples=12, deadline=None)
+@given(st.data())
+def test_structural_flip_invariants(data):
+    _structural_flip_body(data)
+
+
+@pytest.mark.slow
+@settings(max_examples=60, deadline=None)
+@given(st.data())
+def test_structural_flip_invariants_full(data):
+    _structural_flip_body(data)
+
+
 # ----------------------------------------------------------------------
 # upstream Regenerate driving a switch index change (repo-native:
 # Switch._edit_regenerate; the reference asserts Update-only at
@@ -384,9 +410,7 @@ def _indexed_model(mu):
     return obs
 
 
-@settings(max_examples=25, deadline=None)
-@given(st.integers(0, 10_000))
-def test_regenerate_through_switch_index(seed):
+def _regenerate_switch_body(seed):
     tr = _indexed_model.simulate(jax.random.key(seed), (0.3,))
     kk = jax.random.key(seed + 1)
     new_tr, _w, _rd, bwd = tr.edit(kk, g.Regenerate(g.S["z"]))
@@ -396,3 +420,16 @@ def test_regenerate_through_switch_index(seed):
     assert float(back.get_score()) == pytest.approx(
         float(tr.get_score()), abs=2e-3
     )
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(0, 10_000))
+def test_regenerate_through_switch_index(seed):
+    _regenerate_switch_body(seed)
+
+
+@pytest.mark.slow
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 10_000))
+def test_regenerate_through_switch_index_full(seed):
+    _regenerate_switch_body(seed)

@@ -37,6 +37,7 @@ def dp_mixture(data):
     return weights
 
 
+@pytest.mark.slow
 def test_cluster_recovery():
     key = jax.random.key(0)
     centers = jnp.array([-3.0, 3.0])

@@ -1,6 +1,8 @@
 """EllipticalSlice edit request vs conjugate closed forms on real @gen
 traces (scalar, vector, and correlated-prior models)."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import jax.random as jr
@@ -92,6 +94,7 @@ class TestVectorConjugate:
 
 
 class TestCorrelatedPrior:
+    @pytest.mark.slow
     def test_full_cholesky_prior(self):
         """w ~ N(0, Sigma) with off-diagonal Sigma, one Gaussian
         observation of w[0]+w[1]: exact posterior from joint-Gaussian

@@ -5,6 +5,8 @@ log Z = sum_j log N(y_j; 0, sqrt(1 + sigma^2)); a Gaussian-mixture
 likelihood stays closed-form because each component is Gaussian in q.
 """
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import jax.random as jr
@@ -128,6 +130,7 @@ class TestNestedSamplingExact:
 
 
 class TestColumnBridge:
+    @pytest.mark.slow
     def test_conjugate_model_evidence(self):
         @g.gen
         def model():

@@ -142,6 +142,7 @@ class TestMultiPathfinder:
         assert float(res.pareto_k) < 0.7
         assert res.path_elbos.shape == (4,)
 
+    @pytest.mark.slow
     def test_column_bridge_conjugate(self):
         @g.gen
         def model():

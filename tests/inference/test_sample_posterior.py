@@ -38,6 +38,7 @@ class TestSamplePosterior:
         assert float(res.ess_of("mu")) > 100.0
         assert 0.5 < float(res.accept_rate) <= 1.0
 
+    @pytest.mark.slow
     def test_multi_address_vector_selection(self):
         scales = jnp.array([0.2, 2.0])
 

@@ -29,6 +29,7 @@ def exact_flip_logZ():
 
 
 class TestImportance:
+    @pytest.mark.slow
     def test_one_particle_logZ_loose(self):
         target = Target(flip_model, (), g.C["v"].set(True))
         alg = Importance(target)
@@ -57,6 +58,7 @@ class TestImportance:
         assert 0.0 < float(p) < 1.0
         assert not chm.get_submap("v").has_value()
 
+    @pytest.mark.slow
     def test_estimate_logpdf_unbiasedness_smoke(self):
         target = Target(flip_model, (), g.C["v"].set(True))
         alg = ImportanceK(target, k_particles=50)

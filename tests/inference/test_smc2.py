@@ -2,6 +2,8 @@
 with an unknown transition coefficient: Kalman gives p(y | a) exactly, so
 the θ-posterior and the evidence have dense-grid ground truth."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import jax.random as jr
@@ -145,6 +147,7 @@ class TestSMC2:
             float(res.log_evidence), float(base.log_evidence), atol=1e-3
         )
 
+    @pytest.mark.slow
     def test_evidence_unbiasedness_across_seeds(self):
         """Mean of exp(logZ_hat - logZ_exact) across independent runs ≈ 1
         (the estimator is unbiased in Z, not log Z)."""

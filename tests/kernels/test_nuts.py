@@ -60,6 +60,7 @@ class TestBatchedColsEquivalence:
     vmapped single-chain transition — different PRNG streams, same
     posterior moments and trajectory statistics."""
 
+    @pytest.mark.slow
     def test_moment_and_statistic_agreement(self):
         cov = jnp.array([[1.0, 0.9], [0.9, 1.0]])
         prec = jnp.linalg.inv(cov)

@@ -37,6 +37,7 @@ class TestLinearExactness:
         w, _ = model.assess(tr.get_choices(), ())
         assert float(w) == pytest.approx(float(tr.get_score()), abs=1e-4)
 
+    @pytest.mark.slow
     def test_pathfinder_matches_conjugate_posterior(self):
         from genjax_tpu.inference.pathfinder import column_pathfinder
 
@@ -87,6 +88,7 @@ class TestLinearExactness:
 
 
 class TestNonlinear:
+    @pytest.mark.slow
     def test_tanh_net_recovers_function(self):
         from genjax_tpu.inference.pathfinder import column_pathfinder
 

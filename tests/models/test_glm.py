@@ -3,6 +3,8 @@ approximation (whose mode is found by the framework's own fit_map and
 whose curvature is checked against a numpy finite-difference Hessian) is
 the exact-enough reference for the MCMC posterior at moderate counts."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import jax.random as jr
@@ -27,6 +29,7 @@ def neg_log_post(w):
 
 
 class TestPoissonGLM:
+    @pytest.mark.slow
     def test_laplace_mode_matches_numpy_optimum(self):
         model = poisson_regression(X)
         lap = laplace_approximation(

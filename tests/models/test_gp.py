@@ -1,6 +1,8 @@
 """GP regression model family: every check is against exact linear-algebra
 closed forms (joint-Gaussian conditioning done independently in numpy)."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import jax.random as jr
@@ -104,6 +106,7 @@ class TestGenModel:
             float(tr.get_score()), float(expected), rtol=1e-3
         )
 
+    @pytest.mark.slow
     def test_hyperparameter_posterior_via_column_hmc(self):
         """On data drawn at the true hyperparameters, the HMC posterior
         mass must sit in a sane band around them (log-scale, loose — the

@@ -101,6 +101,7 @@ class TestHMM:
 
 
 class TestLogisticRegression:
+    @pytest.mark.slow
     def test_posterior_separates_classes(self):
         from genjax_tpu.models import logistic_regression
         from genjax_tpu.kernels import column_hmc

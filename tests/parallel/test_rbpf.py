@@ -4,6 +4,8 @@ all 2^8 regime sequences x a time-varying Kalman filter. Also checks the
 Rao-Blackwellization claim itself: logZ MSE below the plain PF's at the
 same particle count."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import jax.random as jr
@@ -121,6 +123,7 @@ class TestRBPFExactness:
         p1 = float(w @ np.asarray(res.regimes == 1, np.float32))
         np.testing.assert_allclose(p1, p1_exact, atol=0.05)
 
+    @pytest.mark.slow
     def test_variance_reduction_vs_plain_pf(self):
         """Rao-Blackwellization: logZ MSE must beat the plain PF that
         samples (u, z) jointly, at equal particle count."""
