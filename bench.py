@@ -94,7 +94,9 @@ def emit(metric, value, unit):
     vs = round(value / prior, 3) if prior else 1.0
     record = {
         "metric": metric,
-        "value": round(value, 1),
+        # small values (ratios, efficiencies) keep 3 decimals; throughputs
+        # keep 1
+        "value": round(value, 3 if abs(value) < 100 else 1),
         "unit": unit,
         "vs_baseline": vs,
     }
@@ -580,11 +582,9 @@ def bench_hmc_pallas():
     def init(key):
         return jax.vmap(init_one, out_axes=1)(jr.split(key, n_chains))
 
-    block_n = min(1024, n_chains)  # small smoke configs still run
     sweep = jax.jit(
         lambda q, s: pallas_hmc(
             ld, q, s, n_steps=n_steps, eps=0.02, L=5, backend="pallas",
-            block_n=block_n,
         )
     )
     q = init(jr.key(7))
@@ -619,13 +619,14 @@ def bench_hmc_pallas_elementwise():
 
     n_chains = int(os.environ.get("BENCH_CHAINS", 65536))
     n_steps = int(os.environ.get("BENCH_STEPS", 50))
-    reps = int(os.environ.get("BENCH_PALLAS_REPS", 20))
+    # the sweep is cheap on this model (~4 ms at 64k chains): amortize over
+    # a long dispatch chain so the window is seconds, not pipeline noise
+    reps = int(os.environ.get("BENCH_ELEM_REPS", 500))
     d = 8
 
     def ld(q):  # (D, NB) -> (NB,): no dot_general anywhere in the jaxpr
         return -0.5 * jnp.sum(q * q, axis=0)
 
-    block_n = min(1024, n_chains)
     # host numpy init (never let an eager device array become a constant)
     q0 = np.asarray(
         np.random.default_rng(0).normal(size=(d, n_chains)), np.float32
@@ -637,7 +638,7 @@ def bench_hmc_pallas_elementwise():
         sweep = jax.jit(
             lambda q, s, b=backend: pallas_hmc(
                 ld, q, s, n_steps=n_steps, eps=0.2, L=5, backend=b,
-                block_n=block_n, interpret=interpret,
+                interpret=interpret,
             )
         )
         q, acc = sweep(q0, 0)  # compile + warm

@@ -514,7 +514,21 @@ class Expectation(Pytree):
 
 def expectation(source: Callable) -> Expectation:
     """Decorator: a probabilistic loss program becomes an ``Expectation``
-    (reference core.py:493)."""
+    (reference core.py:493).
+
+    ``grad_estimate`` returns an unbiased gradient of the expected value —
+    exact under enumeration estimators:
+
+    >>> import jax
+    >>> from genjax_tpu.adev import expectation, flip_enum
+    >>> @expectation
+    ... def obj(p):
+    ...     b = flip_enum(p)
+    ...     return jax.lax.cond(b, lambda: 1.0, lambda: 0.0)
+    >>> (dp,) = obj.grad_estimate(jax.random.key(0), (0.3,))
+    >>> float(dp)   # E[obj] = p, so d/dp = 1 exactly
+    1.0
+    """
     return Expectation(ADEVProgram(source))
 
 

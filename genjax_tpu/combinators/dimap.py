@@ -129,7 +129,19 @@ def dimap(
     post: Callable = lambda args, retval: retval,
     info: str | None = None,
 ):
-    """Decorator form (reference dimap.py:220)."""
+    """Decorator form (reference dimap.py:220): map the arguments in with
+    ``pre`` and the return value out with ``post`` (choices unchanged).
+
+    >>> import jax
+    >>> import genjax_tpu as g
+    >>> @g.dimap(pre=lambda a: (a * 2.0,), post=lambda args, r: r + 100.0)
+    ... @g.gen
+    ... def shifted(mu):
+    ...     return g.normal(mu, 0.01) @ "x"
+    >>> tr = shifted.simulate(jax.random.key(0), (1.0,))
+    >>> bool(abs(tr.get_retval() - 102.0) < 1.0)  # pre doubles, post +100
+    True
+    """
 
     def decorator(gen_fn: GenerativeFunction) -> DimapCombinator:
         return DimapCombinator(gen_fn, pre, post, info)

@@ -15,6 +15,22 @@ from .switch import SwitchCombinator
 
 
 def mix(*gen_fns: GenerativeFunction) -> GenerativeFunction:
+    """Mixture over component generative functions:
+    ``mix(f1, ..., fn)(logits, args_1, ..., args_n)``.
+
+    >>> import jax
+    >>> import jax.numpy as jnp
+    >>> import genjax_tpu as g
+    >>> mx = g.mix(
+    ...     g.gen(lambda: g.normal(-2.0, 0.5) @ "x"),
+    ...     g.gen(lambda: g.normal(2.0, 0.5) @ "x"),
+    ... )
+    >>> tr = mx.simulate(
+    ...     jax.random.key(0), (jnp.log(jnp.array([0.5, 0.5])), (), ())
+    ... )
+    >>> tr.get_choices().static_addresses()
+    ('mixture_component', 'component_sample')
+    """
     from ..dists import categorical
     from ..lang.static_lang import gen
 

@@ -31,5 +31,17 @@ def _pre(flag, if_args, else_args):
 def or_else(
     if_gen_fn: GenerativeFunction, else_gen_fn: GenerativeFunction
 ) -> GenerativeFunction:
+    """Boolean-gated branching: args are ``(flag, if_args, else_args)``.
+
+    >>> import jax
+    >>> import genjax_tpu as g
+    >>> oe = g.or_else(
+    ...     g.gen(lambda: g.normal(0.0, 0.1) @ "x"),
+    ...     g.gen(lambda: g.normal(100.0, 0.1) @ "x"),
+    ... )
+    >>> tr = oe.simulate(jax.random.key(0), (True, (), ()))
+    >>> bool(tr.get_retval() < 50.0)   # flag=True took the if-branch
+    True
+    """
     switch_fn = SwitchCombinator((if_gen_fn, else_gen_fn))
     return DimapCombinator(switch_fn, pre=_pre, info="or_else")

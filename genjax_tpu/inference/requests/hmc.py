@@ -58,7 +58,23 @@ class HMC(EditRequest):
     ``inv_mass``: optional diagonal inverse mass over the *raveled*
     selected-choice vector (same convention as the ``NUTS`` request and
     ``inference.adaptation.cross_chain_inv_mass``) — momenta draw from
-    ``N(0, M)`` and the drift is ``eps * M⁻¹ r``."""
+    ``N(0, M)`` and the drift is ``eps * M⁻¹ r``.
+
+    >>> import jax
+    >>> import genjax_tpu as g
+    >>> @g.gen
+    ... def model():
+    ...     mu = g.normal(0.0, 1.0) @ "mu"
+    ...     _ = g.normal(mu, 0.5) @ "y"
+    >>> tr, _ = model.generate(jax.random.key(0), g.C["y"].set(1.0), ())
+    >>> new_tr, alpha, _rd, bwd = tr.edit(
+    ...     jax.random.key(1), g.HMC(g.S["mu"], 0.1, L=5)
+    ... )
+    >>> bool(jax.numpy.isfinite(alpha))     # the MH log-acceptance ratio
+    True
+    >>> isinstance(bwd, HMC)                # backward request for SMCP3
+    True
+    """
 
     selection: Selection
     eps: Any

@@ -23,7 +23,21 @@ def _checkpointer():
 
 
 def save_pytree(path: str, tree: Any) -> None:
-    """Save ``tree``'s array leaves to ``path`` (a directory)."""
+    """Save ``tree``'s array leaves to ``path`` (a directory).
+
+    Traces and choice maps are pytrees-of-arrays, so any inference state
+    round-trips:
+
+    >>> import tempfile, os
+    >>> import jax.numpy as jnp
+    >>> from genjax_tpu.io import save_pytree, restore_pytree
+    >>> state = {"w": jnp.arange(3.0), "step": jnp.asarray(7)}
+    >>> path = os.path.join(tempfile.mkdtemp(), "ckpt")
+    >>> save_pytree(path, state)
+    >>> back = restore_pytree(path, state)
+    >>> int(back["step"]), back["w"].shape
+    (7, (3,))
+    """
     leaves = jtu.tree_leaves(tree)
     _checkpointer().save(os.path.abspath(path), leaves, force=True)
 

@@ -183,15 +183,23 @@ def _jaxpr_has_mxu_ops(jaxpr) -> bool:
     return False
 
 
+# Above this dimensionality XLA's scan wins even on elementwise bodies
+# (measured v5e @64k chains, long windows: pallas/xla = 1.12x at d=8 but
+# 0.74x at d=32, 0.59x at d=64 — the VMEM win is a small-state effect)
+_PALLAS_MAX_DIM = 16
+
+
 def select_hmc_backend(logdensity_cols: Callable, d: int, block_n: int) -> str:
     """Data-driven ``"xla"`` vs ``"pallas"`` choice: stage the log-density
-    once and inspect its jaxpr. Matmuls/convs (MXU ops) → ``"xla"`` (its
-    scheduler overlaps MXU and VPU work the hand-written kernel cannot);
-    purely elementwise bodies on an actual TPU → ``"pallas"`` (the
-    VMEM-resident sweep wins when every op is a lane op — measured 1.26×
-    on iid normals, see ``bench.py hmc_pallas_elementwise``)."""
+    once and inspect its jaxpr. Matmuls/convs (MXU ops) or a large state
+    dimension → ``"xla"`` (its scheduler overlaps MXU and VPU work the
+    hand-written kernel cannot); small purely elementwise bodies on an
+    actual TPU → ``"pallas"`` (the VMEM-resident sweep wins when every op
+    is a lane op and the whole state fits comfortably per block — measured
+    1.12× on iid normals at d=8, block 2048; see
+    ``bench.py hmc_pallas_elementwise``)."""
     try:
-        if jax.devices()[0].platform != "tpu":
+        if jax.devices()[0].platform != "tpu" or d > _PALLAS_MAX_DIM:
             return "xla"
         closed = jax.make_jaxpr(logdensity_cols)(
             jax.ShapeDtypeStruct((d, block_n), jnp.float32)
@@ -209,25 +217,29 @@ def pallas_hmc(
     n_steps: int,
     eps: float,
     L: int,
-    block_n: int = 1024,
+    block_n: int | None = None,
     interpret: bool = False,
     backend: str = "xla",
     inv_mass=None,
 ):
     """Run ``n_steps`` of MH-adjusted HMC on ``N`` column-layout chains.
 
-    Backends (measured, v5e, 64k chains):
+    Backends (measured, v5e, 64k chains, multi-second timing windows):
 
     - ``"xla"`` (default): the column sweep as one jitted ``lax.scan`` —
       XLA's scheduling wins whenever the log-density contains matmuls
       (372M transitions/s on the 11-dim hierarchical regression, ~11× the
-      trace-based driver).
+      trace-based driver), and on elementwise models beyond d≈16.
     - ``"pallas"``: the VMEM-resident Mosaic kernel — wins on small purely
-      elementwise models (1.26× over XLA on iid normals), loses where the
-      MXU is involved. Also the only TPU path with in-kernel RNG.
+      elementwise models (1.12× over XLA on d=8 iid normals at block
+      2048), loses where the MXU is involved or the state is large. Also
+      the only TPU path with in-kernel RNG.
     - ``"auto"``: stage the log-density and pick from its jaxpr
-      (``select_hmc_backend``): MXU ops present → xla, purely elementwise
-      on a TPU → pallas.
+      (``select_hmc_backend``): MXU ops present or d > 16 → xla, small
+      purely elementwise on a TPU → pallas.
+
+    ``block_n=None`` picks the measured-optimal chain block (2048 for the
+    pallas kernel; the xla path ignores it).
 
     Args:
         logdensity_cols: batched log-density ``(D, NB) -> (NB,)`` in jnp.
@@ -239,6 +251,17 @@ def pallas_hmc(
         ``(q_final, accept_rate)`` — positions ``(D, N)`` and the mean
         acceptance rate over chains and steps.
     """
+    if block_n is None:
+        # 2048 is the measured optimum on v5e for small states (1.42B vs
+        # 1.14B samples/s at block 1024 on d=8 iid normals), but scoped
+        # VMEM scales with d x block x (trajectory carries + VJP
+        # residuals): d=16 matmul models already exceed the 16M limit at
+        # 2048, so larger states keep 1024. Non-divisible batches fall
+        # back to the largest block that tiles them.
+        n_total = q0.shape[1]
+        block_n = min(2048 if q0.shape[0] <= 8 else 1024, n_total)
+        while n_total % block_n:
+            block_n -= 1
     if backend == "auto":
         backend = select_hmc_backend(
             logdensity_cols, q0.shape[0], min(block_n, q0.shape[1])
@@ -300,9 +323,18 @@ def pallas_hmc(
             memory_space=pltpu.VMEM,
         )
 
+    # chain blocks are independent (disjoint output slices, per-block PRNG
+    # streams): declare the grid axis parallel so Mosaic may pipeline /
+    # distribute blocks instead of the sequential "arbitrary" default
+    compiler_params = None
+    if not interpret:
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        )
     q_final, accepts = pl.pallas_call(
         kernel,
         grid=grid,
+        compiler_params=compiler_params,
         in_specs=[
             pl.BlockSpec(
                 memory_space=pltpu.SMEM, index_map=lambda i: (0,), block_shape=(1,)

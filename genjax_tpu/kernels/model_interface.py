@@ -120,7 +120,7 @@ def column_hmc(
     eps: float,
     L: int = 5,
     seed: int = 0,
-    block_n: int = 1024,
+    block_n: int | None = None,
     interpret: bool = False,
     backend: str = "auto",
     warmup: bool = False,
@@ -134,9 +134,9 @@ def column_hmc(
     ``packer.unpack(positions[:, i])``.
 
     ``backend="auto"`` (default) stages the model's column log-density and
-    picks from its jaxpr: matmul/conv ops → the XLA scan sweep, purely
-    elementwise on a TPU → the VMEM-resident Pallas kernel
-    (``kernels.hmc.select_hmc_backend``).
+    picks from its jaxpr: matmul/conv ops or packed dim > 16 → the XLA
+    scan sweep, small purely elementwise bodies on a TPU → the
+    VMEM-resident Pallas kernel (``kernels.hmc.select_hmc_backend``).
 
     >>> import jax
     >>> import jax.numpy as jnp

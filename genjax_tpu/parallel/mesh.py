@@ -23,7 +23,15 @@ def make_mesh(
     n_devices: int | None = None, axis: str = "batch", devices=None
 ) -> Mesh:
     """A 1-D mesh over ``n_devices`` (default: all available) with a single
-    named axis for the chain/particle batch dimension."""
+    named axis for the chain/particle batch dimension.
+
+    >>> from genjax_tpu.parallel import make_mesh
+    >>> mesh = make_mesh()
+    >>> mesh.axis_names
+    ('batch',)
+    >>> mesh.devices.size >= 1
+    True
+    """
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:

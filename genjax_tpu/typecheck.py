@@ -86,8 +86,8 @@ def check_selection(selection: Any, what: str) -> None:
         )
 
 
-def install_import_hook():
-    """Instrument ``genjax_tpu`` with typeguard-checked signatures (the
+def install_import_hook(packages="genjax_tpu"):
+    """Instrument ``packages`` with typeguard-checked signatures (the
     ``beartype_this_package`` analog) for development runs.
 
     With typeguard >= 3 (import hook API), call BEFORE importing the
@@ -98,9 +98,13 @@ def install_import_hook():
         from genjax_tpu.typecheck import install_import_hook
         with install_import_hook():
             ...  # calls into genjax_tpu are checked
+
+    ``packages`` narrows the scope (a module name or list of names) —
+    whole-package checking is a sys.setprofile-based sweep under
+    typeguard 2.x and costs real time on hot paths.
     """
     import typeguard
 
     if hasattr(typeguard, "install_import_hook"):
-        return typeguard.install_import_hook("genjax_tpu")
-    return typeguard.TypeChecker("genjax_tpu")
+        return typeguard.install_import_hook(packages)
+    return typeguard.TypeChecker(packages)

@@ -59,11 +59,21 @@ class TestBoundaryChecks:
 
 class TestImportHook:
     def test_install_import_hook_returns_manager(self):
+        # narrow scope: whole-package checking under typeguard 2.x is a
+        # sys.setprofile sweep over every frame — minutes of overhead on a
+        # tracing-heavy call like simulate (observed 336s under xdist
+        # contention). One submodule proves the hook end-to-end.
         from genjax_tpu.typecheck import install_import_hook
 
-        hook = install_import_hook()
+        hook = install_import_hook("genjax_tpu.generative.selection")
         assert hasattr(hook, "uninstall") or hasattr(hook, "__exit__")
         # usable as a context manager around checked calls
         with hook:
             tr = model.simulate(KEY, (0.0,))
             assert jnp.isfinite(tr.get_score())
+
+    def test_default_scope_is_whole_package(self):
+        from genjax_tpu.typecheck import install_import_hook
+
+        hook = install_import_hook()
+        assert hasattr(hook, "uninstall") or hasattr(hook, "__exit__")

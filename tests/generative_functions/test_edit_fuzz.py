@@ -422,7 +422,7 @@ def _regenerate_switch_body(seed):
     )
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=5, deadline=None)
 @given(st.integers(0, 10_000))
 def test_regenerate_through_switch_index(seed):
     _regenerate_switch_body(seed)

@@ -3,6 +3,8 @@ normal-normal (analytic logZ), agreement with the fixed-ladder driver, and
 ladder sanity (monotone, terminates at 1, denser where the likelihood is
 steep)."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import jax.random as jr
@@ -53,6 +55,7 @@ class TestAdaptiveTempering:
             )
         )(jr.key(seed))
 
+    @pytest.mark.slow
     def test_log_evidence_exact(self):
         lzs = [float(self._run(s).log_marginal) for s in range(4)]
         np.testing.assert_allclose(np.mean(lzs), LOGZ, atol=0.05)

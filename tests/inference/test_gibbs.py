@@ -5,6 +5,8 @@ enumerated ``GibbsInfo.log_probs`` must equal the hand-computed
 conditional exactly (deterministic, 1e-4), and sampled frequencies must
 match at Monte-Carlo tolerance."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import jax.random as jr
@@ -99,6 +101,7 @@ class TestVmapBlockGibbs:
         tr, _ = vmapped_model.generate(key, cm, (XS,))
         return tr
 
+    @pytest.mark.slow
     def test_per_lane_log_probs_exact(self):
         tr = self._trace(jr.PRNGKey(0))
         _, info = enumerative_gibbs_vmap(

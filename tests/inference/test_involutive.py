@@ -5,6 +5,8 @@ hand-derived formulas (deterministic, 1e-5), acceptance ratios against
 hand-computed densities, and chain stationarity against conjugate
 posteriors."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import jax.random as jr
@@ -292,6 +294,7 @@ class TestReversibleJump:
             float(info.involution_error), 0.0, atol=1e-5
         )
 
+    @pytest.mark.slow
     def test_rj_chain_matches_enumerated_posterior(self):
         """Exact check: p(k | ys) by conjugate marginalization (both
         structures are linear-Gaussian; pseudo-priors integrate out)."""

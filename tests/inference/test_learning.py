@@ -52,6 +52,7 @@ class TestFitMAP:
         # gaussian posterior: mode == mean
         assert jnp.allclose(res["w"], post_mean, atol=0.01)
 
+    @pytest.mark.slow
     def test_laplace_exact_on_gaussian_posterior(self):
         """Laplace is exact for Gaussian posteriors: mean, covariance, AND
         the evidence all match the conjugate closed forms (the evidence

@@ -7,6 +7,7 @@ import jax
 import jax.numpy as jnp
 import jax.random as jr
 import numpy as np
+import pytest
 from scipy.stats import genpareto, norm
 
 from genjax_tpu.inference.model_comparison import (
@@ -87,6 +88,7 @@ class TestPSISLOO:
         # a well-specified conjugate model: every k-hat is small
         assert np.asarray(res.pareto_k).max() < 0.7
 
+    @pytest.mark.slow
     def test_waic_agrees_with_loo_when_well_specified(self):
         _, ll, _ = conjugate_draws_and_loglik(self.ys, self.sigma)
         r_w = waic(jnp.asarray(ll))

@@ -154,6 +154,7 @@ class TestColumnBridge:
         post_var = 0.25 / 1.25
         assert abs(float(jnp.var(draws[:, 0])) - post_var) < 0.06
 
+    @pytest.mark.slow
     def test_agrees_with_tempered_smc(self):
         """Cross-estimator consistency on a 2-latent model."""
         from genjax_tpu.inference.tempered import (

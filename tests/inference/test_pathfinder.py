@@ -121,6 +121,7 @@ class TestPathfinderGaussian:
 
 
 class TestMultiPathfinder:
+    @pytest.mark.slow
     def test_pooled_resampling_targets_posterior(self):
         cov = np.asarray([[1.0, 0.6], [0.6, 1.5]], np.float32)
         m = np.asarray([0.5, -1.0], np.float32)

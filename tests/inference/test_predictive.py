@@ -34,6 +34,7 @@ class TestPosteriorPredictive:
         # Constrained sites replay the draws exactly.
         np.testing.assert_allclose(np.asarray(out["mu"]), np.asarray(mus))
 
+    @pytest.mark.slow
     def test_end_to_end_from_sample_posterior(self):
         res = sample_posterior(
             jax.random.key(2), conjugate, g.C["y"].set(2.0), (), g.S["mu"],

@@ -37,6 +37,7 @@ class TestPTKernel:
         assert np.allclose(ratios, ratios[0], rtol=1e-5)
         assert geometric_ladder(1).shape == (1,)
 
+    @pytest.mark.slow
     def test_bimodal_mode_weights(self):
         """All chains start in the NEGATIVE mode. A single rung (plain
         HMC) stays essentially trapped (the only crossings are rare
@@ -118,6 +119,7 @@ class TestPTKernel:
 
 
 class TestColumnPT:
+    @pytest.mark.slow
     def test_bimodal_gen_model(self):
         """A @gen posterior that is bimodal by symmetry: with
         mu ~ N(0, 10) and y ~ N(mu^2, 1), observing y=4 puts exactly

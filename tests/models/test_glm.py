@@ -57,6 +57,7 @@ class TestPoissonGLM:
             np.asarray(lap.cov), cov_fd, rtol=0.05, atol=1e-4
         )
 
+    @pytest.mark.slow
     def test_mcmc_matches_laplace(self):
         model = poisson_regression(X)
         lap = laplace_approximation(
@@ -75,4 +76,18 @@ class TestPoissonGLM:
             ws.std(axis=0),
             np.sqrt(np.diag(np.asarray(lap.cov))),
             rtol=0.25,
+        )
+
+
+class TestPoissonGLMFast:
+    def test_model_scores_and_simulates(self):
+        """Fast-lane smoke: the family constructs, simulates, and its
+        generate weight under full observation equals assess (GFI
+        identity) — the exactness batteries above run in the slow lane."""
+        model = poisson_regression(X)
+        tr, w = model.generate(jr.key(1), OBS, ())
+        score, _ = model.assess(tr.get_choices(), ())
+        assert jnp.isfinite(score)
+        assert float(score) == pytest.approx(
+            float(tr.get_score()), abs=1e-3
         )

@@ -46,6 +46,7 @@ def exact_lgss_logZ(ys, trans_sd=1.0, obs_sd=0.5):
 
 
 class TestResamplingIndices:
+    @pytest.mark.slow
     def test_all_methods_preserve_distribution(self):
         lw = jnp.log(jnp.array([0.1, 0.2, 0.3, 0.4]))
         for fn in [
