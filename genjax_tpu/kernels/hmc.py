@@ -165,22 +165,39 @@ def _hmc_kernel(
 
 _MXU_PRIMS = frozenset({"dot_general", "conv_general_dilated"})
 
+# Primitives the Mosaic kernel path is known-good for (auto-routing is a
+# WHITELIST: anything outside it — gathers, sorts, cumsum, scans, custom
+# calls — goes to the XLA twin rather than risking a Mosaic lowering
+# failure or a slow in-kernel formulation). Every op here is elementwise
+# or a lane/sublane reduction the kernel's (D, NB) layout handles.
+_PALLAS_SAFE_PRIMS = frozenset({
+    "add", "add_any", "sub", "mul", "div", "neg", "pow", "integer_pow",
+    "exp", "log", "log1p", "expm1", "sqrt", "rsqrt", "abs", "sign",
+    "tanh", "logistic", "sin", "cos", "erf", "erfc",
+    "max", "min", "and", "or", "not", "xor", "select_n",
+    "lt", "le", "gt", "ge", "eq", "ne", "is_finite",
+    "reduce_sum", "reduce_max", "reduce_min", "reduce_and", "reduce_or",
+    "broadcast_in_dim", "reshape", "squeeze", "convert_element_type",
+    "transpose", "stop_gradient", "copy", "pjit",
+    "slice",  # static slices only — dynamic_slice/gather are NOT safe
+})
+
 
 def _jaxpr_has_mxu_ops(jaxpr) -> bool:
     """Does the (recursively traversed) jaxpr contain matmul/conv ops?"""
+    return any(p in _MXU_PRIMS for p in _jaxpr_prims(jaxpr))
+
+
+def _jaxpr_prims(jaxpr):
+    """All primitive names in ``jaxpr``, recursing into sub-jaxprs."""
     for eqn in jaxpr.eqns:
-        if eqn.primitive.name in _MXU_PRIMS:
-            return True
+        yield eqn.primitive.name
         for v in eqn.params.values():
-            inner = getattr(v, "jaxpr", None)
-            if inner is not None and _jaxpr_has_mxu_ops(inner):
-                return True
-            if isinstance(v, (tuple, list)):
-                for u in v:
-                    inner = getattr(u, "jaxpr", None)
-                    if inner is not None and _jaxpr_has_mxu_ops(inner):
-                        return True
-    return False
+            vs = v if isinstance(v, (tuple, list)) else (v,)
+            for u in vs:
+                inner = getattr(u, "jaxpr", None)
+                if inner is not None:
+                    yield from _jaxpr_prims(inner)
 
 
 # Above this dimensionality XLA's scan wins even on elementwise bodies
@@ -191,20 +208,22 @@ _PALLAS_MAX_DIM = 16
 
 def select_hmc_backend(logdensity_cols: Callable, d: int, block_n: int) -> str:
     """Data-driven ``"xla"`` vs ``"pallas"`` choice: stage the log-density
-    once and inspect its jaxpr. Matmuls/convs (MXU ops) or a large state
-    dimension → ``"xla"`` (its scheduler overlaps MXU and VPU work the
-    hand-written kernel cannot); small purely elementwise bodies on an
-    actual TPU → ``"pallas"`` (the VMEM-resident sweep wins when every op
-    is a lane op and the whole state fits comfortably per block — measured
-    1.12× on iid normals at d=8, block 2048; see
-    ``bench.py hmc_pallas_elementwise``)."""
+    once and inspect its jaxpr. The Pallas kernel is chosen ONLY for
+    small (d ≤ 16) bodies built entirely from whitelisted
+    elementwise/reduction primitives on an actual TPU — the regime where
+    the VMEM-resident sweep measurably wins (1.12× on iid normals at
+    d=8, block 2048; see ``bench.py hmc_pallas_elementwise``). Everything
+    else — MXU ops, gathers/sorts/scans, unknown primitives, large
+    states, non-TPU platforms — takes the XLA twin, which lowers
+    everywhere and wins wherever the MXU is involved."""
     try:
         if jax.devices()[0].platform != "tpu" or d > _PALLAS_MAX_DIM:
             return "xla"
         closed = jax.make_jaxpr(logdensity_cols)(
             jax.ShapeDtypeStruct((d, block_n), jnp.float32)
         )
-        return "xla" if _jaxpr_has_mxu_ops(closed.jaxpr) else "pallas"
+        prims = set(_jaxpr_prims(closed.jaxpr))
+        return "pallas" if prims <= _PALLAS_SAFE_PRIMS else "xla"
     except Exception:
         return "xla"
 
@@ -251,27 +270,38 @@ def pallas_hmc(
         ``(q_final, accept_rate)`` — positions ``(D, N)`` and the mean
         acceptance rate over chains and steps.
     """
+    if backend == "auto":
+        backend = select_hmc_backend(
+            logdensity_cols, q0.shape[0],
+            min(block_n or 1024, q0.shape[1]),
+        )
+    if backend == "xla":
+        # Identical algorithm/layout in plain JAX (block_n is a Pallas
+        # tiling knob only — the scan sweep needs no chain blocking).
+        return _reference_hmc(
+            logdensity_cols, q0, seed, n_steps=n_steps, eps=eps, L=L,
+            inv_mass=inv_mass,
+        )
+
     if block_n is None:
         # 2048 is the measured optimum on v5e for small states (1.42B vs
         # 1.14B samples/s at block 1024 on d=8 iid normals), but scoped
         # VMEM scales with d x block x (trajectory carries + VJP
         # residuals): d=16 matmul models already exceed the 16M limit at
-        # 2048, so larger states keep 1024. Non-divisible batches fall
-        # back to the largest block that tiles them.
+        # 2048, so larger states keep 1024. Non-divisible batches take
+        # the largest divisor that is still a sane lane tile (>= 128 or
+        # the whole batch); a batch with no such divisor must be padded
+        # by the caller or given an explicit block_n.
         n_total = q0.shape[1]
         block_n = min(2048 if q0.shape[0] <= 8 else 1024, n_total)
-        while n_total % block_n:
+        while n_total % block_n and block_n > 128:
             block_n -= 1
-    if backend == "auto":
-        backend = select_hmc_backend(
-            logdensity_cols, q0.shape[0], min(block_n, q0.shape[1])
-        )
-    if backend == "xla":
-        # Identical algorithm/layout in plain JAX.
-        return _reference_hmc(
-            logdensity_cols, q0, seed, n_steps=n_steps, eps=eps, L=L,
-            inv_mass=inv_mass,
-        )
+        if n_total % block_n:
+            raise ValueError(
+                f"n_chains={n_total} has no divisor in [128, 2048] to use "
+                "as the Pallas chain block; pad the chain count (powers "
+                "of two are ideal) or pass block_n explicitly."
+            )
 
     d, n = q0.shape
     if inv_mass is None:

@@ -15,7 +15,13 @@ from .data import (
     minibatch_logdensity,
     shard_data,
 )
-from .mesh import host_local_mesh, initialize_distributed, make_mesh, shard_batch
+from .mesh import (
+    host_local_mesh,
+    initialize_distributed,
+    make_mesh,
+    shard_batch,
+    shard_map_compat,
+)
 from .mcmc import run_chains_sharded, warmup_adapt_step_size
 from .resampling import (
     collective_resample,
@@ -52,6 +58,7 @@ __all__ = [
     "residual_indices",
     "run_chains_sharded",
     "shard_batch",
+    "shard_map_compat",
     "shard_data",
     "sharded_importance",
     "stratified_indices",

@@ -19,6 +19,29 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def shard_map_compat(f, *, mesh: Mesh, in_specs, out_specs, check: bool = False):
+    """``jax.shard_map`` across jax versions: the import moved out of
+    ``jax.experimental`` and the replication-check kwarg was renamed
+    ``check_rep`` → ``check_vma``. One shim for every caller (the sharded
+    SMC/MCMC drivers, tests, and the scaling harness)."""
+    import inspect
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    kw_name = (
+        "check_vma"
+        if "check_vma" in inspect.signature(shard_map).parameters
+        else "check_rep"
+    )
+    return shard_map(
+        f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        **{kw_name: check},
+    )
+
+
 def make_mesh(
     n_devices: int | None = None, axis: str = "batch", devices=None
 ) -> Mesh:

@@ -251,22 +251,13 @@ def _pf_run_sharded(
         log_marginal = log_z + g_max + jnp.log(total) - jnp.log(k)
         return carries, log_w, log_marginal, ess_hist
 
-    import inspect
+    from .mesh import shard_map_compat
 
-    try:
-        from jax import shard_map
-    except ImportError:  # older jax
-        from jax.experimental.shard_map import shard_map
-
-    # the replication-check kwarg was renamed check_rep -> check_vma
-    _params = inspect.signature(shard_map).parameters
-    _check_kw = {"check_vma": False} if "check_vma" in _params else {"check_rep": False}
-    program = shard_map(
+    program = shard_map_compat(
         shard_program,
         mesh=mesh,
         in_specs=(P(), P(), P(), P()),
         out_specs=(P(axis), P(axis), P(), P()),
-        **_check_kw,
     )
     return program(key, init_carry, xs, constraint)
 

@@ -48,10 +48,30 @@ SHAPE_RE = re.compile(r"(f32|f64|s32|u32|pred|bf16)\[([0-9,]*)\]")
 DTYPE_BYTES = {"f32": 4, "f64": 8, "s32": 4, "u32": 4, "pred": 1, "bf16": 2}
 
 
+# computation headers start at column 0: `%name (params...) -> ... {` or
+# `ENTRY %name (...`; params may nest parens (tuple types), so match only
+# the name and require the opening brace at end of line
+_COMP_HEAD_RE = re.compile(r"^(?:ENTRY\s+)?%([\w.\-]+)\s*\(.*\{\s*$")
+_BODY_REF_RE = re.compile(r"body=%?([\w.\-]+)")
+
+
 def hlo_collectives(compiled_text: str):
-    """Count collective ops in compiled HLO and sum their payload bytes."""
+    """Count collective ops in compiled HLO and sum their payload bytes.
+
+    ``lax.scan`` compiles to a ``while`` loop, so a collective inside the
+    loop body appears ONCE in the text but executes once per step —
+    per-step traffic is the body's collectives, not total/T. Collectives
+    are therefore classified by enclosing computation: those in
+    computations referenced by a ``while``'s ``body=`` execute per step;
+    the rest once per run."""
+    body_names = set(_BODY_REF_RE.findall(compiled_text))
+
     ops = []
+    current_comp = None
     for line in compiled_text.splitlines():
+        head = _COMP_HEAD_RE.match(line)
+        if head:
+            current_comp = head.group(1)
         m = COLLECTIVE_RE.match(line)
         if not m:
             continue
@@ -66,12 +86,29 @@ def hlo_collectives(compiled_text: str):
                 if d:
                     n *= int(d)
             nbytes = n * DTYPE_BYTES.get(dt, 4)
-        ops.append({"kind": kind, "bytes": nbytes})
+        in_body = current_comp in body_names or (
+            current_comp is not None
+            and any(current_comp.startswith(b) for b in body_names)
+        )
+        ops.append({"kind": kind, "bytes": nbytes, "per_step": in_body})
     total = sum(o["bytes"] for o in ops)
     by_kind = {}
     for o in ops:
         by_kind[o["kind"]] = by_kind.get(o["kind"], 0) + 1
-    return {"count": len(ops), "bytes": total, "by_kind": by_kind}
+    step_ops = [o for o in ops if o["per_step"]]
+    return {
+        "count": len(ops),
+        "bytes": total,
+        "by_kind": by_kind,
+        "per_step": {
+            "count": len(step_ops),
+            "bytes": sum(o["bytes"] for o in step_ops),
+        },
+        "once_per_run": {
+            "count": len(ops) - len(step_ops),
+            "bytes": total - sum(o["bytes"] for o in step_ops),
+        },
+    }
 
 
 def make_pf(n_particles):
@@ -136,16 +173,8 @@ def pf_with_collectives(n_shards, n_particles, T, ess_threshold=0.5):
 def pf_collective_free(n_shards, n_particles, T):
     """Identical per-shard particle work, ZERO cross-shard communication:
     each shard runs an independent (never-resampling) SIS filter."""
-    import functools
-
     import genjax_tpu as g
-    from genjax_tpu.parallel import make_mesh
-
-    try:
-        from jax import shard_map
-    except ImportError:
-        from jax.experimental.shard_map import shard_map
-    import inspect
+    from genjax_tpu.parallel import make_mesh, shard_map_compat
 
     from jax import lax
     from jax.sharding import PartitionSpec as P
@@ -177,10 +206,10 @@ def pf_collective_free(n_shards, n_particles, T):
         (carries, log_w), _ = lax.scan(step, init, jnp.arange(T))
         return log_w
 
-    _params = inspect.signature(shard_map).parameters
-    _ck = {"check_vma": False} if "check_vma" in _params else {"check_rep": False}
     prog = jax.jit(
-        shard_map(shard_program, mesh=mesh, in_specs=(P(),), out_specs=P("batch"), **_ck)
+        shard_map_compat(
+            shard_program, mesh=mesh, in_specs=(P(),), out_specs=P("batch")
+        )
     )
 
     reps = 10
@@ -230,13 +259,7 @@ def pf_hlo_audit(n_shards, n_particles, T):
         mesh=mesh, axis="batch", resample_mode="local", n_steps=None,
     )
     text = lowered.compile().as_text()
-    audit = hlo_collectives(text)
-    # the scan body executes T times; collectives inside the (unrolled or
-    # looped) scan body are per-step — report both raw and per-step
-    audit["per_step_estimate"] = {
-        "count": audit["count"] / T if T else None,
-    }
-    return audit
+    return hlo_collectives(text)
 
 
 def main():

@@ -76,4 +76,10 @@ class TestImportHook:
         from genjax_tpu.typecheck import install_import_hook
 
         hook = install_import_hook()
-        assert hasattr(hook, "uninstall") or hasattr(hook, "__exit__")
+        try:
+            assert hasattr(hook, "uninstall") or hasattr(hook, "__exit__")
+        finally:
+            # typeguard >= 3 registers a global meta-path finder at call
+            # time — never leak it into the rest of the session
+            if hasattr(hook, "uninstall"):
+                hook.uninstall()

@@ -282,3 +282,41 @@ class TestBackendSelection:
         )
         assert float(acc) > 0.6
         assert jnp.mean(q[0, :]) == pytest.approx(1.0, abs=0.15)
+
+    def test_whitelist_rejects_non_elementwise_bodies(self):
+        """Auto-routing is a whitelist: bodies with gathers/sorts/cumsum
+        (lowerable by XLA, not guaranteed by the Mosaic kernel) must not
+        classify as pallas-safe even without MXU ops."""
+        from genjax_tpu.kernels.hmc import _jaxpr_prims, _PALLAS_SAFE_PRIMS
+
+        spec = jax.ShapeDtypeStruct((4, 8), jnp.float32)
+
+        elem = jax.make_jaxpr(
+            lambda q: -0.5 * jnp.sum(q * q, axis=0) + jnp.tanh(q[0])
+        )(spec)
+        assert set(_jaxpr_prims(elem.jaxpr)) <= _PALLAS_SAFE_PRIMS
+
+        idx = np.zeros(4, np.int32)
+        gathered = jax.make_jaxpr(
+            lambda q: -0.5 * jnp.sum(q[idx] * q, axis=0)
+        )(spec)
+        assert not set(_jaxpr_prims(gathered.jaxpr)) <= _PALLAS_SAFE_PRIMS
+
+        sorted_ = jax.make_jaxpr(
+            lambda q: jnp.sum(jnp.sort(q, axis=0), axis=0)
+        )(spec)
+        assert not set(_jaxpr_prims(sorted_.jaxpr)) <= _PALLAS_SAFE_PRIMS
+
+    def test_auto_block_floor_raises_on_pathological_chain_count(self):
+        """The block auto-pick walks divisors only down to a sane lane
+        tile; a chain count with no divisor in [128, 2048] must fail
+        loudly, not silently run 2-lane blocks."""
+        from genjax_tpu.kernels import pallas_hmc
+
+        q0 = np.zeros((4, 2 * 2053), np.float32)  # no divisor in range
+        with pytest.raises(ValueError, match="no divisor"):
+            pallas_hmc(
+                lambda q: -0.5 * jnp.sum(q * q, axis=0),
+                q0, 0, n_steps=1, eps=0.1, L=1, backend="pallas",
+                interpret=True,
+            )

@@ -215,13 +215,13 @@ class TestCollectiveResample:
     def _run(self, mode):
         import inspect
 
-        from genjax_tpu.parallel import collective_resample, make_mesh
-
-        try:
-            from jax import shard_map
-        except ImportError:
-            from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
+
+        from genjax_tpu.parallel import (
+            collective_resample,
+            make_mesh,
+            shard_map_compat,
+        )
 
         mesh = make_mesh()
         n_dev = len(jax.devices())
@@ -232,18 +232,11 @@ class TestCollectiveResample:
                 key, particles, lw, "batch", mode=mode
             )
 
-        _params = inspect.signature(shard_map).parameters
-        kw = (
-            {"check_vma": False}
-            if "check_vma" in _params
-            else {"check_rep": False}
-        )
-        f = shard_map(
+        f = shard_map_compat(
             prog,
             mesh=mesh,
             in_specs=(P(), P("batch"), P("batch")),
             out_specs=(P("batch"), P("batch"), P()),
-            **kw,
         )
         particles = jnp.arange(float(k))
         # weight mass concentrated on particle 7
@@ -378,23 +371,10 @@ class TestCompileCaching:
 
 
 def _make_shard_map(prog, in_specs, out_specs):
-    """shard_map across jax versions (check_vma vs check_rep kwarg)."""
-    import inspect
+    from genjax_tpu.parallel import shard_map_compat
 
-    try:
-        from jax import shard_map
-    except ImportError:
-        from jax.experimental.shard_map import shard_map
-
-    mesh = make_mesh()
-    _params = inspect.signature(shard_map).parameters
-    kw = (
-        {"check_vma": False}
-        if "check_vma" in _params
-        else {"check_rep": False}
-    )
-    return shard_map(
-        prog, mesh=mesh, in_specs=in_specs, out_specs=out_specs, **kw
+    return shard_map_compat(
+        prog, mesh=make_mesh(), in_specs=in_specs, out_specs=out_specs
     )
 
 

@@ -47,17 +47,17 @@ def test_site_builds_and_links_resolve(tmp_path):
 
 def test_api_reference_is_fresh(tmp_path):
     """docs/api.md regenerates byte-identical — the committed API page
-    cannot drift from the package (reference: mkdocs gen-files autogen)."""
+    cannot drift from the package (reference: mkdocs gen-files autogen).
+    Regenerates into a tmp file so the working tree is never touched
+    (xdist workers share it)."""
     committed = (ROOT / "docs" / "api.md").read_text()
+    out = tmp_path / "api.md"
     proc = subprocess.run(
-        [sys.executable, str(ROOT / "scripts" / "gen_api_docs.py")],
+        [sys.executable, str(ROOT / "scripts" / "gen_api_docs.py"),
+         "--out", str(out)],
         capture_output=True, text=True, cwd=str(ROOT),
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
-    regenerated = (ROOT / "docs" / "api.md").read_text()
-    try:
-        assert regenerated == committed, (
-            "docs/api.md is stale — run python scripts/gen_api_docs.py"
-        )
-    finally:  # never leave the working tree dirty from a test
-        (ROOT / "docs" / "api.md").write_text(committed)
+    assert out.read_text() == committed, (
+        "docs/api.md is stale — run python scripts/gen_api_docs.py"
+    )
