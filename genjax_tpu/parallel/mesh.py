@@ -58,6 +58,14 @@ def make_mesh(
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
+            if n_devices > len(devices):
+                raise ValueError(
+                    f"make_mesh({n_devices}) but only {len(devices)} device(s) "
+                    f"are available on platform "
+                    f"'{devices[0].platform}'. For a virtual CPU mesh, set "
+                    f"jax.config.update('jax_num_cpu_devices', n) (and "
+                    f"'jax_platforms'='cpu') before the first JAX operation."
+                )
             devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis,))
 
