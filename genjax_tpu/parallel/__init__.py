@@ -38,9 +38,21 @@ from .resampling import (
 )
 from .rbpf import RBPFResult, rbpf
 from .smc import SSMParticleFilter, sharded_importance
+from .tensor_parallel import (
+    bnn_logdensity_reference,
+    bnn_param_count,
+    shard_params,
+    tensor_parallel_logdensity,
+    tp_bnn_logdensity,
+)
 
 __all__ = [
     "SSMParticleFilter",
+    "bnn_logdensity_reference",
+    "bnn_param_count",
+    "shard_params",
+    "tensor_parallel_logdensity",
+    "tp_bnn_logdensity",
     "collective_resample",
     "collective_weight_stats",
     "data_sharded_logdensity",
