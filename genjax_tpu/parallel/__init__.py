@@ -15,9 +15,12 @@ from .data import (
     minibatch_logdensity,
     shard_data,
 )
+from .audit import hlo_collectives
+from .islands import IslandFilterResult, IslandParticleFilter
 from .mesh import (
     host_local_mesh,
     initialize_distributed,
+    make_hier_mesh,
     make_mesh,
     shard_batch,
     shard_map_compat,
@@ -47,7 +50,11 @@ from .tensor_parallel import (
 )
 
 __all__ = [
+    "IslandFilterResult",
+    "IslandParticleFilter",
     "SSMParticleFilter",
+    "hlo_collectives",
+    "make_hier_mesh",
     "bnn_logdensity_reference",
     "bnn_param_count",
     "shard_params",

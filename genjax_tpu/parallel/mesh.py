@@ -70,6 +70,47 @@ def make_mesh(
     return Mesh(np.asarray(devices), (axis,))
 
 
+def make_hier_mesh(
+    n_islands: int,
+    n_shards: int | None = None,
+    axes: tuple[str, str] = ("island", "batch"),
+    devices=None,
+) -> Mesh:
+    """A 2-D hierarchical mesh: ``axes[0]`` (slow interconnect — DCN
+    across pod slices) × ``axes[1]`` (fast — ICI within a slice), for the
+    island particle filter and any other rare-exchange algorithm.
+
+    On real multi-slice hardware, pass ``devices`` from
+    ``jax.experimental.mesh_utils.create_hybrid_device_mesh`` so the
+    island axis actually falls on the DCN boundary; by default the
+    available devices are reshaped in order, which is correct for a
+    single slice and for the CPU test mesh.
+
+    >>> import jax
+    >>> from genjax_tpu.parallel import make_hier_mesh
+    >>> mesh = make_hier_mesh(2, len(jax.devices()) // 2) if len(
+    ...     jax.devices()) >= 2 else make_hier_mesh(1, 1)
+    >>> mesh.axis_names
+    ('island', 'batch')
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_shards is None:
+        if len(devices) % n_islands:
+            raise ValueError(
+                f"{len(devices)} devices do not split into {n_islands} islands"
+            )
+        n_shards = len(devices) // n_islands
+    need = n_islands * n_shards
+    if need > len(devices):
+        raise ValueError(
+            f"make_hier_mesh({n_islands}, {n_shards}) needs {need} devices "
+            f"but only {len(devices)} are available"
+        )
+    grid = np.asarray(devices[:need]).reshape(n_islands, n_shards)
+    return Mesh(grid, axes)
+
+
 def initialize_distributed(**kwargs) -> None:
     """Initialize the multi-host JAX runtime (call once per process before
     building meshes on a pod slice). Thin passthrough to

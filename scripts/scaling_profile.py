@@ -26,7 +26,6 @@ Run:
 
 import json
 import os
-import re
 import sys
 import time
 
@@ -40,75 +39,9 @@ if os.environ.get("SCALING_CPU"):
 import jax.numpy as jnp
 import jax.random as jr
 
-COLLECTIVE_RE = re.compile(
-    r"^\s*\S+ = \S+ (all-reduce|all-gather|collective-permute|reduce-scatter)",
-)
-SHAPE_RE = re.compile(r"(f32|f64|s32|u32|pred|bf16)\[([0-9,]*)\]")
-
-DTYPE_BYTES = {"f32": 4, "f64": 8, "s32": 4, "u32": 4, "pred": 1, "bf16": 2}
-
-
-# computation headers start at column 0: `%name (params...) -> ... {` or
-# `ENTRY %name (...`; params may nest parens (tuple types), so match only
-# the name and require the opening brace at end of line
-_COMP_HEAD_RE = re.compile(r"^(?:ENTRY\s+)?%([\w.\-]+)\s*\(.*\{\s*$")
-_BODY_REF_RE = re.compile(r"body=%?([\w.\-]+)")
-
-
-def hlo_collectives(compiled_text: str):
-    """Count collective ops in compiled HLO and sum their payload bytes.
-
-    ``lax.scan`` compiles to a ``while`` loop, so a collective inside the
-    loop body appears ONCE in the text but executes once per step —
-    per-step traffic is the body's collectives, not total/T. Collectives
-    are therefore classified by enclosing computation: those in
-    computations referenced by a ``while``'s ``body=`` execute per step;
-    the rest once per run."""
-    body_names = set(_BODY_REF_RE.findall(compiled_text))
-
-    ops = []
-    current_comp = None
-    for line in compiled_text.splitlines():
-        head = _COMP_HEAD_RE.match(line)
-        if head:
-            current_comp = head.group(1)
-        m = COLLECTIVE_RE.match(line)
-        if not m:
-            continue
-        kind = m.group(1)
-        # payload: first shape on the line (the op's result)
-        sm = SHAPE_RE.search(line)
-        nbytes = 0
-        if sm:
-            dt, dims = sm.group(1), sm.group(2)
-            n = 1
-            for d in dims.split(","):
-                if d:
-                    n *= int(d)
-            nbytes = n * DTYPE_BYTES.get(dt, 4)
-        in_body = current_comp in body_names or (
-            current_comp is not None
-            and any(current_comp.startswith(b) for b in body_names)
-        )
-        ops.append({"kind": kind, "bytes": nbytes, "per_step": in_body})
-    total = sum(o["bytes"] for o in ops)
-    by_kind = {}
-    for o in ops:
-        by_kind[o["kind"]] = by_kind.get(o["kind"], 0) + 1
-    step_ops = [o for o in ops if o["per_step"]]
-    return {
-        "count": len(ops),
-        "bytes": total,
-        "by_kind": by_kind,
-        "per_step": {
-            "count": len(step_ops),
-            "bytes": sum(o["bytes"] for o in step_ops),
-        },
-        "once_per_run": {
-            "count": len(ops) - len(step_ops),
-            "bytes": total - sum(o["bytes"] for o in step_ops),
-        },
-    }
+# the audit lives in the package now (genjax_tpu.parallel.audit) so tests
+# can certify communication claims too; this script just wraps it
+from genjax_tpu.parallel.audit import hlo_collectives  # noqa: E402
 
 
 def make_pf(n_particles):
@@ -259,7 +192,9 @@ def pf_hlo_audit(n_shards, n_particles, T):
         mesh=mesh, axis="batch", resample_mode="local", n_steps=None,
     )
     text = lowered.compile().as_text()
-    return hlo_collectives(text)
+    audit = hlo_collectives(text)
+    audit.pop("ops", None)  # keep the committed artifact compact
+    return audit
 
 
 def main():
