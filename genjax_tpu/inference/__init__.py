@@ -35,6 +35,14 @@ from .gibbs import (
     gibbs_sweep,
     mh_move,
 )
+from . import abc as abc_
+from .abc import (
+    ABCRejectionResult,
+    ABCSMCResult,
+    abc_rejection,
+    abc_smc,
+    column_weighted_moments,
+)
 from . import nested
 from .nested import (
     NestedSamplingResult,
@@ -60,6 +68,11 @@ from .sample import LogdensitySamples, PosteriorSamples, sample_logdensity, samp
 from .smc import ChangeTarget, Importance, ImportanceK, ParticleCollection, SMCAlgorithm
 
 __all__ = [
+    "ABCRejectionResult",
+    "ABCSMCResult",
+    "abc_rejection",
+    "abc_smc",
+    "column_weighted_moments",
     "Algorithm",
     "ChangeTarget",
     "Importance",
