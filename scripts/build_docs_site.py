@@ -7,7 +7,7 @@ navigable HTML site — from the pieces the repo already maintains:
 
 - ``docs/*.md``       the guide (index, getting started, API reference,
                       performance, deployment)
-- ``examples/*.py``   the 23 CI-executed cookbooks, rendered as
+- ``examples/*.py``   the 25 CI-executed cookbooks, rendered as
                       highlighted pages with their module docstrings as
                       markdown intros (the reference's notebook gallery)
 - root ``README.md`` / ``ARCHITECTURE.md`` / ``COVERAGE.md`` /
