@@ -64,11 +64,19 @@ from .tempered import AdaptiveTemperedSMCResult, TemperedSMCResult, adaptive_tem
 from .learning import LaplaceResult, MAPResult, fit_map, laplace_approximation
 from .model_comparison import ELPDResult, compare, psis_loo, waic
 from .sbc import SBCResult, sbc_ranks, sbc_uniformity
+from .smc_chees import (
+    ChEESTemperedResult,
+    chees_tempered_smc,
+    column_tempered_chees,
+)
 from .sample import LogdensitySamples, PosteriorSamples, sample_logdensity, sample_posterior
 from .smc import ChangeTarget, Importance, ImportanceK, ParticleCollection, SMCAlgorithm
 
 __all__ = [
     "ABCRejectionResult",
+    "ChEESTemperedResult",
+    "chees_tempered_smc",
+    "column_tempered_chees",
     "ABCSMCResult",
     "abc_rejection",
     "abc_smc",
