@@ -42,7 +42,7 @@ Quickstart — model, trace, score (every example below executes in CI,
 """
 
 from . import core
-from .checkify_ import do_checkify
+from .checkify import do_checkify
 from .core import (
     Const,
     Closure,

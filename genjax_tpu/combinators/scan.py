@@ -335,7 +335,7 @@ class ScanCombinator(GenerativeFunction):
         # `do_checkify()` (the reference asserts this statically via its
         # incremental interpreter; our handler-based edits are conservative
         # about retdiffs, so the check is a value check).
-        from ..checkify_ import optional_check
+        from ..checkify import optional_check
 
         def _carry_check():
             import jax.experimental.checkify as cf

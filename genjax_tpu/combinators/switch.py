@@ -100,7 +100,7 @@ class SwitchCombinator(GenerativeFunction):
         return SwitchTrace(self, args, tuple(subtraces), retval, score)
 
     def assess(self, chm: ChoiceMap, args: tuple):
-        from ..checkify_ import suppress_constraint_validation
+        from ..checkify import suppress_constraint_validation
 
         idx, branch_args = self._split(args)
         if isinstance(idx, int):
@@ -117,7 +117,7 @@ class SwitchCombinator(GenerativeFunction):
     def generate(self, key: PRNGKey, constraint: ChoiceMap, args: tuple):
         # every branch sees the whole constraint; a sibling branch's
         # addresses are not typos, so address validation is suppressed
-        from ..checkify_ import suppress_constraint_validation
+        from ..checkify import suppress_constraint_validation
 
         idx, branch_args = self._split(args)
         fs = [f.generate for f in self.branches]
@@ -202,7 +202,7 @@ class SwitchCombinator(GenerativeFunction):
         # as in generate/assess: every branch sees the whole constraint
         # (and multi_switch shape-traces even unselected branches), so a
         # sibling branch's addresses must not trip address validation
-        from ..checkify_ import suppress_constraint_validation
+        from ..checkify import suppress_constraint_validation
 
         with suppress_constraint_validation():
             rets = multi_switch(new_idx, fs, ops)
@@ -247,7 +247,7 @@ class SwitchCombinator(GenerativeFunction):
         every old value deterministically — so a round-trip cancels the
         weight exactly (tests/generative_functions/test_edit_fuzz.py).
         """
-        from ..checkify_ import suppress_constraint_validation
+        from ..checkify import suppress_constraint_validation
 
         idx_diff, branch_argdiffs = argdiffs[0], argdiffs[1:]
         primals = Diff.tree_primal(argdiffs)

@@ -108,7 +108,7 @@ class Distribution(GenerativeFunction):
     ) -> tuple[DistributionTrace, Weight]:
         v = constraint.get_value()
         if v is None:
-            from ..checkify_ import constraint_validation_active
+            from ..checkify import constraint_validation_active
 
             if (
                 constraint_validation_active()
@@ -296,7 +296,7 @@ class ExactDensity(Distribution):
     def assess(self, chm: ChoiceMap, args: tuple):
         v = chm.get_value()
         if isinstance(v, Mask):
-            from ..checkify_ import optional_check
+            from ..checkify import optional_check
 
             def check():
                 import jax.experimental.checkify as cf

@@ -111,7 +111,7 @@ class Mask(Pytree):
         replaced by it; otherwise an (optional, checkify-gated) validity
         assertion fires. See ``genjax_tpu.checkify``."""
         if default is None:
-            from ..checkify_ import optional_check
+            from ..checkify import optional_check
 
             def check():
                 import jax.experimental.checkify as cf

@@ -50,15 +50,15 @@ from jax.scipy.special import logsumexp
 
 from ..core.pytree import Pytree
 from ..core.typing_ import PRNGKey
-from ..kernels.chees import _halton2
+from ..kernels.adaptation import (
+    StepSizeAdaptState,
+    _halton2,
+    cross_chain_inv_mass,
+    dual_averaging_update,
+)
 from ..parallel.resampling import (
     effective_sample_size,
     resample_particles,
-)
-from .adaptation import (
-    StepSizeAdaptState,
-    cross_chain_inv_mass,
-    dual_averaging_update,
 )
 
 

@@ -6,6 +6,13 @@ small models is HBM-bound under XLA because every leapfrog round-trips the
 chain state; the fused kernel keeps entire trajectories in VMEM.
 """
 
+from .adaptation import (
+    StepSizeAdaptState,
+    cross_chain_inv_mass,
+    dual_averaging_update,
+    multiplicative_nudge,
+    windowed_warmup,
+)
 from .chees import ChEESInfo, chees_hmc
 from .elliptical import ess_sweep_cols, ess_transition_cols
 from .hmc import pallas_hmc, warmup_column
@@ -20,4 +27,4 @@ from .sgld import (
     sgld_sweep_cols,
 )
 
-__all__ = ["ChEESInfo", "chees_hmc", "ColumnPacker", "column_chees", "column_hmc", "column_logdensity", "column_nuts", "column_pt", "column_svgd", "PTInfo", "ess_sweep_cols", "ess_transition_cols", "full_grad_cols", "geometric_ladder", "minibatch_grad_cols", "pt_hmc", "nuts_sweep_cols", "nuts_transition", "pallas_hmc", "rbf_kernel_and_grad", "sghmc_sweep_cols", "sgld_sweep_cols", "svgd", "warmup_column"]
+__all__ = ["StepSizeAdaptState", "cross_chain_inv_mass", "dual_averaging_update", "multiplicative_nudge", "windowed_warmup", "ChEESInfo", "chees_hmc", "ColumnPacker", "column_chees", "column_hmc", "column_logdensity", "column_nuts", "column_pt", "column_svgd", "PTInfo", "ess_sweep_cols", "ess_transition_cols", "full_grad_cols", "geometric_ladder", "minibatch_grad_cols", "pt_hmc", "nuts_sweep_cols", "nuts_transition", "pallas_hmc", "rbf_kernel_and_grad", "sghmc_sweep_cols", "sgld_sweep_cols", "svgd", "warmup_column"]

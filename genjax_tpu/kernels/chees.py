@@ -27,7 +27,7 @@ The adaptation loop per sweep ``m``:
    ``v' = M^{-1} p'`` the final velocity — ascend ``log t`` with Adam;
 5. dual-averaging on the step size toward the optimal-acceptance 0.651;
    diagonal inverse mass from cross-chain variance (the massive-chain
-   estimator used across this framework, inference/adaptation.py).
+   estimator used across this framework, kernels/adaptation.py).
 """
 
 from __future__ import annotations
@@ -40,8 +40,9 @@ import jax.random as jr
 from jax import lax
 
 from ..core.pytree import Pytree
-from ..inference.adaptation import (
+from .adaptation import (
     StepSizeAdaptState,
+    _halton2,
     cross_chain_inv_mass,
     dual_averaging_update,
 )
@@ -59,13 +60,6 @@ class ChEESInfo(Pytree):
     divergence_rate: Any
     inv_mass: Any
     draws: Any
-
-
-def _halton2(i):
-    """Base-2 van der Corput value of ``i`` in (0, 1) — 24 bits."""
-    bits = jnp.arange(24)
-    digits = (i >> bits) & 1
-    return jnp.sum(digits * 0.5 ** (bits + 1.0)) + 2.0**-25
 
 
 def chees_hmc(

@@ -492,7 +492,7 @@ def warmup_column(
 
     Returns ``(q, eps, inv_mass)`` ready for the main sweep.
     """
-    from ..inference.adaptation import windowed_warmup
+    from .adaptation import windowed_warmup
 
     def sweep(q, idx, eps, inv_mass):
         # phase seeds live on a stream disjoint from any plausible main-

@@ -583,7 +583,7 @@ def warmup_column_nuts(
 
     Returns ``(q, eps, inv_mass)``.
     """
-    from ..inference.adaptation import windowed_warmup
+    from .adaptation import windowed_warmup
 
     def sweep(q, idx, eps, inv_mass):
         # disjoint phase-seed stream — see hmc.warmup_column: seed*1000+idx

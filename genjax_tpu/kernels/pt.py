@@ -46,7 +46,7 @@ import jax.random as jr
 from jax import lax
 
 from ..core.pytree import Pytree
-from ..inference.adaptation import (
+from .adaptation import (
     StepSizeAdaptState,
     cross_chain_inv_mass,
     dual_averaging_update,

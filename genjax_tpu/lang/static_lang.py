@@ -518,7 +518,7 @@ def _maybe_validate_constraint(gen_fn, constraint: ChoiceMap, args, what: str):
     combinator that legitimately fans a constraint across heterogeneous
     branches (``suppress_constraint_validation``).
     """
-    from ..checkify_ import constraint_validation_active
+    from ..checkify import constraint_validation_active
     from ..core.handlers import active_handler
 
     if not constraint_validation_active():

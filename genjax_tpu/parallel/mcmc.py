@@ -19,10 +19,16 @@ import jax.random as jr
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from typing import TYPE_CHECKING
+
 from ..core.typing_ import PRNGKey
 from ..generative.concepts import EditRequest
 from ..generative.selection import Selection
-from ..inference.mcmc import MHChainResult
+
+if TYPE_CHECKING:
+    # Annotation-only: parallel/ sits BELOW inference/ in the layer order
+    # (tests/test_layering.py); the runtime import of run_chain is lazy.
+    from ..inference.mcmc import MHChainResult
 
 
 def run_chains_sharded(
@@ -70,9 +76,9 @@ def _run_chains_jit(keys, request, make_trace, n_steps, record):
 
 
 # Step-size adaptation lives in the unified adaptation module
-# (inference/adaptation.py), shared with the column kernels; re-exported
+# (kernels/adaptation.py), shared with the column kernels; re-exported
 # here for backwards compatibility.
-from ..inference.adaptation import (  # noqa: E402
+from ..kernels.adaptation import (  # noqa: E402
     StepSizeAdaptState,
     dual_averaging_update,
 )

@@ -11,7 +11,7 @@ import jax.numpy as jnp
 import pytest
 
 import genjax_tpu as g
-from genjax_tpu.checkify_ import do_checkify
+from genjax_tpu.checkify import do_checkify
 from genjax_tpu.generative.choice_map import (
     ChoiceMapInvalidAddress,
     exists_flag,

@@ -53,8 +53,6 @@ class TestDetectorGiveUpAnswers:
     def test_deep_chain_reports_captured(self):
         """A tracer 9+ function-hops away exhausts the depth cap; the
         give-up answer must be True (capture), not False."""
-        tracer_like = jax.core.get_aval  # placeholder; replaced below
-
         # build the chain inside a trace so the leaf really is a Tracer
         seen = {}
 
