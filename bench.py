@@ -236,7 +236,7 @@ def bench_hmc():
 
     n_chains = int(os.environ.get("BENCH_CHAINS", 65536))
     n_steps = int(os.environ.get("BENCH_STEPS", 50))
-    reps = int(os.environ.get("BENCH_REPS", 50))
+    reps = int(os.environ.get("BENCH_REPS", 600))
     backend = os.environ.get("BENCH_BACKEND", "xla")
     L = 5
     regression, obs, packer, ld = _regression_setup()
@@ -255,10 +255,25 @@ def bench_hmc():
         )
     )
 
+    # Timed window = ONE dispatch (a jitted scan over all reps): the old
+    # per-rep loop issued `reps` ~7 ms programs through the tunneled TPU
+    # and per-dispatch latency jitter entered the measurement (see
+    # BENCH_VARIANCE.md). The compiled per-sweep program is identical.
+    @jax.jit
+    def run_reps(q, s0):
+        def body(q, s):
+            q, acc = pallas_hmc(
+                ld, q, s, n_steps=n_steps, eps=0.02, L=L, backend=backend
+            )
+            return q, acc
+
+        q, accs = jax.lax.scan(body, q, s0 + jnp.arange(reps))
+        return q, jnp.mean(accs)
+
     _log("# hmc: init trace+compile start")
     q = init(jr.key(7))
     t_w = time.perf_counter()
-    q1, acc = sweep(q, 0)
+    q, acc = run_reps(q, 0)
     _ = float(acc)
     _log(f"# hmc: warmup synced {time.perf_counter()-t_w:.1f}s")
 
@@ -267,9 +282,8 @@ def bench_hmc():
         jax.profiler.start_trace(profile_dir)
 
     t0 = time.perf_counter()
-    for i in range(1, reps + 1):
-        q, acc = sweep(q, i)
-    _ = float(acc)  # forces the whole chained sequence
+    q, acc = run_reps(q, reps)
+    _ = float(acc)
     dt = time.perf_counter() - t0
 
     if profile_dir:
@@ -376,7 +390,7 @@ def bench_chains():
 
     n_chains = int(os.environ.get("BENCH_TRACE_CHAINS", 16384))
     n_steps = int(os.environ.get("BENCH_TRACE_STEPS", 20))
-    reps = int(os.environ.get("BENCH_TRACE_REPS", 100))
+    reps = int(os.environ.get("BENCH_TRACE_REPS", 1500))
     regression, obs, _packer, _ld = _regression_setup()
 
     def init_one(k):
@@ -400,6 +414,22 @@ def bench_chains():
         trs, accs = jax.lax.scan(body, trs, jr.split(key, n_steps))
         return trs, jnp.mean(accs)
 
+    # The timed window is ONE dispatch: a jitted scan over all reps.
+    # The old per-rep Python loop issued `reps` ~4 ms programs through the
+    # network-tunneled TPU, and per-dispatch latency jitter dominated the
+    # 0.4 s measurement (observed 65–114 M transitions/s across identical
+    # runs — the r03 "regression" to 60.8 M was this, not the code; see
+    # BENCH_VARIANCE.md). A single 5–10 s device-resident program pays
+    # the jitter once.
+    @jax.jit
+    def run_reps(key, trs):
+        def body(trs, kk):
+            trs, acc = sweep(kk, trs)
+            return trs, acc
+
+        trs, accs = jax.lax.scan(body, trs, jr.split(key, reps))
+        return trs, jnp.mean(accs)
+
     # threefry root keys: measured 139M transitions/s vs 20M with rbg
     # roots here — vmapped per-chain SMALL draws hit RngBitGenerator's
     # per-call overhead, the opposite regime from the column sweep's
@@ -407,11 +437,10 @@ def bench_chains():
     trs = jax.jit(
         lambda key: jax.vmap(init_one, out_axes=-1)(jr.split(key, n_chains))
     )(jr.key(0))
-    trs, acc = sweep(jr.key(1), trs)
+    trs, acc = run_reps(jr.key(1), trs)  # compile + warm
     _ = float(acc)
     t0 = time.perf_counter()
-    for i in range(1, reps + 1):
-        trs, acc = sweep(jr.fold_in(jr.key(2), i), trs)
+    trs, acc = run_reps(jr.key(2), trs)
     _ = float(acc)
     dt = time.perf_counter() - t0
     _log(
