@@ -871,16 +871,14 @@ def bench_chees():
 
 def bench_gp():
     """Elliptical slice sampling over GP latents: per transition the
-    ellipse draw is a (D, D) @ (D, N) matmul (MXU-resident) and every
-    shrink iteration is an elementwise likelihood pass — the
-    latent-Gaussian workload profile, complementary to hmc's
+    ellipse draw is a (D, D) @ (D, N) matmul (MXU-resident); with the
+    Gaussian-likelihood fast path the shrink loop is O(N) trig algebra —
+    the latent-Gaussian workload profile, complementary to hmc's
     gradient-bound one."""
-    from genjax_tpu.kernels import ess_sweep_cols
-
     d_latent = int(os.environ.get("BENCH_GP_D", 256))
     n_chains = int(os.environ.get("BENCH_GP_CHAINS", 8192))
     n_steps = int(os.environ.get("BENCH_GP_STEPS", 50))
-    reps = int(os.environ.get("BENCH_GP_REPS", 20))
+    reps = int(os.environ.get("BENCH_GP_REPS", 400))
 
     # host numpy for all constants, INCLUDING the Gram matrix (axon: eager
     # device constants stall lowering, and eager TPU matmuls run at bf16
@@ -894,22 +892,40 @@ def bench_gp():
     noise = 0.3
     y = (f_true + noise * rng.normal(size=d_latent)).astype(np.float32)
 
-    def ll(q):
-        return -0.5 * jnp.sum((q - y[:, None]) ** 2, axis=0) / noise**2
+    # Gaussian observation noise -> the trig-quadratic fast path: the
+    # shrink loop runs on six (N,) coefficient vectors instead of (D, N)
+    # likelihood passes, leaving the transition bound by the ellipse-draw
+    # matmul (kernels/elliptical.py ess_sweep_gauss_cols; same Markov
+    # chain as the generic kernel, verified in test_elliptical.py).
+    from genjax_tpu.kernels import ess_sweep_gauss_cols
 
-    sweep = jax.jit(
-        lambda q, s: ess_sweep_cols(
-            ll, q, s, n_steps=n_steps, chol_prior=chol
+    prec = 1.0 / noise**2
+    # rbg bulk draws: the ellipse draw is the dominant cost and rbg wins
+    # ~1.3x on bulk (D, N) normals (CLAUDE.md RNG note; chees does the same)
+    rng_impl = os.environ.get("BENCH_GP_RNG", "rbg")
+
+    # single-dispatch timed window (BENCH_VARIANCE.md)
+    @jax.jit
+    def run_reps(q, s0):
+        return jax.lax.scan(
+            lambda qq, s: (
+                ess_sweep_gauss_cols(
+                    qq, s, n_steps=n_steps, chol_prior=chol, y=y,
+                    prec=prec, rng_impl=rng_impl,
+                )[0],
+                None,
+            ),
+            q,
+            s0 + jnp.arange(reps),
         )[0]
-    )
+
     q = jnp.zeros((d_latent, n_chains), jnp.float32)
     t_w = time.perf_counter()
-    q = sweep(q, 0)
+    q = run_reps(q, 0)
     _ = float(q[0, 0])
     _log(f"# gp-ess: warmup synced {time.perf_counter()-t_w:.1f}s")
     t0 = time.perf_counter()
-    for i in range(1, reps + 1):
-        q = sweep(q, i)
+    q = run_reps(q, reps)
     _ = float(q[0, 0])
     dt = time.perf_counter() - t0
     _log(
@@ -922,13 +938,13 @@ def bench_gp():
         "transitions/sec/chip",
     )
     # achieved GFLOP/s of one transition (MXU-utilization evidence: the
-    # ellipse draw is a (D, D) @ (D, N) matmul). The shrink while_loop's
-    # body is counted ONCE by the cost model, so flops/bytes beyond the
-    # first likelihood evaluation are uncounted — achieved and bound are
-    # both floors, and their ratio stays meaningful.
+    # ellipse draw is a (D, D) @ (D, N) matmul). On the fast path the
+    # shrink body the cost model counts once is O(N) — negligible — so
+    # the 1-transition unit cost is essentially exact.
     step1 = jax.jit(
-        lambda q, s: ess_sweep_cols(
-            ll, q, s, n_steps=1, chol_prior=chol
+        lambda q, s: ess_sweep_gauss_cols(
+            q, s, n_steps=1, chol_prior=chol, y=y, prec=prec,
+            rng_impl=rng_impl,
         )[0]
     )
     _roofline(
@@ -936,11 +952,14 @@ def bench_gp():
         step1,
         (q, 0),
         dt / (reps * n_steps),
-        note="1-transition unit, shrink iterations beyond the first uncounted",
+        note="1-transition unit, O(N) shrink body",
     )
 
     def sweep_draw(q, s):
-        q = ess_sweep_cols(ll, q, s, n_steps=n_steps, chol_prior=chol)[0]
+        q = ess_sweep_gauss_cols(
+            q, s, n_steps=n_steps, chol_prior=chol, y=y, prec=prec,
+            rng_impl=rng_impl,
+        )[0]
         return q, q[0, :]
 
     _ess_line("gp_mcmc_ess_per_sec_per_chip", sweep_draw, q, max(reps, 10))
@@ -964,12 +983,18 @@ def bench_svgd():
         )
         return q
 
-    run_j = jax.jit(run)
-    q = run_j(0)
+    # single-dispatch timed window (BENCH_VARIANCE.md): scan over seeds
+    @jax.jit
+    def run_reps(s0):
+        _, qs = jax.lax.scan(
+            lambda _, s: (None, run(s)), None, s0 + jnp.arange(reps)
+        )
+        return qs[-1]
+
+    q = run_reps(0)
     _ = float(q[0, 0])
     t0 = time.perf_counter()
-    for i in range(1, reps + 1):
-        q = run_j(i)
+    q = run_reps(reps)
     _ = float(q[0, 0])
     dt = time.perf_counter() - t0
     _log(

@@ -150,3 +150,88 @@ class TestGPLatents:
             np.sqrt(np.diag(np.asarray(cov_exact))),
             rtol=0.15,
         )
+
+
+class TestGaussianFastPath:
+    """ess_*_gauss_cols: the trig-quadratic O(N)-shrink-loop fast path
+    must be the SAME Markov chain as the generic kernel."""
+
+    def test_trajectory_matches_generic(self):
+        """Same keys, matching Gaussian likelihood: the fast path and the
+        generic path must produce (near-)identical chains — the quadratic
+        expansion is algebra, not approximation."""
+        from genjax_tpu.kernels.elliptical import ess_sweep_gauss_cols
+
+        rng = np.random.RandomState(3)
+        D, s2 = 4, 0.3
+        A = rng.randn(D, D)
+        Sigma = (A @ A.T + D * np.eye(D)).astype(np.float32) / D
+        chol = jnp.asarray(np.linalg.cholesky(Sigma))
+        y = rng.randn(D).astype(np.float32)
+
+        def ll(q):
+            return (
+                -0.5 * jnp.sum((q - jnp.asarray(y)[:, None]) ** 2, axis=0) / s2
+            )
+
+        q0 = jnp.asarray(rng.randn(D, 256), jnp.float32)
+        q_gen, _ = jax.jit(
+            lambda: ess_sweep_cols(ll, q0, 11, n_steps=30, chol_prior=chol)
+        )()
+        q_fast, _ = jax.jit(
+            lambda: ess_sweep_gauss_cols(
+                q0, 11, n_steps=30, chol_prior=chol, y=y, prec=1.0 / s2
+            )
+        )()
+        # identical randomness stream -> identical accept/shrink decisions
+        # up to float roundoff in the likelihood; a tiny fraction of
+        # chains may flip a borderline accept, so compare by quantile
+        diff = np.abs(np.asarray(q_gen) - np.asarray(q_fast))
+        assert np.quantile(diff, 0.98) < 1e-3, (
+            f"fast path diverged from generic: q98={np.quantile(diff, 0.98)}"
+        )
+
+    def test_posterior_moments_exact(self):
+        from genjax_tpu.kernels.elliptical import ess_sweep_gauss_cols
+
+        rng = np.random.RandomState(4)
+        D, s2 = 3, 0.25
+        A = rng.randn(D, D)
+        Sigma = (A @ A.T + D * np.eye(D)).astype(np.float32) / D
+        y = rng.randn(D).astype(np.float32)
+        C = np.linalg.inv(np.linalg.inv(Sigma) + np.eye(D) / s2)
+        m_post = C @ y / s2
+        chol = jnp.asarray(np.linalg.cholesky(Sigma))
+
+        q0 = jnp.zeros((D, N_CHAINS), jnp.float32)
+        q, _ = jax.jit(
+            lambda: ess_sweep_gauss_cols(
+                q0, 0, n_steps=200, chol_prior=chol, y=y, prec=1.0 / s2
+            )
+        )()
+        draws = np.asarray(q)
+        np.testing.assert_allclose(draws.mean(axis=1), m_post, atol=0.06)
+        np.testing.assert_allclose(np.cov(draws), C, atol=0.08)
+
+    def test_heteroscedastic_and_nonzero_mean(self):
+        """Per-dimension precisions + nonzero prior mean: posterior still
+        conjugate diag-vs-full; checks the prec/mean broadcasting."""
+        from genjax_tpu.kernels.elliptical import ess_sweep_gauss_cols
+
+        mu = np.asarray([1.0, -2.0], np.float32)
+        prec = np.asarray([4.0, 0.5], np.float32)  # 1/s2 per dim
+        y = np.asarray([0.0, 1.0], np.float32)
+        # prior N(mu, I) diag, lik prec diag: posterior precision 1 + prec
+        v = 1.0 / (1.0 + prec)
+        m_post = v * (mu + prec * y)
+
+        q0 = jnp.tile(jnp.asarray(mu)[:, None], (1, N_CHAINS))
+        q, _ = jax.jit(
+            lambda: ess_sweep_gauss_cols(
+                q0, 9, n_steps=150, chol_prior=1.0, y=y, prec=prec,
+                mean=mu[:, None],
+            )
+        )()
+        draws = np.asarray(q)
+        np.testing.assert_allclose(draws.mean(axis=1), m_post, atol=0.05)
+        np.testing.assert_allclose(draws.var(axis=1), v, rtol=0.15)
