@@ -212,6 +212,15 @@ def _roofline(metric, jitted, args, dt_per_call, cost_scale=1.0, note=""):
         bound = flops / max(t_flop, t_mem) / 1e9
         emit(f"{metric}_bound", bound, f"GFLOP/s ({binding}-bound roofline)")
         extra = f"; {note}" if note else ""
+        if achieved > bound:
+            # running FASTER than the nominal bound is possible only when
+            # the cost model's bytes-accessed overcounts true HBM traffic
+            # (it counts per-op bytes pre-fusion) — i.e. the program has
+            # provably saturated memory and is compute-side
+            extra += (
+                "; exceeds nominal memory bound -> bytes-accessed "
+                "overcounts fused traffic; program is compute-side"
+            )
         emit(
             f"{metric}_util",
             achieved / bound,
