@@ -385,19 +385,25 @@ def bench_nuts():
         f"{time.perf_counter()-t_w:.1f}s"
     )
 
-    sweep = jax.jit(
-        lambda q, s: nuts_sweep_cols(
-            ld, q, s, n_steps=n_steps, eps=eps, max_depth=max_depth,
-            inv_mass=inv_mass,
-        )
-    )
+    # single-dispatch timed window (BENCH_VARIANCE.md)
+    @jax.jit
+    def run_reps(q, s0):
+        def body(q, s):
+            q, acc, leaps = nuts_sweep_cols(
+                ld, q, s, n_steps=n_steps, eps=eps, max_depth=max_depth,
+                inv_mass=inv_mass,
+            )
+            return q, (acc, leaps)
+
+        q, (accs, leapss) = jax.lax.scan(body, q, s0 + jnp.arange(reps))
+        return q, accs[-1], leapss[-1]
+
     t_w = time.perf_counter()
-    q, acc, leaps = sweep(q, 0)
+    q, acc, leaps = run_reps(q, 0)
     _ = float(acc)
     _log(f"# nuts: sweep compiled+synced {time.perf_counter()-t_w:.1f}s")
     t0 = time.perf_counter()
-    for i in range(1, reps + 1):
-        q, acc, leaps = sweep(q, i)
+    q, acc, leaps = run_reps(q, reps)
     _ = float(acc)
     dt = time.perf_counter() - t0
     rate = n_chains * n_steps * reps / dt
@@ -517,19 +523,26 @@ def bench_pf():
     ys = jnp.zeros(T)
     obs = g.C[:, "y"].set(ys)
     pf = SSMParticleFilter(kernel, n_particles=K, ess_threshold=thresh)
-    run = jax.jit(
-        lambda s: pf.run(jr.fold_in(jr.key(0), s), 0.0, jnp.zeros(T), obs)
-    )
-    out = run(0)
-    _ = float(out.log_marginal)
+    # single-dispatch timed window (BENCH_VARIANCE.md): scan over seeds
+    @jax.jit
+    def run_reps(s0):
+        def body(_, s):
+            out = pf.run(
+                jr.fold_in(jr.key(0), s), 0.0, jnp.zeros(T), obs
+            )
+            return None, out.log_marginal
+        _, lzs = jax.lax.scan(body, None, s0 + jnp.arange(reps))
+        return lzs[-1]
+
+    lz = run_reps(0)
+    _ = float(lz)
     t0 = time.perf_counter()
-    for i in range(1, reps + 1):
-        out = run(i)
-    _ = float(out.log_marginal)
+    lz = run_reps(reps)
+    _ = float(lz)
     dt = time.perf_counter() - t0
     _log(
         f"# pf; K={K} T={T} reps={reps} wall={dt:.2f}s "
-        f"logZ={float(out.log_marginal):.1f}"
+        f"logZ={float(lz):.1f}"
     )
     emit(
         f"smc_particle_steps_per_sec_{K}particles",
@@ -563,14 +576,23 @@ def bench_sir():
         idx = jr.categorical(jr.fold_in(key, 1), ws)
         return trs.get_choices()["p"][idx]
 
-    run = jax.jit(
-        lambda s: jax.vmap(one_sir)(jr.split(jr.fold_in(jr.key(0), s), trials))
-    )
-    ps = run(0)
+    def run(s):
+        return jax.vmap(one_sir)(
+            jr.split(jr.fold_in(jr.key(0), s), trials)
+        )
+
+    # single-dispatch timed window (BENCH_VARIANCE.md): scan over seeds
+    @jax.jit
+    def run_reps(s0):
+        _, pss = jax.lax.scan(
+            lambda _, s: (None, run(s)), None, s0 + jnp.arange(reps)
+        )
+        return pss[-1]
+
+    ps = run_reps(0)
     _ = float(ps[0])
     t0 = time.perf_counter()
-    for i in range(1, reps + 1):
-        ps = run(i)
+    ps = run_reps(reps)
     _ = float(ps[0])
     dt = time.perf_counter() - t0
     _log(
@@ -676,17 +698,24 @@ def bench_dp():
     constraint = g.C["obs", :, "x"].set(data)
     betas = geometric_ladder(n_rungs)
 
-    run = jax.jit(
-        lambda s: tempered_smc(
+    def run(s):
+        return tempered_smc(
             jr.fold_in(jr.key(0), s), model, constraint, (data,),
             n_particles=K, betas=betas,
         ).log_marginal
-    )
-    lm = run(0)
+
+    # single-dispatch timed window (BENCH_VARIANCE.md): scan over seeds
+    @jax.jit
+    def run_reps(s0):
+        _, lms = jax.lax.scan(
+            lambda _, s: (None, run(s)), None, s0 + jnp.arange(reps)
+        )
+        return lms[-1]
+
+    lm = run_reps(0)
     _ = float(lm)
     t0 = time.perf_counter()
-    for i in range(1, reps + 1):
-        lm = run(i)
+    lm = run_reps(reps)
     _ = float(lm)
     dt = time.perf_counter() - t0
     _log(
@@ -717,19 +746,27 @@ def bench_hmc_pallas():
     def init(key):
         return jax.vmap(init_one, out_axes=1)(jr.split(key, n_chains))
 
-    sweep = jax.jit(
-        lambda q, s: pallas_hmc(
-            ld, q, s, n_steps=n_steps, eps=0.02, L=5, backend="pallas",
-        )
-    )
+    # CPU smoke runs execute the kernel body under the Pallas interpreter
+    interpret = jax.devices()[0].platform != "tpu"
+
+    # single-dispatch timed window (BENCH_VARIANCE.md)
+    @jax.jit
+    def run_reps(q, s0):
+        def body(q, s):
+            return pallas_hmc(
+                ld, q, s, n_steps=n_steps, eps=0.02, L=5,
+                backend="pallas", interpret=interpret,
+            )
+        q, accs = jax.lax.scan(body, q, s0 + jnp.arange(reps))
+        return q, accs[-1]
+
     q = init(jr.key(7))
     t_w = time.perf_counter()
-    q1, acc = sweep(q, 0)
+    q, acc = run_reps(q, 0)
     _ = float(acc)
     _log(f"# hmc-pallas: warmup synced {time.perf_counter()-t_w:.1f}s")
     t0 = time.perf_counter()
-    for i in range(1, reps + 1):
-        q, acc = sweep(q, i)
+    q, acc = run_reps(q, reps)
     _ = float(acc)
     dt = time.perf_counter() - t0
     _log(
@@ -846,17 +883,26 @@ def bench_chees():
         f"{time.perf_counter()-t_w:.1f}s"
     )
 
-    sample = jax.jit(
-        lambda q, s: chees_hmc(
+    def sample(q, s):
+        return chees_hmc(
             ld, q, s, n_warmup=0, n_steps=n_steps, eps0=eps_f, t0=traj,
             inv_mass=inv_mass, adapt_mass=False, collect=True,
         )
-    )
-    q, info = sample(q, 100)
+
+    # single-dispatch timed window (BENCH_VARIANCE.md): the scan carries
+    # q between reps; only the final rep's collected draws are kept
+    @jax.jit
+    def run_reps(q, s0):
+        def body(q, s):
+            q, info = sample(q, s)
+            return q, None
+        q, _ = jax.lax.scan(body, q, s0 + jnp.arange(reps - 1))
+        return sample(q, s0 + reps - 1)
+
+    q, info = run_reps(q, 100)
     _ = float(info.accept_rate)
     t0 = time.perf_counter()
-    for i in range(1, reps + 1):
-        q, info = sample(q, 100 + i)
+    q, info = run_reps(q, 100 + reps)
     _ = float(info.accept_rate)
     dt = time.perf_counter() - t0
     rate = n_chains * n_steps * reps / dt
