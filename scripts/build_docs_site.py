@@ -39,6 +39,7 @@ MD_EXTENSIONS = ["fenced_code", "tables", "toc", "codehilite"]
 GUIDE_PAGES = [
     ("docs/index.md", "index", "Overview"),
     ("docs/getting_started.md", "getting_started", "Getting started"),
+    ("docs/migration.md", "migration", "Migrating from GenJAX"),
     ("docs/api.md", "api", "API reference"),
     ("docs/performance.md", "performance", "Performance"),
     ("docs/deployment.md", "deployment", "Deployment"),

@@ -27,8 +27,8 @@ def test_site_builds_and_links_resolve(tmp_path):
 
     pages = sorted(out.rglob("*.html"))
     n_examples = len(list((ROOT / "examples").glob("*.py")))
-    # 5 guide + 4 project + gallery index + every cookbook
-    assert len(pages) == 10 + n_examples
+    # 6 guide + 4 project + gallery index + every cookbook
+    assert len(pages) == 11 + n_examples
 
     checked = 0
     for page in pages:
