@@ -19,7 +19,7 @@ import jax.random as jr
 import numpy as np
 
 import genjax_tpu as g
-from genjax_tpu.kernels import column_hmc, ess_sweep_cols
+from genjax_tpu.kernels import column_hmc, ess_sweep_cols, ess_sweep_gauss_cols
 from genjax_tpu.models import gp_posterior, gp_regression, sq_exp_kernel
 
 AMP, LS, NOISE = 1.2, 0.8, 0.25
@@ -105,6 +105,26 @@ def main():
     err = np.abs(np.asarray(f_cols).mean(axis=1) - np.asarray(mean_exact))
     print(f"ESS latent means vs closed form: max err={err.max():.3f}")
     assert err.max() < 0.1
+
+    # Gaussian observation noise? Use the FAST PATH: ll(theta) along the
+    # ellipse is a six-coefficient trig quadratic, so the shrink loop is
+    # O(chains) instead of O(D x chains) per iteration — same Markov
+    # chain, 3.4x on the v5e at D=256 (kernels/elliptical.py).
+    f_fast, _ = jax.jit(
+        lambda: ess_sweep_gauss_cols(
+            jnp.zeros((N_TRAIN, 1024), jnp.float32),
+            3,
+            n_steps=200,
+            chol_prior=chol,
+            y=jnp.asarray(y),
+            prec=1.0 / noise2,
+        )
+    )()
+    err_fast = np.abs(
+        np.asarray(f_fast).mean(axis=1) - np.asarray(mean_exact)
+    )
+    print(f"fast-path latent means vs closed form: max err={err_fast.max():.3f}")
+    assert err_fast.max() < 0.1
 
 
 if __name__ == "__main__":
