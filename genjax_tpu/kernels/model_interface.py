@@ -125,6 +125,7 @@ def column_hmc(
     backend: str = "auto",
     warmup: bool = False,
     inv_mass=None,
+    mass: str = "diag",
 ):
     """Prior-initialized, MH-adjusted HMC over ``addresses`` in the fused
     column layout. With ``warmup=True``, a windowed warmup adapts the step
@@ -132,6 +133,12 @@ def column_hmc(
     main sweep (``eps`` then seeds the adaptation). Returns ``(positions,
     accept_rate, packer)``; decode single chains with
     ``packer.unpack(positions[:, i])``.
+
+    ``mass="dense"`` (requires ``warmup=True``) adapts a FULL covariance
+    metric from the cross-chain spread instead
+    (``kernels.dense_mass.warmup_column_dense``) and runs the dense-metric
+    sweep — the right tool for correlated posteriors, where a diagonal
+    metric caps the step size at the smallest conditional scale.
 
     ``backend="auto"`` (default) stages the model's column log-density and
     picks from its jaxpr: matmul/conv ops or packed dim > 16 → the XLA
@@ -171,6 +178,24 @@ def column_hmc(
     q0 = jax.vmap(init_one, out_axes=1)(
         jr.split(jr.fold_in(jr.key(seed), 0xC0FFEE), n_chains)
     )
+    if mass == "dense":
+        if not warmup:
+            raise ValueError(
+                "mass='dense' requires warmup=True (the dense metric is "
+                "estimated from the cross-chain spread during warmup)"
+            )
+        from .dense_mass import hmc_sweep_dense_cols, warmup_column_dense
+
+        q0, eps_d, cov_chol = warmup_column_dense(
+            logdensity_cols, q0, seed, eps0=eps, L=L
+        )
+        q, accept = jax.jit(
+            lambda q0, cov_chol: hmc_sweep_dense_cols(
+                logdensity_cols, q0, seed, n_steps=n_steps,
+                eps=float(eps_d), L=L, cov_chol=cov_chol,
+            )
+        )(q0, cov_chol)
+        return q, accept, packer
     if warmup:
         from .hmc import warmup_column
 
