@@ -363,7 +363,7 @@ def bench_nuts():
 
     n_chains = int(os.environ.get("BENCH_CHAINS", 65536))
     n_steps = int(os.environ.get("BENCH_NUTS_STEPS", 10))
-    reps = int(os.environ.get("BENCH_NUTS_REPS", 5))
+    reps = int(os.environ.get("BENCH_NUTS_REPS", 100))
     max_depth = int(os.environ.get("BENCH_NUTS_DEPTH", 8))
     regression, obs, packer, ld = _regression_setup()
 
@@ -612,7 +612,7 @@ def bench_vi():
     from genjax_tpu.inference import Target, vi
 
     batch = int(os.environ.get("BENCH_VI_BATCH", 4096))
-    reps = int(os.environ.get("BENCH_VI_REPS", 200))
+    reps = int(os.environ.get("BENCH_VI_REPS", 4000))
 
     from genjax_tpu.inference.sp import Marginal
 
@@ -684,7 +684,7 @@ def bench_dp():
     n_rungs = int(os.environ.get("BENCH_DP_RUNGS", 10))
     n_data = int(os.environ.get("BENCH_DP_DATA", 60))
     # enough reps to clear the per-dispatch latency floor of the tunnel
-    reps = int(os.environ.get("BENCH_DP_REPS", 40))
+    reps = int(os.environ.get("BENCH_DP_REPS", 200))
     k_trunc = 8
 
     model = dp_mixture_model(k_trunc)
@@ -857,7 +857,7 @@ def bench_chees():
     n_chains = int(os.environ.get("BENCH_CHAINS", 65536))
     n_warmup = int(os.environ.get("BENCH_CHEES_WARMUP", 200))
     n_steps = int(os.environ.get("BENCH_CHEES_STEPS", 25))
-    reps = int(os.environ.get("BENCH_CHEES_REPS", 10))
+    reps = int(os.environ.get("BENCH_CHEES_REPS", 300))
     regression, obs, packer, ld = _regression_setup()
 
     def init_one(k):
@@ -1028,7 +1028,7 @@ def bench_svgd():
 
     n_particles = int(os.environ.get("BENCH_SVGD_PARTICLES", 4096))
     n_steps = int(os.environ.get("BENCH_SVGD_STEPS", 100))
-    reps = int(os.environ.get("BENCH_SVGD_REPS", 10))
+    reps = int(os.environ.get("BENCH_SVGD_REPS", 100))
     regression, obs, _packer, _ld = _regression_setup()
 
     def run(seed):
