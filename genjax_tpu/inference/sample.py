@@ -136,11 +136,26 @@ def sample_posterior(
     where single-temperature chains stay trapped in the mode they
     initialize in. Draws come from the cold rung; ``eps``/``inv_mass``/
     ``accept_rate`` report the cold rung's adapted settings.
+
+    ``algorithm="dense_hmc"`` runs the dense-metric column kernel
+    (``kernels.dense_mass``): warmup estimates the FULL posterior
+    covariance from the cross-chain spread and preconditions the
+    integrator with it — the right choice for strongly CORRELATED
+    posteriors, where every diagonal-metric algorithm above caps the
+    step size at the smallest conditional scale. The returned
+    ``inv_mass`` is the adapted metric's diagonal (marginal variances).
     """
     from .mcmc import mh
     from .requests.hmc import HMC
     from .requests.nuts import NUTS
 
+    if algorithm == "dense_hmc":
+        return _sample_posterior_dense(
+            key, model, constraint, args, selection,
+            n_chains=n_chains, n_warmup=n_warmup, n_samples=n_samples,
+            thin=thin, eps0=eps0, L=L, target_accept=target_accept,
+            mesh=mesh, axis=axis,
+        )
     if algorithm == "chees":
         return _sample_posterior_chees(
             key, model, constraint, args, selection,
@@ -384,6 +399,84 @@ def _sample_posterior_chees(
         divergence_rate=info.divergence_rate,
         eps=info.eps,
         inv_mass=info.inv_mass[: packer.dim],
+    )
+
+
+def _sample_posterior_dense(
+    key, model, constraint, args, selection, *,
+    n_chains, n_warmup, n_samples, thin, eps0, L, target_accept, mesh,
+    axis,
+) -> PosteriorSamples:
+    """Dense-metric column driver: full cross-chain covariance warmup
+    (``kernels.dense_mass``). Divergences surface as rejections (NaN
+    trajectories are rejected in-kernel), so ``divergence_rate`` is 0 by
+    construction here."""
+    from ..kernels.dense_mass import (
+        hmc_sweep_dense_cols,
+        warmup_column_dense,
+    )
+    from ..kernels.model_interface import ColumnPacker, column_logdensity
+
+    shape_chm = (
+        model.get_zero_trace(*args).get_choices().filter_eager(selection)
+    )
+    paths = _static_value_paths(shape_chm)
+    packer = ColumnPacker(model, constraint, args, paths)
+    ld = column_logdensity(model, constraint, args, packer)
+    k_init, k_run = jr.split(key)
+
+    @jax.jit
+    def init(k):
+        def one(kk):
+            tr, _ = model.generate(kk, constraint, args)
+            return packer.pack(tr.get_choices())
+
+        return jax.vmap(one, out_axes=1)(jr.split(k, n_chains))
+
+    q0 = init(k_init)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        q0 = jax.device_put(q0, NamedSharding(mesh, P(None, axis)))
+
+    steps_per_phase = 25
+    n_phases = max(1, n_warmup // steps_per_phase)
+    q0, eps, cov_chol = warmup_column_dense(
+        ld, q0, 0, n_phases=n_phases, steps_per_phase=steps_per_phase,
+        eps0=eps0, L=L, target_accept=target_accept,
+    )
+
+    n_steps = n_samples * thin
+    q, accept, draws_all = jax.jit(
+        lambda q0, k, cov_chol: hmc_sweep_dense_cols(
+            ld, q0, k, n_steps=n_steps, eps=float(eps), L=L,
+            cov_chol=cov_chol, collect=True,
+        )
+    )(q0, k_run, cov_chol)
+    draws = draws_all[thin - 1 :: thin]  # (n_samples, D_padded, N)
+
+    per_chain = jnp.moveaxis(draws, 2, 0)  # (N, n_samples, D_padded)
+    positions = jax.vmap(jax.vmap(packer.unpack))(per_chain)
+
+    real = draws[:, : packer.dim, :]
+    arr = jnp.transpose(real, (2, 0, 1))  # (chains, samples, dim)
+    rhat_flat, ess_flat = _column_diagnostics(arr, n_samples)
+    pad = packer.padded_dim - packer.dim
+
+    def unflatten(flat):
+        return packer.unpack(
+            jnp.pad(jnp.asarray(flat, jnp.float32), (0, pad))
+        )
+
+    sigma = cov_chol @ cov_chol.T
+    return PosteriorSamples(
+        positions=positions,
+        rhat=unflatten(rhat_flat),
+        ess=unflatten(ess_flat),
+        accept_rate=accept,
+        divergence_rate=jnp.asarray(0.0),
+        eps=eps,
+        inv_mass=jnp.diag(sigma)[: packer.dim],
     )
 
 

@@ -67,6 +67,7 @@ def hmc_sweep_dense_cols(
     L: int,
     cov_chol,
     rng_impl: str = "rbg",
+    collect: bool = False,
 ):
     """``n_steps`` MH-adjusted HMC transitions with a DENSE metric.
 
@@ -76,9 +77,12 @@ def hmc_sweep_dense_cols(
         cov_chol: ``(D, D)`` lower Cholesky of the estimated posterior
             covariance Σ (e.g. ``jnp.linalg.cholesky(cross_chain_cov(q))``).
         seed: int seed or PRNG key array.
+        collect: also return every transition's positions
+            ``(n_steps, D, N)`` (for the ``sample_posterior`` driver).
 
-    Returns ``(q, accept_rate)``; cost per transition is L+? (D, D)x(D, N)
-    matmuls on top of the L gradient evaluations.
+    Returns ``(q, accept_rate)`` — or ``(q, accept_rate, draws)`` with
+    ``collect`` — cost per transition is L+2 (D, D)x(D, N) matmuls on top
+    of the L gradient evaluations.
     """
     d, n = q0.shape
     q0 = q0.astype(jnp.float32)
@@ -123,7 +127,8 @@ def hmc_sweep_dense_cols(
         q = jnp.where(accept[None, :], q_new, q)
         lp = jnp.where(accept, lp_new, lp)
         g = jnp.where(accept[None, :], g_new, g)
-        return (q, lp, g, acc + jnp.mean(accept.astype(jnp.float32))), None
+        out = q if collect else None
+        return (q, lp, g, acc + jnp.mean(accept.astype(jnp.float32))), out
 
     if hasattr(seed, "dtype") and jnp.issubdtype(
         jnp.asarray(seed).dtype, jax.dtypes.prng_key
@@ -133,7 +138,9 @@ def hmc_sweep_dense_cols(
         root = jr.key(seed, impl=rng_impl)
     keys = jr.split(root, n_steps)
     lp0, g0 = lp_g(q0)
-    (q, _, _, acc), _ = lax.scan(mh_step, (q0, lp0, g0, 0.0), keys)
+    (q, _, _, acc), draws = lax.scan(mh_step, (q0, lp0, g0, 0.0), keys)
+    if collect:
+        return q, acc / n_steps, draws
     return q, acc / n_steps
 
 
