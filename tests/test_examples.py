@@ -29,6 +29,7 @@ SLOW = {
     "19_discrete_workflow",
     "22_gp_workflow",
     "23_model_evaluation",
+    "26_dense_mass",
 }
 
 EXAMPLES = sorted(
