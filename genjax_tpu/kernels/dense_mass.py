@@ -199,3 +199,42 @@ def warmup_column_dense(
         lambda init: lax.scan(phase, init, jnp.arange(n_phases))
     )(init)
     return q, eps, cov_chol
+
+
+def whiten_logdensity(logdensity_cols: Callable, cov_chol, mean=0.0):
+    """Give ANY column kernel a dense metric by reparameterization.
+
+    With Σ = L Lᵀ the estimated posterior covariance, sampling
+    ``u = L⁻¹ (q - m)`` from ``white_ld(u) = logdensity(m + L u)`` is
+    exactly equivalent to running the chain with kinetic energy
+    ½ pᵀ Σ p (the constant Jacobian |L| shifts the log-density by a
+    constant, which MCMC ignores) — but it works with the IDENTITY
+    metric, so NUTS (whose U-turn criterion has no dense-metric form
+    here), ChEES, parallel tempering, and the Pallas kernel all gain
+    full-covariance preconditioning unchanged.
+
+    Returns ``(white_ld, whiten, unwhiten)``:
+        white_ld:  ``(D, N) -> (N,)`` the whitened log-density;
+        whiten:    ``q -> u`` (map positions into the white space);
+        unwhiten:  ``u -> q`` (map draws back).
+    """
+    cov_chol = jnp.asarray(cov_chol, jnp.float32)
+    d = cov_chol.shape[0]
+    mean_col = (
+        jnp.asarray(mean, jnp.float32).reshape(-1, 1)
+        if jnp.ndim(mean) > 0
+        else jnp.full((d, 1), mean, jnp.float32)
+    )
+
+    def white_ld(u):
+        return logdensity_cols(mean_col + cov_chol @ u)
+
+    def whiten(q):
+        return jax.scipy.linalg.solve_triangular(
+            cov_chol, q - mean_col, lower=True
+        )
+
+    def unwhiten(u):
+        return mean_col + cov_chol @ u
+
+    return white_ld, whiten, unwhiten
