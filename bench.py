@@ -217,10 +217,13 @@ def _roofline(metric, jitted, args, dt_per_call, cost_scale=1.0, note=""):
             if binding == "memory":
                 # faster than the nominal memory bound: the cost model's
                 # bytes-accessed overcounts true HBM traffic (it counts
-                # per-op bytes pre-fusion) — the program is compute-side
+                # per-op bytes pre-fusion) — the program is compute-side,
+                # so re-base the bound to the compute roofline
+                binding = "compute (memory bound unreliable)"
+                bound = peak_fp32
                 extra += (
                     "; exceeds nominal memory bound -> bytes-accessed "
-                    "overcounts fused traffic; program is compute-side"
+                    "overcounts fused traffic; bound re-based to fp32 peak"
                 )
             if achieved > peak_fp32:
                 # faster than the nominal fp32 peak: XLA executes f32
