@@ -247,9 +247,6 @@ def _roofline(metric, jitted, args, dt_per_call, cost_scale=1.0, note=""):
         _log(f"# cost_analysis unavailable for {metric}: {e}")
 
 
-# back-compat alias used by the mode functions
-_achieved_gflops = _roofline
-
 
 def _regression_setup():
     import genjax_tpu as g

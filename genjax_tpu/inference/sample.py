@@ -338,11 +338,13 @@ def _static_value_paths(chm, prefix=()):
     return out
 
 
-def _sample_posterior_chees(
-    key, model, constraint, args, selection, *,
-    n_chains, n_warmup, n_samples, thin, eps0, target_accept, mesh, axis,
-) -> PosteriorSamples:
-    from ..kernels.chees import chees_hmc
+
+def _column_prep(model, constraint, args, selection, k_init, n_chains,
+                 mesh, axis):
+    """Shared setup for the column-kernel drivers (chees/pt/dense_hmc):
+    resolve the selection to packer paths, build the column log-density,
+    prior-initialize the chain columns, and shard them if a mesh is
+    given. Returns ``(packer, ld, q0)``."""
     from ..kernels.model_interface import ColumnPacker, column_logdensity
 
     shape_chm = (
@@ -351,7 +353,6 @@ def _sample_posterior_chees(
     paths = _static_value_paths(shape_chm)
     packer = ColumnPacker(model, constraint, args, paths)
     ld = column_logdensity(model, constraint, args, packer)
-    k_init, k_run = jr.split(key)
 
     @jax.jit
     def init(k):
@@ -366,93 +367,15 @@ def _sample_posterior_chees(
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         q0 = jax.device_put(q0, NamedSharding(mesh, P(None, axis)))
-
-    n_steps = n_samples * thin
-    q, info = jax.jit(
-        lambda q0, k: chees_hmc(
-            ld, q0, k, n_warmup=n_warmup, n_steps=n_steps, eps0=eps0,
-            target_accept=target_accept, collect=True,
-        )
-    )(q0, k_run)
-    draws = info.draws[thin - 1 :: thin]  # (n_samples, D_padded, N)
-
-    # positions: (chains, samples, *event) per selected path
-    per_chain = jnp.moveaxis(draws, 2, 0)  # (N, n_samples, D_padded)
-    positions = jax.vmap(jax.vmap(packer.unpack))(per_chain)
-
-    real = draws[:, : packer.dim, :]  # drop tile padding
-    arr = jnp.transpose(real, (2, 0, 1))  # (chains, samples, dim)
-
-    rhat_flat, ess_flat = _column_diagnostics(arr, n_samples)
-    pad = packer.padded_dim - packer.dim
-
-    def unflatten(flat):
-        return packer.unpack(
-            jnp.pad(jnp.asarray(flat, jnp.float32), (0, pad))
-        )
-
-    return PosteriorSamples(
-        positions=positions,
-        rhat=unflatten(rhat_flat),
-        ess=unflatten(ess_flat),
-        accept_rate=info.accept_rate,
-        divergence_rate=info.divergence_rate,
-        eps=info.eps,
-        inv_mass=info.inv_mass[: packer.dim],
-    )
+    return packer, ld, q0
 
 
-def _sample_posterior_dense(
-    key, model, constraint, args, selection, *,
-    n_chains, n_warmup, n_samples, thin, eps0, L, target_accept, mesh,
-    axis,
-) -> PosteriorSamples:
-    """Dense-metric column driver: full cross-chain covariance warmup
-    (``kernels.dense_mass``). Divergences surface as rejections (NaN
-    trajectories are rejected in-kernel), so ``divergence_rate`` is 0 by
-    construction here."""
-    from ..kernels.dense_mass import (
-        hmc_sweep_dense_cols,
-        warmup_column_dense,
-    )
-    from ..kernels.model_interface import ColumnPacker, column_logdensity
-
-    shape_chm = (
-        model.get_zero_trace(*args).get_choices().filter_eager(selection)
-    )
-    paths = _static_value_paths(shape_chm)
-    packer = ColumnPacker(model, constraint, args, paths)
-    ld = column_logdensity(model, constraint, args, packer)
-    k_init, k_run = jr.split(key)
-
-    @jax.jit
-    def init(k):
-        def one(kk):
-            tr, _ = model.generate(kk, constraint, args)
-            return packer.pack(tr.get_choices())
-
-        return jax.vmap(one, out_axes=1)(jr.split(k, n_chains))
-
-    q0 = init(k_init)
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        q0 = jax.device_put(q0, NamedSharding(mesh, P(None, axis)))
-
-    steps_per_phase = 25
-    n_phases = max(1, n_warmup // steps_per_phase)
-    q0, eps, cov_chol = warmup_column_dense(
-        ld, q0, 0, n_phases=n_phases, steps_per_phase=steps_per_phase,
-        eps0=eps0, L=L, target_accept=target_accept,
-    )
-
-    n_steps = n_samples * thin
-    q, accept, draws_all = jax.jit(
-        lambda q0, k, cov_chol: hmc_sweep_dense_cols(
-            ld, q0, k, n_steps=n_steps, eps=float(eps), L=L,
-            cov_chol=cov_chol, collect=True,
-        )
-    )(q0, k_run, cov_chol)
+def _column_result(draws_all, packer, n_samples, thin, *, accept_rate,
+                   divergence_rate, eps, inv_mass):
+    """Shared results packaging for the column drivers: thin the
+    collected ``(n_steps, D_padded, N)`` draws, unpack positions per
+    chain, run split-R̂/ESS over the real (unpadded) dims, and map the
+    per-dim diagnostics back onto the selection's pytree."""
     draws = draws_all[thin - 1 :: thin]  # (n_samples, D_padded, N)
 
     per_chain = jnp.moveaxis(draws, 2, 0)  # (N, n_samples, D_padded)
@@ -468,11 +391,100 @@ def _sample_posterior_dense(
             jnp.pad(jnp.asarray(flat, jnp.float32), (0, pad))
         )
 
-    sigma = cov_chol @ cov_chol.T
     return PosteriorSamples(
         positions=positions,
         rhat=unflatten(rhat_flat),
         ess=unflatten(ess_flat),
+        accept_rate=accept_rate,
+        divergence_rate=divergence_rate,
+        eps=eps,
+        inv_mass=inv_mass,
+    )
+
+
+def _sample_posterior_chees(
+    key, model, constraint, args, selection, *,
+    n_chains, n_warmup, n_samples, thin, eps0, target_accept, mesh, axis,
+) -> PosteriorSamples:
+    from ..kernels.chees import chees_hmc
+
+    k_init, k_run = jr.split(key)
+    packer, ld, q0 = _column_prep(
+        model, constraint, args, selection, k_init, n_chains, mesh, axis
+    )
+
+    n_steps = n_samples * thin
+    q, info = jax.jit(
+        lambda q0, k: chees_hmc(
+            ld, q0, k, n_warmup=n_warmup, n_steps=n_steps, eps0=eps0,
+            target_accept=target_accept, collect=True,
+        )
+    )(q0, k_run)
+    return _column_result(
+        info.draws, packer, n_samples, thin,
+        accept_rate=info.accept_rate,
+        divergence_rate=info.divergence_rate,
+        eps=info.eps,
+        inv_mass=info.inv_mass[: packer.dim],
+    )
+
+
+def _sample_posterior_dense(
+    key, model, constraint, args, selection, *,
+    n_chains, n_warmup, n_samples, thin, eps0, L, target_accept, mesh,
+    axis,
+) -> PosteriorSamples:
+    """Dense-metric column driver: full cross-chain covariance warmup
+    (``kernels.dense_mass``). Warmup follows the driver contract: up to 6
+    windows totalling EXACTLY ``n_warmup`` transitions (``n_warmup=0``
+    disables adaptation, keeping ``eps0`` and the identity metric).
+    Divergences surface as rejections (NaN trajectories are rejected
+    in-kernel), so ``divergence_rate`` is 0 by construction here."""
+    from ..kernels.dense_mass import (
+        hmc_sweep_dense_cols,
+        warmup_column_dense,
+    )
+
+    k_init, k_warm, k_run = jr.split(key, 3)
+    packer, ld, q0 = _column_prep(
+        model, constraint, args, selection, k_init, n_chains, mesh, axis
+    )
+
+    if n_warmup > 0:
+        # up to 6 equal windows + one remainder window: the adaptation
+        # budget is exactly n_warmup transitions
+        n_phases = min(6, n_warmup)
+        steps_per_phase = n_warmup // n_phases
+        leftover = n_warmup - n_phases * steps_per_phase
+        q0, eps, cov_chol = warmup_column_dense(
+            ld, q0, k_warm, n_phases=n_phases,
+            steps_per_phase=steps_per_phase, eps0=eps0, L=L,
+            target_accept=target_accept,
+        )
+        if leftover:
+            q0, _acc = jax.jit(
+                lambda q0, cov_chol, eps: hmc_sweep_dense_cols(
+                    ld, q0, jr.fold_in(k_warm, 999), n_steps=leftover,
+                    eps=eps, L=L, cov_chol=cov_chol,
+                )
+            )(q0, cov_chol, eps)
+    else:
+        eps = jnp.asarray(eps0, jnp.float32)
+        cov_chol = jnp.eye(q0.shape[0], dtype=jnp.float32)
+
+    n_steps = n_samples * thin
+    # eps/cov_chol ride as traced jit ARGUMENTS: re-running the driver
+    # with a different adapted eps hits the compile cache instead of
+    # paying a remote recompile per call
+    q, accept, draws_all = jax.jit(
+        lambda q0, k, cov_chol, eps: hmc_sweep_dense_cols(
+            ld, q0, k, n_steps=n_steps, eps=eps, L=L,
+            cov_chol=cov_chol, collect=True,
+        )
+    )(q0, k_run, cov_chol, eps)
+    sigma = cov_chol @ cov_chol.T
+    return _column_result(
+        draws_all, packer, n_samples, thin,
         accept_rate=accept,
         divergence_rate=jnp.asarray(0.0),
         eps=eps,
@@ -486,29 +498,11 @@ def _sample_posterior_pt(
     n_rungs, mesh, axis,
 ) -> PosteriorSamples:
     from ..kernels.pt import geometric_ladder, pt_hmc
-    from ..kernels.model_interface import ColumnPacker, column_logdensity
 
-    shape_chm = (
-        model.get_zero_trace(*args).get_choices().filter_eager(selection)
-    )
-    paths = _static_value_paths(shape_chm)
-    packer = ColumnPacker(model, constraint, args, paths)
-    ld = column_logdensity(model, constraint, args, packer)
     k_init, k_run = jr.split(key)
-
-    @jax.jit
-    def init(k):
-        def one(kk):
-            tr, _ = model.generate(kk, constraint, args)
-            return packer.pack(tr.get_choices())
-
-        return jax.vmap(one, out_axes=1)(jr.split(k, n_chains))
-
-    q0 = init(k_init)
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        q0 = jax.device_put(q0, NamedSharding(mesh, P(None, axis)))
+    packer, ld, q0 = _column_prep(
+        model, constraint, args, selection, k_init, n_chains, mesh, axis
+    )
 
     n_steps = n_samples * thin
     _q, info = jax.jit(
@@ -518,26 +512,8 @@ def _sample_posterior_pt(
             target_accept=target_accept, collect=True,
         )
     )(q0, k_run)
-    draws = info.draws[thin - 1 :: thin]  # (n_samples, D_padded, N) cold rung
-
-    per_chain = jnp.moveaxis(draws, 2, 0)  # (N, n_samples, D_padded)
-    positions = jax.vmap(jax.vmap(packer.unpack))(per_chain)
-
-    real = draws[:, : packer.dim, :]
-    arr = jnp.transpose(real, (2, 0, 1))  # (chains, samples, dim)
-
-    rhat_flat, ess_flat = _column_diagnostics(arr, n_samples)
-    pad = packer.padded_dim - packer.dim
-
-    def unflatten(flat):
-        return packer.unpack(
-            jnp.pad(jnp.asarray(flat, jnp.float32), (0, pad))
-        )
-
-    return PosteriorSamples(
-        positions=positions,
-        rhat=unflatten(rhat_flat),
-        ess=unflatten(ess_flat),
+    return _column_result(
+        info.draws, packer, n_samples, thin,
         accept_rate=info.accept_rate[0],  # cold rung
         # The PT kernel classifies non-finite proposals as rejections
         # (never as divergences), so this is identically 0 by construction.

@@ -165,6 +165,11 @@ def warmup_column_dense(
     its final value so early ill-conditioned estimates cannot derail the
     integrator. One ``lax.scan`` — a single dispatch and host sync.
 
+    ``seed`` is an int (a dedicated warmup stream is derived from it) or
+    a PRNG key array used as the stream root directly — pass a key when
+    the caller's own key should drive warmup randomness (the
+    ``sample_posterior`` driver does).
+
     Returns ``(q, eps, cov_chol)`` ready for
     :func:`hmc_sweep_dense_cols`.
     """
@@ -172,12 +177,18 @@ def warmup_column_dense(
 
     d, _ = q0.shape
     q0 = q0.astype(jnp.float32)
+    if hasattr(seed, "dtype") and jnp.issubdtype(
+        jnp.asarray(seed).dtype, jax.dtypes.prng_key
+    ):
+        root = seed
+    else:
+        root = jr.key((seed + 1) * 1_000_003, impl=rng_impl)
 
     def phase(carry, idx):
         q, eps, cov_chol = carry
         q, acc = hmc_sweep_dense_cols(
             logdensity_cols, q,
-            jr.fold_in(jr.key((seed + 1) * 1_000_003, impl=rng_impl), idx),
+            jr.fold_in(root, idx),
             n_steps=steps_per_phase, eps=eps, L=L, cov_chol=cov_chol,
         )
         eps = multiplicative_nudge(eps, acc, target_accept=target_accept)

@@ -184,17 +184,26 @@ def column_hmc(
                 "mass='dense' requires warmup=True (the dense metric is "
                 "estimated from the cross-chain spread during warmup)"
             )
+        if inv_mass is not None:
+            raise ValueError(
+                "mass='dense' adapts its own full-covariance metric; "
+                "inv_mass (a diagonal) cannot be combined with it"
+            )
+        # NOTE: the dense sweep always runs the XLA scan path — backend/
+        # block_n/interpret are Pallas-kernel knobs and do not apply here.
         from .dense_mass import hmc_sweep_dense_cols, warmup_column_dense
 
         q0, eps_d, cov_chol = warmup_column_dense(
             logdensity_cols, q0, seed, eps0=eps, L=L
         )
+        # eps_d/cov_chol ride as traced jit arguments (compile-cache hit
+        # across calls with different adapted values)
         q, accept = jax.jit(
-            lambda q0, cov_chol: hmc_sweep_dense_cols(
+            lambda q0, cov_chol, eps_d: hmc_sweep_dense_cols(
                 logdensity_cols, q0, seed, n_steps=n_steps,
-                eps=float(eps_d), L=L, cov_chol=cov_chol,
+                eps=eps_d, L=L, cov_chol=cov_chol,
             )
-        )(q0, cov_chol)
+        )(q0, cov_chol, eps_d)
         return q, accept, packer
     if warmup:
         from .hmc import warmup_column

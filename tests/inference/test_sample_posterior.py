@@ -244,3 +244,15 @@ class TestDenseHMCAlgorithm:
         np.testing.assert_allclose(
             np.asarray(res.inv_mass), np.diag(cov_post), rtol=0.5
         )
+
+    def test_zero_warmup_keeps_caller_settings(self):
+        """dense_hmc honors the driver contract: n_warmup=0 disables
+        adaptation entirely (eps stays eps0, metric stays identity)."""
+        res = sample_posterior(
+            KEY, conjugate, OBS, (), g.S["mu"],
+            n_chains=128, n_warmup=0, n_samples=30,
+            algorithm="dense_hmc", eps0=0.345, L=4,
+        )
+        assert float(res.eps) == pytest.approx(0.345)
+        # identity metric: the reported diagonal is exactly 1
+        assert float(res.inv_mass[0]) == pytest.approx(1.0)
