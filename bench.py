@@ -375,7 +375,7 @@ def bench_nuts():
 
     n_chains = int(os.environ.get("BENCH_CHAINS", 65536))
     n_steps = int(os.environ.get("BENCH_NUTS_STEPS", 10))
-    reps = int(os.environ.get("BENCH_NUTS_REPS", 100))
+    reps = int(os.environ.get("BENCH_NUTS_REPS", 300))
     max_depth = int(os.environ.get("BENCH_NUTS_DEPTH", 8))
     regression, obs, packer, ld = _regression_setup()
 
@@ -869,7 +869,7 @@ def bench_chees():
     n_chains = int(os.environ.get("BENCH_CHAINS", 65536))
     n_warmup = int(os.environ.get("BENCH_CHEES_WARMUP", 200))
     n_steps = int(os.environ.get("BENCH_CHEES_STEPS", 25))
-    reps = int(os.environ.get("BENCH_CHEES_REPS", 300))
+    reps = int(os.environ.get("BENCH_CHEES_REPS", 1200))
     regression, obs, packer, ld = _regression_setup()
 
     def init_one(k):
