@@ -144,11 +144,27 @@ def sample_posterior(
     posteriors, where every diagonal-metric algorithm above caps the
     step size at the smallest conditional scale. The returned
     ``inv_mass`` is the adapted metric's diagonal (marginal variances).
+
+    ``algorithm="dense_nuts"`` combines the dense metric with NUTS (the
+    Stan ``dense_e`` pairing): roughly half the ``n_warmup`` budget
+    estimates the full covariance with dense-HMC windows, the chain
+    cloud is whitened (``kernels.dense_mass.whiten_logdensity``), and
+    the other half adapts the white-space NUTS step size; sampling runs
+    column NUTS in white coordinates and maps draws back. ``inv_mass``
+    reports the metric's diagonal. ``n_warmup=0`` disables adaptation
+    (identity metric, ``eps0``).
     """
     from .mcmc import mh
     from .requests.hmc import HMC
     from .requests.nuts import NUTS
 
+    if algorithm == "dense_nuts":
+        return _sample_posterior_dense_nuts(
+            key, model, constraint, args, selection,
+            n_chains=n_chains, n_warmup=n_warmup, n_samples=n_samples,
+            thin=thin, eps0=eps0, max_depth=max_depth,
+            target_accept=target_accept, mesh=mesh, axis=axis,
+        )
     if algorithm == "dense_hmc":
         return _sample_posterior_dense(
             key, model, constraint, args, selection,
@@ -488,6 +504,79 @@ def _sample_posterior_dense(
         accept_rate=accept,
         divergence_rate=jnp.asarray(0.0),
         eps=eps,
+        inv_mass=jnp.diag(sigma)[: packer.dim],
+    )
+
+
+def _sample_posterior_dense_nuts(
+    key, model, constraint, args, selection, *,
+    n_chains, n_warmup, n_samples, thin, eps0, max_depth, target_accept,
+    mesh, axis,
+) -> PosteriorSamples:
+    """Dense-metric NUTS via whitening (Stan's dense_e + NUTS pairing).
+    Warmup budget: ~n_warmup/2 dense-HMC transitions estimate the full
+    covariance, then ~n_warmup/2 white-space NUTS transitions adapt eps
+    (window-rounded; n_warmup=0 disables adaptation entirely)."""
+    from ..kernels.dense_mass import (
+        warmup_column_dense,
+        whiten_logdensity,
+    )
+    from ..kernels.nuts import nuts_sweep_cols, warmup_column_nuts
+
+    k_init, k_warm, k_run = jr.split(key, 3)
+    packer, ld, q0 = _column_prep(
+        model, constraint, args, selection, k_init, n_chains, mesh, axis
+    )
+    d = q0.shape[0]
+
+    if n_warmup > 0:
+        n_a = max(1, n_warmup // 2)
+        n_phases_a = min(4, n_a)
+        q0, _eps_hmc, cov_chol = warmup_column_dense(
+            ld, q0, k_warm, n_phases=n_phases_a,
+            steps_per_phase=max(1, n_a // n_phases_a), eps0=eps0, L=5,
+            target_accept=0.8,
+        )
+    else:
+        cov_chol = jnp.eye(d, dtype=jnp.float32)
+
+    white_ld, whiten, unwhiten = whiten_logdensity(ld, cov_chol)
+    u0 = whiten(q0)
+
+    # int seeds for the NUTS streams, derived from the caller's key
+    # small range: warmup_column_nuts multiplies (seed+1)*1_000_003 into
+    # an int32 stream constant
+    seed_w = int(jr.randint(jr.fold_in(k_warm, 7), (), 0, 2**10))
+    seed_r = int(jr.randint(jr.fold_in(k_run, 7), (), 0, 2**31 - 1))
+
+    if n_warmup > 0:
+        n_b = max(1, n_warmup - n_a)
+        n_phases_b = min(6, n_b)
+        u0, eps_w, inv_mass_w = warmup_column_nuts(
+            white_ld, u0, seed_w, n_phases=n_phases_b,
+            steps_per_phase=max(1, n_b // n_phases_b), eps0=eps0,
+            max_depth=max_depth, target_accept=target_accept,
+        )
+    else:
+        eps_w = eps0
+        inv_mass_w = jnp.ones((d,), jnp.float32)
+
+    n_steps = n_samples * thin
+    u, acc, _leaps, draws_u, div = jax.jit(
+        lambda u0, eps, inv_mass: nuts_sweep_cols(
+            white_ld, u0, seed_r, n_steps=n_steps, eps=eps,
+            max_depth=max_depth, inv_mass=inv_mass, collect=True,
+        )
+    )(u0, jnp.asarray(eps_w, jnp.float32), inv_mass_w)
+    # map the white draws back: q = m + L u, batched over steps
+    draws_all = jnp.einsum("ij,sjn->sin", cov_chol, draws_u)
+
+    sigma = cov_chol @ cov_chol.T
+    return _column_result(
+        draws_all, packer, n_samples, thin,
+        accept_rate=acc,
+        divergence_rate=div,
+        eps=jnp.asarray(eps_w, jnp.float32),
         inv_mass=jnp.diag(sigma)[: packer.dim],
     )
 

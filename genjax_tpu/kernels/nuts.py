@@ -615,6 +615,7 @@ def nuts_sweep_cols(
     inv_mass=None,
     rng_impl: str = "rbg",
     batched: bool = True,
+    collect: bool = False,
 ):
     """``n_steps`` NUTS transitions over ``(D, N)`` column-layout chains as
     one jitted scan (shard the chain axis for multi-chip). ``rng_impl``
@@ -623,7 +624,12 @@ def nuts_sweep_cols(
     explicitly batched ``nuts_transition_cols`` — scalar loop conditions,
     collective early exit, bulk ``(D, N)`` PRNG draws; ``batched=False``
     vmaps the single-chain ``nuts_transition`` (fixed ``2^max_depth`` leaf
-    budget per doubling)."""
+    budget per doubling).
+
+    With ``collect=True`` returns ``(q, accept_stat, mean_leapfrogs,
+    draws, divergence_rate)`` where ``draws`` is every transition's
+    positions ``(n_steps, D, N)`` (for the ``sample_posterior`` driver);
+    without it, the usual ``(q, accept_stat, mean_leapfrogs)``."""
     d, n = q0.shape
 
     def ld_one(z):
@@ -647,11 +653,18 @@ def nuts_sweep_cols(
             z_new, info = jax.vmap(one, in_axes=(0, 1), out_axes=(1, 0))(
                 keys, q
             )
-        return z_new, (jnp.mean(info.accept_prob), jnp.mean(info.num_leapfrogs))
+        stats = (
+            jnp.mean(info.accept_prob),
+            jnp.mean(info.num_leapfrogs),
+            jnp.mean(jnp.asarray(info.diverged, jnp.float32)),
+        )
+        return z_new, (stats, z_new if collect else None)
 
-    qf, (accs, leaps) = lax.scan(
+    qf, ((accs, leaps, divs), draws) = lax.scan(
         step,
         q0.astype(jnp.float32),
         jr.split(jr.key(seed, impl=rng_impl), n_steps),
     )
+    if collect:
+        return qf, jnp.mean(accs), jnp.mean(leaps), draws, jnp.mean(divs)
     return qf, jnp.mean(accs), jnp.mean(leaps)

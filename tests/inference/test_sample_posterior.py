@@ -256,3 +256,52 @@ class TestDenseHMCAlgorithm:
         assert float(res.eps) == pytest.approx(0.345)
         # identity metric: the reported diagonal is exactly 1
         assert float(res.inv_mass[0]) == pytest.approx(1.0)
+
+
+class TestDenseNUTSAlgorithm:
+    def test_correlated_posterior_exact(self):
+        """dense_nuts (the Stan dense_e + NUTS pairing, via whitening):
+        exact mean AND full covariance on the near-collinear regression
+        posterior, healthy diagnostics."""
+        import numpy as np
+
+        rng = np.random.RandomState(0)
+        n_obs, s2 = 32, 0.25
+        x1 = rng.randn(n_obs)
+        X = np.stack([x1, x1 + 0.15 * rng.randn(n_obs)], axis=1).astype(
+            np.float32
+        )
+        y = (X @ np.asarray([1.0, -0.5]) + np.sqrt(s2) * rng.randn(n_obs)
+             ).astype(np.float32)
+        prec_post = np.eye(2) + X.T @ X / s2
+        cov_post = np.linalg.inv(prec_post)
+        mean_post = cov_post @ (X.T @ y) / s2
+
+        @g.gen
+        def model():
+            w = g.mv_normal_diag(jnp.zeros(2), jnp.ones(2)) @ "w"
+            _ = g.mv_normal_diag(
+                jnp.asarray(X) @ w, jnp.full(n_obs, float(np.sqrt(s2)))
+            ) @ "y"
+
+        res = sample_posterior(
+            KEY, model, g.C["y"].set(jnp.asarray(y)), (), g.S["w"],
+            n_chains=512, n_warmup=200, n_samples=100, thin=2,
+            algorithm="dense_nuts", eps0=0.2, max_depth=6,
+        )
+        draws = res["w"]
+        flat = np.asarray(draws).reshape(-1, 2).T
+        np.testing.assert_allclose(flat.mean(axis=1), mean_post, atol=0.05)
+        np.testing.assert_allclose(np.cov(flat), cov_post, atol=0.03)
+        assert 0.5 < float(res.accept_rate) <= 1.0
+        assert float(res.divergence_rate) < 0.01
+        assert float(jnp.max(res.rhat_of("w"))) < 1.1
+
+    def test_zero_warmup_identity_metric(self):
+        res = sample_posterior(
+            KEY, conjugate, OBS, (), g.S["mu"],
+            n_chains=128, n_warmup=0, n_samples=30,
+            algorithm="dense_nuts", eps0=0.4, max_depth=5,
+        )
+        assert float(res.eps) == pytest.approx(0.4)
+        assert float(res.inv_mass[0]) == pytest.approx(1.0)
