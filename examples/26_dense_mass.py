@@ -81,6 +81,22 @@ def main():
     np.testing.assert_allclose(flat.mean(axis=1), mean_post, atol=0.05)
     np.testing.assert_allclose(np.cov(flat), cov_post, atol=0.03)
 
+    # ---- 1b. dense metric + NUTS (the Stan dense_e pairing): same
+    # metric estimated during warmup, then NUTS runs in WHITENED
+    # coordinates where the target is isotropic ----
+    res_n = sample_posterior(
+        jax.random.key(1), model, obs, (), g.S["w"],
+        n_chains=512, n_warmup=200, n_samples=100, thin=2,
+        algorithm="dense_nuts", eps0=0.2, max_depth=6,
+    )
+    flat_n = np.asarray(res_n["w"]).reshape(-1, 2).T
+    np.testing.assert_allclose(flat_n.mean(axis=1), mean_post, atol=0.05)
+    np.testing.assert_allclose(np.cov(flat_n), cov_post, atol=0.03)
+    print(
+        f"dense_nuts: accept={float(res_n.accept_rate):.2f} "
+        f"divergences={float(res_n.divergence_rate):.3f}"
+    )
+
     # ---- 2. the @gen column bridge ----
     q, accept, packer = column_hmc(
         model, obs, (), ["w"],
