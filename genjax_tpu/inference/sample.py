@@ -151,8 +151,10 @@ def sample_posterior(
     cloud is whitened (``kernels.dense_mass.whiten_logdensity``), and
     the other half adapts the white-space NUTS step size; sampling runs
     column NUTS in white coordinates and maps draws back. ``inv_mass``
-    reports the metric's diagonal. ``n_warmup=0`` disables adaptation
-    (identity metric, ``eps0``).
+    reports the metric's diagonal; the returned ``eps`` is the
+    WHITE-space step size (not comparable to the original-space eps of
+    the other algorithms). ``n_warmup=0`` disables adaptation (identity
+    metric, ``eps0``).
     """
     from .mcmc import mh
     from .requests.hmc import HMC
@@ -516,12 +518,14 @@ def _sample_posterior_dense_nuts(
     """Dense-metric NUTS via whitening (Stan's dense_e + NUTS pairing).
     Warmup budget: ~n_warmup/2 dense-HMC transitions estimate the full
     covariance, then ~n_warmup/2 white-space NUTS transitions adapt eps
-    (window-rounded; n_warmup=0 disables adaptation entirely)."""
-    from ..kernels.dense_mass import (
-        warmup_column_dense,
-        whiten_logdensity,
-    )
-    from ..kernels.nuts import nuts_sweep_cols, warmup_column_nuts
+    (window-rounded; n_warmup=0 disables adaptation entirely). The
+    returned ``eps`` is the WHITE-space step size (the integrator runs
+    in whitened coordinates) — not comparable to the original-space eps
+    of the other algorithms; ``inv_mass`` is the metric's original-space
+    diagonal."""
+    from ..kernels.adaptation import windowed_warmup
+    from ..kernels.dense_mass import warmup_column_dense
+    from ..kernels.nuts import nuts_sweep_cols
 
     k_init, k_warm, k_run = jr.split(key, 3)
     packer, ld, q0 = _column_prep(
@@ -535,48 +539,65 @@ def _sample_posterior_dense_nuts(
         q0, _eps_hmc, cov_chol = warmup_column_dense(
             ld, q0, k_warm, n_phases=n_phases_a,
             steps_per_phase=max(1, n_a // n_phases_a), eps0=eps0, L=5,
-            target_accept=0.8,
+            target_accept=target_accept,
         )
-    else:
-        cov_chol = jnp.eye(d, dtype=jnp.float32)
-
-    white_ld, whiten, unwhiten = whiten_logdensity(ld, cov_chol)
-    u0 = whiten(q0)
-
-    # int seeds for the NUTS streams, derived from the caller's key
-    # small range: warmup_column_nuts multiplies (seed+1)*1_000_003 into
-    # an int32 stream constant
-    seed_w = int(jr.randint(jr.fold_in(k_warm, 7), (), 0, 2**10))
-    seed_r = int(jr.randint(jr.fold_in(k_run, 7), (), 0, 2**31 - 1))
-
-    if n_warmup > 0:
         n_b = max(1, n_warmup - n_a)
         n_phases_b = min(6, n_b)
-        u0, eps_w, inv_mass_w = warmup_column_nuts(
-            white_ld, u0, seed_w, n_phases=n_phases_b,
-            steps_per_phase=max(1, n_b // n_phases_b), eps0=eps0,
-            max_depth=max_depth, target_accept=target_accept,
-        )
     else:
-        eps_w = eps0
-        inv_mass_w = jnp.ones((d,), jnp.float32)
+        cov_chol = jnp.eye(d, dtype=jnp.float32)
+        n_b = 0
+        n_phases_b = 0
 
+    # seed ints for the white-space NUTS streams, derived from the
+    # caller's key and passed as TRACED jit arguments (with cov_chol) so
+    # repeat driver calls hit the compile cache instead of re-baking the
+    # adapted metric/seed as program constants (10s-400s remote compile
+    # each, CLAUDE.md). seed_w stays in a small range: the warmup stream
+    # constant is (seed_w+1)*1_000_003 in int32.
+    seed_w = jr.randint(jr.fold_in(k_warm, 7), (), 0, 2**10)
+    seed_r = jr.randint(jr.fold_in(k_run, 7), (), 0, 2**30)
     n_steps = n_samples * thin
-    u, acc, _leaps, draws_u, div = jax.jit(
-        lambda u0, eps, inv_mass: nuts_sweep_cols(
-            white_ld, u0, seed_r, n_steps=n_steps, eps=eps,
-            max_depth=max_depth, inv_mass=inv_mass, collect=True,
+
+    @jax.jit
+    def run_white(q0, cov_chol, seed_w, seed_r):
+        # whitening, white-space warmup, and sampling in ONE compiled
+        # program with every call-varying value traced
+        def white_ld(u):
+            return ld(cov_chol @ u)
+
+        u0 = jax.scipy.linalg.solve_triangular(cov_chol, q0, lower=True)
+        if n_b:
+            def sweep(u, idx, eps, inv_mass):
+                u, acc, _l = nuts_sweep_cols(
+                    white_ld, u, (seed_w + 1) * 1_000_003 + idx,
+                    n_steps=max(1, n_b // n_phases_b), eps=eps,
+                    max_depth=max_depth, inv_mass=inv_mass,
+                )
+                return u, acc
+
+            u0, eps_w, inv_mass_w, _accs = windowed_warmup(
+                sweep, u0, n_windows=n_phases_b, eps0=eps0,
+                target_accept=target_accept,
+            )
+        else:
+            eps_w = jnp.asarray(eps0, jnp.float32)
+            inv_mass_w = jnp.ones((q0.shape[0],), jnp.float32)
+        u, acc, _leaps, draws_u, div = nuts_sweep_cols(
+            white_ld, u0, seed_r, n_steps=n_steps, eps=eps_w,
+            max_depth=max_depth, inv_mass=inv_mass_w, collect=True,
         )
-    )(u0, jnp.asarray(eps_w, jnp.float32), inv_mass_w)
-    # map the white draws back: q = m + L u, batched over steps
-    draws_all = jnp.einsum("ij,sjn->sin", cov_chol, draws_u)
+        # map the white draws back: q = L u, batched over steps
+        draws_all = jnp.einsum("ij,sjn->sin", cov_chol, draws_u)
+        return acc, div, eps_w, draws_all
+
+    acc, div, eps_w, draws_all = run_white(q0, cov_chol, seed_w, seed_r)
 
     sigma = cov_chol @ cov_chol.T
     return _column_result(
         draws_all, packer, n_samples, thin,
         accept_rate=acc,
         divergence_rate=div,
-        eps=jnp.asarray(eps_w, jnp.float32),
+        eps=eps_w,
         inv_mass=jnp.diag(sigma)[: packer.dim],
     )
 
