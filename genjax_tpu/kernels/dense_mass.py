@@ -228,6 +228,15 @@ def whiten_logdensity(logdensity_cols: Callable, cov_chol, mean=0.0):
         white_ld:  ``(D, N) -> (N,)`` the whitened log-density;
         whiten:    ``q -> u`` (map positions into the white space);
         unwhiten:  ``u -> q`` (map draws back).
+
+    >>> import jax.numpy as jnp
+    >>> from genjax_tpu.kernels import whiten_logdensity
+    >>> chol = jnp.asarray([[1.0, 0.0], [0.9, 0.435890]])  # rho ~ 0.9
+    >>> ld = lambda q: -0.5 * jnp.sum(q * q, axis=0)
+    >>> white_ld, whiten, unwhiten = whiten_logdensity(ld, chol)
+    >>> q = jnp.asarray([[1.0], [0.5]])
+    >>> bool(jnp.allclose(unwhiten(whiten(q)), q, atol=1e-6))
+    True
     """
     cov_chol = jnp.asarray(cov_chol, jnp.float32)
     d = cov_chol.shape[0]
