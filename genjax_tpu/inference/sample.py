@@ -552,9 +552,10 @@ def _sample_posterior_dense_nuts(
     # caller's key and passed as TRACED jit arguments (with cov_chol) so
     # repeat driver calls hit the compile cache instead of re-baking the
     # adapted metric/seed as program constants (10s-400s remote compile
-    # each, CLAUDE.md). seed_w stays in a small range: the warmup stream
-    # constant is (seed_w+1)*1_000_003 in int32.
-    seed_w = jr.randint(jr.fold_in(k_warm, 7), (), 0, 2**10)
+    # each, CLAUDE.md). seed_w stays in a bounded range because the
+    # warmup stream constant is (seed_w+1)*1_000_003 in int32; 2**11 is
+    # the widest power of two that keeps it < 2**31.
+    seed_w = jr.randint(jr.fold_in(k_warm, 7), (), 0, 2**11)
     seed_r = jr.randint(jr.fold_in(k_run, 7), (), 0, 2**30)
     n_steps = n_samples * thin
 

@@ -196,8 +196,11 @@ def column_hmc(
         q0, eps_d, cov_chol = warmup_column_dense(
             logdensity_cols, q0, seed, eps0=eps, L=L
         )
-        # eps_d/cov_chol ride as traced jit arguments (compile-cache hit
-        # across calls with different adapted values)
+        # eps_d/cov_chol ride as traced jit ARGUMENTS so the lowered HLO
+        # is identical across calls with different adapted values — the
+        # in-process jit cache still misses (the lambda is fresh per
+        # call), but the persistent compilation cache dedupes the
+        # identical HLO, skipping the 10s-400s remote recompile
         q, accept = jax.jit(
             lambda q0, cov_chol, eps_d: hmc_sweep_dense_cols(
                 logdensity_cols, q0, seed, n_steps=n_steps,
