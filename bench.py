@@ -11,6 +11,9 @@ single-line parsers pick it up. Set BENCH_MODE to run one config:
   chees   ChEES-adaptive HMC (trajectory length/step size/mass adapted
           jointly from cross-chain statistics), same model
   chains  trace-based GFI chains (run_chains, lanes layout)
+  gfi     the GFI-abstraction tax: same model/chains/transition through
+          the per-transition edit API, the batched trace sweep driver
+          (run_chains_hmc), and the column kernel; emits gfi_overhead_x
   pf      adaptive-resampling particle filter, linear-Gaussian SSM
   sir     README-quickstart beta-bernoulli SIR (50 particles x trials)
   vi      ADEV ELBO gradient steps (reparam guide, conjugate target)
@@ -554,6 +557,151 @@ def bench_chains():
 
     _ess_line(
         "trace_mcmc_ess_per_sec_per_chip", sweep_draw, trs, min(reps, 25)
+    )
+
+
+def bench_gfi():
+    """The GFI-abstraction tax, measured apples-to-apples (VERDICT r4 item
+    1): the SAME posterior (flagship hierarchical regression), SAME chain
+    count, SAME transition unit — momentum refresh, L=5 leapfrogs at
+    eps=0.02, identity metric, MH accept — through three drivers:
+
+      trace   the per-transition edit API: ``mh(HMC(...))`` vmapped over
+              chains, a fresh trace materialized per transition
+      sweep   ``run_chains_hmc`` — the batched trace driver: the GFI's own
+              ``assess`` as the density, z-space column sweep with bulk
+              momenta, ONE vmapped Update write-back per 20-transition call
+      column  ``kernels/hmc.py`` on the packer's ``column_logdensity``
+              (the bypass path every headline number uses)
+
+    Emits all three rates plus ``gfi_overhead_x = column/sweep`` (what a
+    user pays for the recommended @gen driver vs the hand-packed kernel)
+    and ``gfi_overhead_per_transition_api_x = column/trace`` (the cost of
+    materializing a trace per transition)."""
+    import genjax_tpu as g
+    from genjax_tpu.inference.mcmc import run_chains_hmc
+    from genjax_tpu.kernels import pallas_hmc
+
+    n_chains = int(os.environ.get("BENCH_GFI_CHAINS", 65536))
+    n_steps = int(os.environ.get("BENCH_GFI_STEPS", 20))
+    eps, L = 0.02, 5
+    regression, obs, packer, ld = _regression_setup()
+    sel = g.S["w"] | g.S["tau"]
+
+    def init_lanes(key):
+        return jax.vmap(
+            lambda k: regression.generate(k, obs, ())[0], out_axes=-1
+        )(jr.split(key, n_chains))
+
+    rates = {}
+
+    # --- (a) per-transition edit API (bench_chains structure) ---------
+    reps_a = int(os.environ.get("BENCH_GFI_TRACE_REPS", 300))
+
+    def one_step(k, tr):
+        _k0, k1 = jr.split(k)
+        return g.mh(k1, tr, g.HMC(sel, eps, L=L))
+
+    @jax.jit
+    def run_trace(key, trs):
+        def sweep(trs, kk):
+            def body(trs, k2):
+                ks = jr.split(k2, n_chains)
+                trs, accs = jax.vmap(
+                    one_step, in_axes=(0, -1), out_axes=(-1, 0)
+                )(ks, trs)
+                return trs, jnp.mean(accs)
+
+            trs, accs = jax.lax.scan(body, trs, jr.split(kk, n_steps))
+            return trs, jnp.mean(accs)
+
+        trs, accs = jax.lax.scan(sweep, trs, jr.split(key, reps_a))
+        return trs, jnp.mean(accs)
+
+    # --- (b) batched trace sweep driver -------------------------------
+    reps_b = int(os.environ.get("BENCH_GFI_SWEEP_REPS", 600))
+
+    @jax.jit
+    def run_sweep(key, trs):
+        def body(trs, kk):
+            trs, acc = run_chains_hmc(
+                kk, trs, sel, eps=eps, L=L, n_steps=n_steps, chain_axis=-1
+            )
+            return trs, acc
+
+        trs, accs = jax.lax.scan(body, trs, jr.split(key, reps_b))
+        return trs, jnp.mean(accs)
+
+    # --- (c) column path ----------------------------------------------
+    reps_c = int(os.environ.get("BENCH_GFI_COLUMN_REPS", 600))
+
+    @jax.jit
+    def run_column(q, s0):
+        def body(q, s):
+            return pallas_hmc(
+                ld, q, s, n_steps=n_steps, eps=eps, L=L, backend="xla"
+            )
+
+        q, accs = jax.lax.scan(body, q, s0 + jnp.arange(reps_c))
+        return q, accs[-1]
+
+    def init_cols(key):
+        def one(k):
+            tr, _ = regression.generate(k, obs, ())
+            return packer.pack(tr.get_choices())
+
+        return jax.vmap(one, out_axes=1)(jr.split(key, n_chains))
+
+    # run all three with the standard warm + best-of-2 single-dispatch
+    # windows; acc readback is the sync
+    specs = [
+        ("trace", run_trace, lambda: init_lanes(jr.key(101)), reps_a),
+        ("sweep", run_sweep, lambda: init_lanes(jr.key(102)), reps_b),
+        ("column", run_column, lambda: init_cols(jr.key(103)), reps_c),
+    ]
+    for name, runner, init, reps in specs:
+        if name == "column":
+            st = {"x": init(), "k": 0, "acc": None}
+
+            def window(st=st, runner=runner, reps=reps):
+                t0 = time.perf_counter()
+                st["x"], st["acc"] = runner(st["x"], st["k"])
+                _ = float(st["acc"])
+                st["k"] += reps
+                return time.perf_counter() - t0
+
+            st["x"], st["acc"] = runner(st["x"], st["k"])  # compile+warm
+            _ = float(st["acc"])
+            st["k"] += reps
+        else:
+            st = {"x": init(), "k": 0, "acc": None}
+
+            def window(st=st, runner=runner):
+                t0 = time.perf_counter()
+                st["x"], st["acc"] = runner(jr.key(st["k"]), st["x"])
+                _ = float(st["acc"])
+                st["k"] += 1
+                return time.perf_counter() - t0
+
+            st["x"], st["acc"] = runner(jr.key(999), st["x"])  # compile+warm
+            _ = float(st["acc"])
+        dt = _best_of(window)
+        rates[name] = n_chains * n_steps * reps / dt
+        _log(
+            f"# gfi [{name}]: chains={n_chains} steps={n_steps} reps={reps} "
+            f"wall={dt:.2f}s accept={float(st['acc']):.2f} "
+            f"rate={rates[name]/1e6:.1f}M/s"
+        )
+        emit(
+            f"gfi_{name}_transitions_per_sec_{n_chains}chains",
+            rates[name],
+            "transitions/sec/chip",
+        )
+    emit("gfi_overhead_x", rates["column"] / rates["sweep"], "x (column/sweep)")
+    emit(
+        "gfi_overhead_per_transition_api_x",
+        rates["column"] / rates["trace"],
+        "x (column/per-transition-edit API)",
     )
 
 
@@ -1281,6 +1429,7 @@ def bench_svgd():
 
 MODES = {
     "chains": bench_chains,
+    "gfi": bench_gfi,
     "dense": bench_dense,
     "gp": bench_gp,
     "svgd": bench_svgd,
@@ -1322,7 +1471,7 @@ def main():
     # RE-EMITTED last so single-line parsers that keep only the final
     # JSON line also pick it up.
     for name in (
-        "hmc", "sir", "vi", "dp", "pf", "chains", "nuts", "chees",
+        "hmc", "sir", "vi", "dp", "pf", "chains", "gfi", "nuts", "chees",
         "dense", "hmc_pallas", "hmc_pallas_elementwise", "gp", "svgd",
     ):
         try:

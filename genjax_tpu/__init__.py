@@ -133,7 +133,7 @@ from .inference import (
     marginal,
 )
 from .inference.requests import EllipticalSlice, HMC, MALA, NUTS, Rejuvenate, SafeHMC, SliceSample, mh_accept
-from .inference.mcmc import mh, run_chain, run_chains
+from .inference.mcmc import mh, run_chain, run_chains, run_chains_hmc
 from .inference import vi
 
 __version__ = "0.1.0"
@@ -216,6 +216,7 @@ __all__ = [
     "mh_accept",
     "run_chain",
     "run_chains",
+    "run_chains_hmc",
     "MaskCombinator",
     "ScanCombinator",
     "SwitchCombinator",

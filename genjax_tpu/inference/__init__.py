@@ -50,7 +50,7 @@ from .nested import (
     nested_sampling,
 )
 from .sp import Algorithm, Marginal, SampleDistribution, Target, marginal
-from .mcmc import MHChainResult, mh, run_chain, run_chains
+from .mcmc import MHChainResult, mh, run_chain, run_chains, run_chains_hmc
 from .smc2 import SMC2Result, smc2
 from .pgibbs import (
     CSMCSweepResult,
@@ -116,6 +116,7 @@ __all__ = [
     "requests",
     "run_chain",
     "run_chains",
+    "run_chains_hmc",
     "AdaptiveTemperedSMCResult",
     "TemperedSMCResult",
     "adaptive_tempered_smc",

@@ -86,6 +86,114 @@ def run_chain(
     return MHChainResult(final, jnp.mean(accepts), history)
 
 
+def run_chains_hmc(
+    key: PRNGKey,
+    traces: Trace,
+    selection: Selection,
+    *,
+    eps,
+    L: int = 10,
+    n_steps: int = 1,
+    inv_mass: Any = None,
+    chain_axis: int = 0,
+) -> tuple[Trace, Any]:
+    """``n_steps`` of MH-adjusted HMC on a BATCH of traces, amortizing the
+    trace machinery over the whole sweep — the fast path for the workload
+    ``run_chains(..., HMC(...))`` expresses one transition at a time.
+
+    Same Markov chain as iterating ``mh(k, tr, HMC(selection, eps, L))``
+    (momentum refresh → ``L`` leapfrogs → MH accept on the selected
+    choices, everything else frozen), but restructured TPU-first:
+
+    - the selected choices of ALL chains are raveled once into a
+      ``(d, n_chains)`` column block (chains on lanes);
+    - the sweep runs as one ``lax.scan`` with BULK ``(d, N)`` momentum
+      draws (``kernels.hmc._reference_hmc`` — the same sweep the column
+      kernels use), instead of ``n_chains`` per-chain threefry streams;
+    - the trace is materialized ONCE at the end via a vmapped ``Update``
+      edit, instead of once per transition.
+
+    The log-density is the GFI's own ``assess`` over each chain's frozen
+    complement (``grad_view.selected_logdensity`` semantics), so any model
+    — static/scan/vmap/switch — composes, and per-chain constraints /
+    frozen choices are honored. Measured v5e, flagship model, 64k chains:
+    this driver closes the gap to the column kernel to ~1x, vs ~2x for
+    the per-transition edit API (``bench.py gfi`` mode).
+
+    Args:
+        traces: a batched trace pytree (e.g. from ``vmap(generate)``),
+            chain axis at ``chain_axis`` on every leaf.
+        selection: continuous choices to sample (same contract as ``HMC``).
+        inv_mass: optional diagonal inverse mass over the raveled
+            selected vector (shape ``(d,)``), as in the ``HMC`` request.
+
+    Returns:
+        ``(traces, accept_rate)`` — same layout as the input batch.
+
+    >>> import jax, jax.numpy as jnp, jax.random as jr
+    >>> import genjax_tpu as g
+    >>> @g.gen
+    ... def model():
+    ...     mu = g.normal(0.0, 1.0) @ "mu"
+    ...     _ = g.normal(mu, 1.0) @ "y"
+    >>> obs = g.C["y"].set(2.0)
+    >>> trs = jax.vmap(lambda k: model.generate(k, obs, ())[0])(
+    ...     jr.split(jr.key(0), 512)
+    ... )
+    >>> trs, acc = g.run_chains_hmc(
+    ...     jr.key(1), trs, g.S["mu"], eps=0.6, L=5, n_steps=100
+    ... )
+    >>> bool(abs(jnp.mean(trs.get_choices()["mu"]) - 1.0) < 0.15)  # post. mean 1
+    True
+    >>> bool(acc > 0.5)
+    True
+    """
+    from ..kernels.hmc import _reference_hmc
+    from .requests.grad_view import split_ravel
+
+    k_sweep, k_upd = jr.split(key)
+    sel_chm = lambda tr: tr.get_choices().filter_eager(selection)
+
+    def z_of(tr):
+        return split_ravel(sel_chm(tr))[0]
+
+    z_cols = jax.vmap(z_of, in_axes=chain_axis, out_axes=1)(traces)
+
+    def ld_one(tr, z):
+        chm = tr.get_choices()
+        _z0, rebuild = split_ravel(chm.filter_eager(selection))
+        w, _ = tr.get_gen_fn().assess(
+            rebuild(z).merge(chm.filter(~selection)), tr.get_args()
+        )
+        return w
+
+    def ld_cols(z):
+        return jax.vmap(ld_one, in_axes=(chain_axis, 1))(traces, z)
+
+    z_final, accept_rate = _reference_hmc(
+        ld_cols,
+        z_cols,
+        jr.randint(k_sweep, (), 0, 2**30),
+        n_steps=n_steps,
+        eps=eps,
+        L=L,
+        inv_mass=inv_mass,
+    )
+
+    def write_back(tr, z, k):
+        _z0, rebuild = split_ravel(sel_chm(tr))
+        new_tr, _w, _rd, _bwd = tr.update(k, rebuild(z))
+        return new_tr
+
+    n_chains = z_cols.shape[1]
+    traces = jax.vmap(
+        write_back,
+        in_axes=(chain_axis, 1, 0),
+        out_axes=chain_axis,
+    )(traces, z_final, jr.split(k_upd, n_chains))
+    return traces, accept_rate
+
+
 def run_chains(
     key: PRNGKey,
     make_trace: Callable[[PRNGKey], Trace],
