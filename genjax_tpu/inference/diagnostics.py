@@ -40,16 +40,28 @@ def split_rhat(draws) -> jnp.ndarray:
     return jnp.sqrt(var_plus / w)
 
 
-def ess(draws, max_lag: int | None = None) -> jnp.ndarray:
+def ess(
+    draws, max_lag: int | None = None, *, return_tau: bool = False
+) -> jnp.ndarray:
     """Bulk effective sample size (Vehtari et al. 2021): split chains,
     cross-chain pooled-variance autocorrelations, Geyer initial positive
     sequence with a fixed lag budget. ``draws``: (n_chains, n_draws).
+
+    ``return_tau=True`` additionally returns ``(tau_hat, truncated)``:
+    the integrated autocorrelation time estimate and whether the Geyer
+    initial-positive-sequence stop happened INSIDE the lag budget (if it
+    did not, ``tau_hat`` is budget-limited and ESS may be overestimated —
+    callers self-certify by checking ``tau_hat`` against ``max_lag``; see
+    ``bench.py _ess_line``).
 
     >>> import jax
     >>> from genjax_tpu.inference.diagnostics import ess
     >>> iid = jax.random.normal(jax.random.key(0), (4, 400))
     >>> bool(ess(iid) > 1000.0)   # iid draws: ESS near n_chains*n_draws
     True
+    >>> _e, (tau, trunc) = ess(iid, return_tau=True)
+    >>> bool(tau < 2.0), bool(trunc)  # iid: tau ~ 1, stops inside budget
+    (True, True)
 
     The lag-t correlation is ``rho_t = 1 - (W - mean_acov_t) / var_plus``
     with ``var_plus = (n-1)/n W + B/n`` — between-chain disagreement
@@ -73,7 +85,10 @@ def ess(draws, max_lag: int | None = None) -> jnp.ndarray:
     if max_lag < 1:
         # a single draw per chain carries no autocorrelation information:
         # tau = 1 (jnp.stack on zero lags would crash)
-        return jnp.asarray(float(n_chains * n_draws))
+        out = jnp.asarray(float(n_chains * n_draws))
+        if return_tau:
+            return out, (jnp.asarray(1.0), jnp.asarray(True))
+        return out
     centered = split - jnp.mean(split, axis=1, keepdims=True)
     chain_vars = jnp.sum(centered**2, axis=1) / (n - 1)
     w = jnp.mean(chain_vars) + 1e-12
@@ -100,7 +115,13 @@ def ess(draws, max_lag: int | None = None) -> jnp.ndarray:
     positive = jnp.cumprod(pair_sums > 0)
     tau = 1.0 + 2.0 * jnp.sum(jnp.where(positive, pair_sums, 0.0))
     total = n_chains * n_draws
-    return jnp.clip(total / tau, 0.0, float(total))
+    out = jnp.clip(total / tau, 0.0, float(total))
+    if return_tau:
+        # truncated-inside-budget = the positive sequence hit a
+        # non-positive pair before the last pair in the budget
+        truncated = jnp.any(positive == 0)
+        return out, (jnp.maximum(tau, 1.0), truncated)
+    return out
 
 
 __all__ = ["ess", "split_rhat"]

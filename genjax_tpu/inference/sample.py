@@ -110,6 +110,9 @@ def sample_posterior(
     n_rungs: int = 6,
     mesh=None,
     axis: str = "batch",
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 0,
+    max_segments: int | None = None,
 ) -> PosteriorSamples:
     """Sample ``p(selection | constraint)`` with adaptive NUTS, HMC, or
     ChEES.
@@ -155,10 +158,37 @@ def sample_posterior(
     WHITE-space step size (not comparable to the original-space eps of
     the other algorithms). ``n_warmup=0`` disables adaptation (identity
     metric, ``eps0``).
+
+    **Preemption-safe resume** (``algorithm="nuts"``/``"hmc"``): with
+    ``checkpoint_dir`` set and ``checkpoint_every=k``, the run executes
+    sampling in segments of ``k`` draws and checkpoints the FULL sampler
+    state (chain traces, adapted ``eps``/``inv_mass``, draws-so-far,
+    segment cursor) to disk after warmup and after every segment
+    (``genjax_tpu.io`` orbax serialization — sharded leaves save their
+    shards). If the process dies, calling ``sample_posterior`` again
+    with the SAME arguments and key resumes from the last completed
+    segment and produces the BITWISE-identical result of the
+    uninterrupted run: per-draw PRNG keys are pre-split from the caller
+    key, so segment boundaries never change the stream (a run with
+    ``checkpoint_every=0`` is also bitwise-identical — segmentation is
+    pure restartability). A preemption DURING warmup restarts warmup
+    (warmup is one compiled program; its state is checkpointed at the
+    warmup/sampling boundary). ``max_segments`` bounds how many NEW
+    segments this call runs (time-budgeted slices on preemptible quota);
+    a partial call returns the draws accumulated so far.
     """
     from .mcmc import mh
     from .requests.hmc import HMC
     from .requests.nuts import NUTS
+
+    if checkpoint_dir is not None and algorithm not in ("nuts", "hmc"):
+        raise ValueError(
+            "checkpoint_dir/resume is supported for the trace-path "
+            "algorithms ('nuts'/'hmc'); the column kernels "
+            "(chees/pt/dense_hmc/dense_nuts) run warmup+sampling as "
+            "single compiled programs with no segment boundary to "
+            "checkpoint at."
+        )
 
     if algorithm == "dense_nuts":
         return _sample_posterior_dense_nuts(
@@ -227,7 +257,7 @@ def sample_posterior(
         return flat
 
     @jax.jit
-    def run(init_keys, k_warm, k_run):
+    def warm(init_keys, k_warm):
         # chains-on-lanes internal layout: the chain axis batches LAST so
         # small per-chain event dims ride sublanes and the 128 lanes fill
         # with chains (20x on v5e vs chains-leading; see inference.mcmc)
@@ -267,8 +297,13 @@ def sample_posterior(
                 )
                 positions = jax.vmap(ravel_selected, in_axes=-1)(traces)
                 inv_mass = cross_chain_inv_mass(positions, chain_axis=0)
+        return traces, eps, inv_mass
 
-        # ---- sampling: record one draw per `thin` transitions ----
+    @jax.jit
+    def sample_segment(traces, seg_keys, eps, inv_mass):
+        # one segment of draws; per-draw keys arrive PRE-SPLIT from the
+        # caller key, so segment boundaries never change the stream
+        # (resume-bitwise guarantee)
         def sample_step(traces, kk):
             def inner(traces, k2):
                 ks = jr.split(k2, n_chains)
@@ -289,15 +324,77 @@ def sample_posterior(
             )
 
         traces, (draws, accs, divs) = lax.scan(
-            sample_step, traces, jr.split(k_run, n_samples)
+            sample_step, traces, seg_keys
         )
-        # draws: (n_samples, n_chains, d) -> (n_chains, n_samples, d)
-        draws = jnp.transpose(draws, (1, 0, 2))
-        return traces, draws, jnp.mean(accs), jnp.mean(divs), eps, inv_mass
+        return traces, draws, accs, divs
 
-    traces, draws, accept_rate, divergence_rate, eps, inv_mass = run(
-        init_keys, k_warm, k_run
+    # ---- segmented sampling with optional checkpoint/resume ----------
+    seg_size = (
+        checkpoint_every
+        if (checkpoint_dir is not None and checkpoint_every > 0)
+        else n_samples
     )
+    sample_keys = jr.split(k_run, n_samples)
+    bounds = [
+        (lo, min(lo + seg_size, n_samples))
+        for lo in range(0, n_samples, seg_size)
+    ]
+    start_seg = 0
+    draws_parts, accs_parts, divs_parts = [], [], []
+    traces = eps = inv_mass = None
+    if checkpoint_dir is not None:
+        restored = _restore_sampler_state(
+            checkpoint_dir, model, constraint, args, init_keys,
+            n_chains=n_chains, n_samples=n_samples, seg_size=seg_size,
+        )
+        if restored is not None:
+            import numpy as np
+
+            traces, eps, inv_mass, prior_draws, prior_accs, prior_divs, \
+                start_seg = restored
+            if prior_draws.shape[0]:
+                # host numpy: restored accumulators may sit on a
+                # different device set than fresh segment outputs
+                draws_parts.append(np.asarray(prior_draws))
+                accs_parts.append(np.asarray(prior_accs))
+                divs_parts.append(np.asarray(prior_divs))
+    if traces is None:
+        traces, eps, inv_mass = warm(init_keys, k_warm)
+        if checkpoint_dir is not None:
+            _save_sampler_state(
+                checkpoint_dir, traces, eps, inv_mass,
+                draws_parts, accs_parts, divs_parts, 0,
+                n_samples=n_samples, seg_size=seg_size, n_chains=n_chains,
+            )
+    ran = 0
+    for si in range(start_seg, len(bounds)):
+        if max_segments is not None and ran >= max_segments:
+            break
+        lo, hi = bounds[si]
+        traces, draws_i, accs_i, divs_i = sample_segment(
+            traces, sample_keys[lo:hi], eps, inv_mass
+        )
+        draws_parts.append(draws_i)
+        accs_parts.append(accs_i)
+        divs_parts.append(divs_i)
+        ran += 1
+        if checkpoint_dir is not None:
+            _save_sampler_state(
+                checkpoint_dir, traces, eps, inv_mass,
+                draws_parts, accs_parts, divs_parts, si + 1,
+                n_samples=n_samples, seg_size=seg_size, n_chains=n_chains,
+            )
+    if not draws_parts:
+        raise ValueError(
+            "no sampling segments ran (max_segments=0 on a fresh run?) — "
+            "nothing to return; run at least one segment"
+        )
+    draws = jnp.concatenate(draws_parts, axis=0)
+    n_done = draws.shape[0]
+    accept_rate = jnp.mean(jnp.concatenate(accs_parts))
+    divergence_rate = jnp.mean(jnp.concatenate(divs_parts))
+    # draws: (n_done, n_chains, d) -> (n_chains, n_done, d)
+    draws = jnp.transpose(draws, (1, 0, 2))
 
     # unpack draws back to per-address arrays + diagnostics (host-side
     # bookkeeping over static structure; the heavy reductions stay jitted)
@@ -314,7 +411,7 @@ def sample_posterior(
         # template values
         return rebuild(z, nongrad_fill=lambda _l: None)
 
-    rhat_flat, ess_flat = _column_diagnostics(draws, n_samples)
+    rhat_flat, ess_flat = _column_diagnostics(draws, n_done)
 
     def unflatten_axis(flat_by_dim):
         """Map per-raveled-dim values back onto the selection's pytree."""
@@ -329,6 +426,128 @@ def sample_posterior(
         divergence_rate=divergence_rate,
         eps=eps,
         inv_mass=inv_mass,
+    )
+
+
+# ----------------------------------------------------------------------
+# checkpoint/resume plumbing (sample_posterior nuts/hmc path)
+# ----------------------------------------------------------------------
+
+
+def _save_sampler_state(
+    checkpoint_dir, traces, eps, inv_mass, draws_parts, accs_parts,
+    divs_parts, next_segment, *, n_samples, seg_size, n_chains,
+):
+    """Checkpoint the full sampler state + a small JSON meta sidecar.
+
+    The meta records the run geometry so a resume can (a) validate it is
+    resuming the SAME run and (b) rebuild the orbax restore template
+    (shapes of draws-so-far) without touching the array data."""
+    import json
+    import os
+
+    from ..io import save_pytree
+
+    n_done = sum(int(p.shape[0]) for p in draws_parts)
+    state = {
+        "traces": traces,
+        "eps": eps,
+        "inv_mass": inv_mass,
+    }
+    if n_done:
+        # orbax refuses zero-size arrays; the warmup-boundary checkpoint
+        # simply omits the (empty) draw accumulators — meta's n_done
+        # tells the restore whether to expect them
+        state["draws"] = jnp.concatenate(draws_parts, axis=0)
+        state["accs"] = jnp.concatenate(accs_parts)
+        state["divs"] = jnp.concatenate(divs_parts)
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    save_pytree(os.path.join(checkpoint_dir, "state"), state)
+    meta = {
+        "next_segment": int(next_segment),
+        "n_done": n_done,
+        "n_samples": int(n_samples),
+        "seg_size": int(seg_size),
+        "n_chains": int(n_chains),
+        "d": int(inv_mass.shape[0]),
+    }
+    # atomic meta write: a crash mid-write must not leave a meta pointing
+    # at a state it does not describe. Multi-host: process 0 writes (the
+    # checkpoint dir is shared storage), then a barrier prevents any
+    # process racing ahead against a stale meta.
+    if jax.process_index() == 0:
+        tmp = os.path.join(checkpoint_dir, "meta.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(checkpoint_dir, "meta.json"))
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(
+            f"genjax_sampler_ckpt_{next_segment}"
+        )
+
+
+def _restore_sampler_state(
+    checkpoint_dir, model, constraint, args, init_keys, *, n_chains,
+    n_samples, seg_size,
+):
+    """Resume point lookup: returns ``None`` when no (valid) checkpoint
+    exists, else ``(traces, eps, inv_mass, draws, accs, divs,
+    next_segment)``. The trace template is rebuilt from code (structure
+    is static — SURVEY §5 'nearly free via pytree serialization') by
+    shape-evaluating the init program; leaves come from the checkpoint."""
+    import json
+    import os
+
+    import jax.tree_util as jtu
+
+    from ..io import restore_pytree
+
+    meta_path = os.path.join(checkpoint_dir, "meta.json")
+    if not os.path.exists(meta_path):
+        return None
+    with open(meta_path) as f:
+        meta = json.load(f)
+    if (
+        meta.get("n_samples") != int(n_samples)
+        or meta.get("seg_size") != int(seg_size)
+        or meta.get("n_chains") != int(n_chains)
+    ):
+        raise ValueError(
+            f"checkpoint at {checkpoint_dir!r} records a different run "
+            f"geometry {meta} — refusing to resume (same arguments and "
+            "key are required for bitwise resumption)"
+        )
+    # template = the EXECUTED init program (cheap: one vmapped generate):
+    # leaves carry the correct global shapes AND shardings (mesh runs
+    # restore sharded), and the treedef is exactly the run's
+    traces_tpl = jax.jit(
+        lambda ks: jax.vmap(
+            lambda k: model.generate(k, constraint, args)[0], out_axes=-1
+        )(ks)
+    )(init_keys)
+    n_done, d = meta["n_done"], meta["d"]
+    template = {
+        "traces": traces_tpl,
+        "eps": jnp.zeros((), jnp.float32),
+        "inv_mass": jnp.zeros((d,)),
+    }
+    if n_done:
+        template["draws"] = jnp.zeros((n_done, n_chains, d))
+        # accs/divs are per-draw scalars, so their length is n_done
+        template["accs"] = jnp.zeros((n_done,), jnp.float32)
+        template["divs"] = jnp.zeros((n_done,), jnp.float32)
+    state = restore_pytree(os.path.join(checkpoint_dir, "state"), template)
+    empty = jnp.zeros((0,), jnp.float32)
+    return (
+        state["traces"],
+        state["eps"],
+        state["inv_mass"],
+        state.get("draws", jnp.zeros((0, n_chains, d))),
+        state.get("accs", empty),
+        state.get("divs", empty),
+        meta["next_segment"],
     )
 
 
