@@ -15,9 +15,13 @@ from __future__ import annotations
 
 import re
 
+# the result type may be a TUPLE — `(f32[8,32]{1,0}, f32[1,8]{1,0})` —
+# which contains spaces, so the type is captured non-greedily up to the
+# op name rather than as one token (a `\S+` type pattern silently missed
+# every tuple-typed collective, e.g. the tensor-parallel fused psum)
 COLLECTIVE_RE = re.compile(
-    r"^\s*\S+ = \S+ (all-reduce|all-gather|collective-permute|reduce-scatter"
-    r"|all-to-all)",
+    r"^\s*%?\S+ = (.+?) (all-reduce|all-gather|collective-permute"
+    r"|reduce-scatter|all-to-all)(?:-start|-done)?\(",
 )
 SHAPE_RE = re.compile(r"(f32|f64|s32|u32|pred|bf16)\[([0-9,]*)\]")
 
@@ -83,17 +87,16 @@ def hlo_collectives(compiled_text: str):
         m = COLLECTIVE_RE.match(line)
         if not m:
             continue
-        kind = m.group(1)
-        # payload: first shape on the line (the op's result)
-        sm = SHAPE_RE.search(line)
+        result_type, kind = m.group(1), m.group(2)
+        # payload: ALL shapes in the result type (tuple results sum
+        # their elements)
         nbytes = 0
-        if sm:
-            dt, dims = sm.group(1), sm.group(2)
+        for dt, dims in SHAPE_RE.findall(result_type):
             n = 1
             for d in dims.split(","):
                 if d:
                     n *= int(d)
-            nbytes = n * DTYPE_BYTES.get(dt, 4)
+            nbytes += n * DTYPE_BYTES.get(dt, 4)
         in_body = current_comp in body_names or (
             current_comp is not None
             and any(current_comp.startswith(b) for b in body_names)

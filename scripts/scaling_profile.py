@@ -197,6 +197,96 @@ def pf_hlo_audit(n_shards, n_particles, T):
     return audit
 
 
+def _audit_jit(fn, *args):
+    """Lower a jitted program, audit its collectives, and keep a compact
+    record (including the largest replica-group span per kind)."""
+    text = jax.jit(fn).lower(*args).compile().as_text()
+    audit = hlo_collectives(text)
+    spans = {}
+    for op in audit.pop("ops", []):
+        k = op["kind"]
+        s = op["group_span"]
+        spans[k] = max(spans.get(k) or 0, s or 0) or None
+    audit["max_group_span_by_kind"] = spans
+    return audit
+
+
+def flagship_hlo_audits(n_shards):
+    """Collective audits for the round-4 flagship modes (VERDICT r4 item
+    5): sharded dense-metric HMC (sweep AND warmup — the warmup's
+    cross_chain_cov is the D^2-payload psum), ChEES warmup (cross-chain
+    adaptation statistics), and the tensor-parallel BNN density (the
+    fused per-evaluation psum). Same constructions as
+    ``__graft_entry__.dryrun_multichip``."""
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from genjax_tpu.kernels import chees_hmc, pallas_hmc
+    from genjax_tpu.kernels.dense_mass import (
+        hmc_sweep_dense_cols,
+        warmup_column_dense,
+    )
+    from genjax_tpu.parallel import (
+        bnn_param_count,
+        make_mesh,
+        make_mesh_2d,
+        shard_params,
+        tp_bnn_logdensity,
+    )
+
+    rng = np.random.default_rng(0)
+    out = {}
+    mesh = make_mesh(n_shards)
+    d = 4
+    prec = np.eye(d, dtype=np.float32) + 0.25
+
+    def ld(q):
+        return -0.5 * jnp.sum(q * (jnp.asarray(prec) @ q), axis=0)
+
+    q = jax.device_put(
+        jnp.asarray(rng.normal(size=(d, 16 * n_shards)), jnp.float32),
+        NamedSharding(mesh, P(None, "batch")),
+    )
+    chol = jnp.eye(d, dtype=jnp.float32)
+    out["dense_hmc_sweep"] = _audit_jit(
+        lambda q, c: hmc_sweep_dense_cols(
+            ld, q, 3, n_steps=2, eps=0.2, L=2, cov_chol=c
+        ),
+        q, chol,
+    )
+    out["dense_hmc_warmup"] = _audit_jit(
+        lambda q: warmup_column_dense(
+            ld, q, 3, n_phases=2, steps_per_phase=2, eps0=0.2, L=2
+        ),
+        q,
+    )
+    out["chees_warmup"] = _audit_jit(
+        lambda q: chees_hmc(ld, q, 3, n_warmup=3, n_steps=0, eps0=0.1),
+        q,
+    )
+    shape = (2, n_shards // 2) if n_shards % 2 == 0 else (1, n_shards)
+    mesh_tp = make_mesh_2d(shape, axes=("model", "batch"))
+    m_rows = 8 * shape[1]
+    xs = rng.normal(size=(m_rows, 4)).astype(np.float32)
+    ys = rng.normal(size=(m_rows,)).astype(np.float32)
+    hidden = 4 * shape[0]
+    d_tp = bnn_param_count(4, hidden)
+    ld_tp = tp_bnn_logdensity(xs, ys, hidden, mesh_tp)
+    q_tp = shard_params(
+        jnp.asarray(
+            rng.normal(size=(d_tp, 8 * shape[1])).astype(np.float32) * 0.3
+        ),
+        mesh_tp,
+    )
+    out["tensor_parallel_hmc"] = _audit_jit(
+        lambda q: pallas_hmc(
+            ld_tp, q, 5, n_steps=2, eps=0.02, L=2, backend="xla"
+        ),
+        q_tp,
+    )
+    return out
+
+
 def main():
     n_dev = len(jax.devices())
     T = 20
@@ -221,6 +311,12 @@ def main():
             continue
         results["hlo_collectives"][s] = pf_hlo_audit(s, 4096 * s, T)
         print(f"# hlo audit s={s}: {results['hlo_collectives'][s]}", file=sys.stderr)
+
+    # collective audits of the round-4 flagship modes (dense-metric HMC,
+    # ChEES warmup, tensor-parallel BNN) at the full device count
+    results["hlo_collectives_flagship"] = flagship_hlo_audits(n_dev)
+    for k, v in results["hlo_collectives_flagship"].items():
+        print(f"# flagship audit {k}: {v}", file=sys.stderr)
 
     for s in (1, 2, 4, 8):
         if s > n_dev:
