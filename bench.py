@@ -831,6 +831,37 @@ def bench_nuts():
             leap_rate / (hmc_rate * 5.0),
             "fraction of the HMC sweep's leapfrogs/sec on the same model",
         )
+    # ---- analytic bytes model for the leapfrog gap (VERDICT r4 item 4
+    # "hunt the overhead"): unlike HMC's loop-resident trajectory, every
+    # NUTS leapfrog streams its tree working set through HBM — the
+    # while-loop carry (z, r, g, z_prop read+write = 8 (D, N) passes),
+    # one checkpoint-slot push + an amortized-1 U-turn slot read (2
+    # passes; the (max_depth+1, D, N) buffers update in place), and the
+    # doubling merge's endpoint/proposal selects (~12 passes per
+    # doubling, amortized over its 2^j leapfrogs). ----
+    d_pad, n_ch = q.shape
+    depth = float(np.log2(mean_leaps + 1.0))
+    passes = 10.0 + 12.0 * depth / max(mean_leaps, 1.0)
+    bytes_per_leap = passes * d_pad * n_ch * 4
+    _kind2, (_pf2, _pb2, hbm_gbs2) = _device_peaks()
+    t_mem_leap = bytes_per_leap / (hbm_gbs2 * 1e9)
+    t_leap_meas = n_chains / leap_rate  # per batch-leapfrog
+    emit(
+        "nuts_bytes_model",
+        bytes_per_leap / 1e6,
+        f"MB/leapfrog hand-counted tree-state HBM traffic ({passes:.1f} "
+        f"(D, N) passes: 8 carry r+w + 2 checkpoint slot ops + "
+        f"doubling-merge selects amortized; D={d_pad} N={n_ch})",
+    )
+    emit(
+        "nuts_mem_util",
+        t_mem_leap / t_leap_meas,
+        f"fraction of the tree-state memory bound per leapfrog "
+        f"({t_mem_leap*1e6:.0f}us model vs {t_leap_meas*1e6:.0f}us "
+        f"measured): the leapfrog gap vs HMC is the tree working set "
+        f"streaming through HBM, which HMC's loop-resident trajectory "
+        f"never pays",
+    )
 
     def sweep_draw(q, s):
         q, _acc, _l = nuts_sweep_cols(

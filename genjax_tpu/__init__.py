@@ -133,7 +133,7 @@ from .inference import (
     marginal,
 )
 from .inference.requests import EllipticalSlice, HMC, MALA, NUTS, Rejuvenate, SafeHMC, SliceSample, mh_accept
-from .inference.mcmc import mh, run_chain, run_chains, run_chains_hmc
+from .inference.mcmc import mh, run_chain, run_chains, run_chains_hmc, run_chains_nuts
 from .inference import vi
 
 __version__ = "0.1.0"
@@ -217,6 +217,7 @@ __all__ = [
     "run_chain",
     "run_chains",
     "run_chains_hmc",
+    "run_chains_nuts",
     "MaskCombinator",
     "ScanCombinator",
     "SwitchCombinator",

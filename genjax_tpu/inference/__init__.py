@@ -50,7 +50,7 @@ from .nested import (
     nested_sampling,
 )
 from .sp import Algorithm, Marginal, SampleDistribution, Target, marginal
-from .mcmc import MHChainResult, mh, run_chain, run_chains, run_chains_hmc
+from .mcmc import MHChainResult, mh, run_chain, run_chains, run_chains_hmc, run_chains_nuts
 from .smc2 import SMC2Result, smc2
 from .pgibbs import (
     CSMCSweepResult,
@@ -117,6 +117,7 @@ __all__ = [
     "run_chain",
     "run_chains",
     "run_chains_hmc",
+    "run_chains_nuts",
     "AdaptiveTemperedSMCResult",
     "TemperedSMCResult",
     "adaptive_tempered_smc",

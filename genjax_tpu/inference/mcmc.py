@@ -194,6 +194,91 @@ def run_chains_hmc(
     return traces, accept_rate
 
 
+def run_chains_nuts(
+    key: PRNGKey,
+    traces: Trace,
+    selection: Selection,
+    *,
+    eps,
+    max_depth: int = 8,
+    n_steps: int = 1,
+    inv_mass: Any = None,
+    chain_axis: int = 0,
+) -> tuple[Trace, Any, Any]:
+    """``n_steps`` of NUTS on a BATCH of traces — the ``run_chains_hmc``
+    pattern with the batched column NUTS sweep
+    (``kernels.nuts.nuts_sweep_cols``: scalar loop conditions,
+    collective early exit, bulk draws) as the dynamics. Same chain as
+    iterating the ``NUTS`` edit request; the density is the GFI's own
+    ``assess`` over each chain's frozen complement and the traces are
+    rebuilt by one vmapped ``Update`` at the end.
+
+    Returns ``(traces, accept_stat, mean_leapfrogs)``.
+
+    >>> import jax, jax.numpy as jnp, jax.random as jr
+    >>> import genjax_tpu as g
+    >>> @g.gen
+    ... def model():
+    ...     mu = g.normal(0.0, 1.0) @ "mu"
+    ...     _ = g.normal(mu, 1.0) @ "y"
+    >>> obs = g.C["y"].set(2.0)
+    >>> trs = jax.vmap(lambda k: model.generate(k, obs, ())[0])(
+    ...     jr.split(jr.key(0), 256)
+    ... )
+    >>> trs, acc, leaps = g.run_chains_nuts(
+    ...     jr.key(1), trs, g.S["mu"], eps=0.5, n_steps=100
+    ... )
+    >>> bool(abs(jnp.mean(trs.get_choices()["mu"]) - 1.0) < 0.2)
+    True
+    >>> bool(acc > 0.5) and bool(leaps >= 1.0)
+    True
+    """
+    from ..kernels.nuts import nuts_sweep_cols
+    from .requests.grad_view import split_ravel
+
+    k_sweep, k_upd = jr.split(key)
+    sel_chm = lambda tr: tr.get_choices().filter_eager(selection)
+
+    def z_of(tr):
+        return split_ravel(sel_chm(tr))[0]
+
+    z_cols = jax.vmap(z_of, in_axes=chain_axis, out_axes=1)(traces)
+
+    def ld_one(tr, z):
+        chm = tr.get_choices()
+        _z0, rebuild = split_ravel(chm.filter_eager(selection))
+        w, _ = tr.get_gen_fn().assess(
+            rebuild(z).merge(chm.filter(~selection)), tr.get_args()
+        )
+        return w
+
+    def ld_cols(z):
+        return jax.vmap(ld_one, in_axes=(chain_axis, 1))(traces, z)
+
+    z_final, accept_stat, leaps = nuts_sweep_cols(
+        ld_cols,
+        z_cols,
+        jr.randint(k_sweep, (), 0, 2**30),
+        n_steps=n_steps,
+        eps=eps,
+        max_depth=max_depth,
+        inv_mass=inv_mass,
+    )
+
+    def write_back(tr, z, k):
+        _z0, rebuild = split_ravel(sel_chm(tr))
+        new_tr, _w, _rd, _bwd = tr.update(k, rebuild(z))
+        return new_tr
+
+    n_chains = z_cols.shape[1]
+    traces = jax.vmap(
+        write_back,
+        in_axes=(chain_axis, 1, 0),
+        out_axes=chain_axis,
+    )(traces, z_final, jr.split(k_upd, n_chains))
+    return traces, accept_stat, leaps
+
+
 def run_chains(
     key: PRNGKey,
     make_trace: Callable[[PRNGKey], Trace],

@@ -133,3 +133,24 @@ def test_chain_axis_lanes_layout():
     )
     assert trs.get_choices()["mu"].shape == (64,)
     assert 0.2 < float(acc) <= 1.0
+
+
+def test_run_chains_nuts_conjugate():
+    """The NUTS twin of the batched trace driver: exact conjugate
+    moments + frozen-constraint invariant."""
+    from genjax_tpu.inference.mcmc import run_chains_nuts
+
+    trs0 = _init(512, key=20)
+    trs, acc, leaps = jax.jit(
+        lambda trs: run_chains_nuts(
+            jr.key(21), trs, g.S["mu"], eps=0.5, n_steps=150
+        )
+    )(trs0)
+    mus = trs.get_choices()["mu"]
+    assert 0.5 < float(acc) <= 1.0
+    assert float(leaps) >= 1.0
+    assert abs(float(jnp.mean(mus)) - 1.0) < 0.1
+    assert abs(float(jnp.var(mus)) - 0.5) < 0.12
+    assert jnp.array_equal(
+        trs.get_choices()["y"], trs0.get_choices()["y"]
+    )
