@@ -439,16 +439,22 @@ def _jaxpr_op_census(fn, *args):
 
 def _time_scan_body(body, carry, reps):
     """Per-iteration wall time of ``body`` as one jitted, warmed
-    ``lax.scan`` dispatch (the standard single-dispatch window)."""
+    ``lax.scan`` dispatch, best of two windows (the standard
+    single-dispatch + contention-guard policy, BENCH_VARIANCE.md —
+    a single window was observed 3x slower under transient chip/tunnel
+    contention)."""
     run = jax.jit(
         lambda c: jax.lax.scan(body, c, jnp.arange(reps))[0]
     )
     c = run(carry)
     _ = float(jnp.ravel(c)[0])
-    t0 = time.perf_counter()
-    c = run(c)
-    _ = float(jnp.ravel(c)[0])
-    return (time.perf_counter() - t0) / reps
+    best = float("inf")
+    for _i in range(2):
+        t0 = time.perf_counter()
+        c = run(c)
+        _ = float(jnp.ravel(c)[0])
+        best = min(best, time.perf_counter() - t0)
+    return best / reps
 
 
 def _resource_roofline(
@@ -846,6 +852,15 @@ def bench_nuts():
     _kind2, (_pf2, _pb2, hbm_gbs2) = _device_peaks()
     t_mem_leap = bytes_per_leap / (hbm_gbs2 * 1e9)
     t_leap_meas = n_chains / leap_rate  # per batch-leapfrog
+    # the density+gradient evaluation is ADDITIVE on top of the
+    # tree-state traffic (its own reads/writes/compute are not in the
+    # passes count above) — measure it standalone on the same shapes
+    def lpg_body(qq, _):
+        lp, pull = jax.vjp(ld, qq)
+        (g,) = pull(jnp.ones_like(lp))
+        return qq + 1e-6 * g, None
+
+    t_lpg = _time_scan_body(lpg_body, q, 1000)
     emit(
         "nuts_bytes_model",
         bytes_per_leap / 1e6,
@@ -855,12 +870,12 @@ def bench_nuts():
     )
     emit(
         "nuts_mem_util",
-        t_mem_leap / t_leap_meas,
-        f"fraction of the tree-state memory bound per leapfrog "
-        f"({t_mem_leap*1e6:.0f}us model vs {t_leap_meas*1e6:.0f}us "
-        f"measured): the leapfrog gap vs HMC is the tree working set "
-        f"streaming through HBM, which HMC's loop-resident trajectory "
-        f"never pays",
+        (t_mem_leap + t_lpg) / t_leap_meas,
+        f"fraction of the per-leapfrog composition bound: tree-state "
+        f"traffic ({t_mem_leap*1e6:.0f}us) + standalone density-grad "
+        f"eval ({t_lpg*1e6:.0f}us) vs {t_leap_meas*1e6:.0f}us measured. "
+        f"The leapfrog gap vs HMC is the tree working set streaming "
+        f"through HBM, which HMC's loop-resident trajectory never pays",
     )
 
     def sweep_draw(q, s):
