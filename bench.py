@@ -1169,6 +1169,62 @@ def bench_pf():
         K * T * reps / dt,
         "particle-steps/sec/chip",
     )
+    # ---- step decomposition (round 5): where does the PF step go? The
+    # three components are measured standalone with the same
+    # single-dispatch windows: the vmapped GFI extend, the ESS
+    # reduction, and the systematic resample. The resample dominates —
+    # data-dependent ROW MOVEMENT on TPU has a per-row floor (~16 ns/row
+    # at K=131k) that no probed formulation beats (sorted-flag gathers,
+    # sorted-unique scatter + associative forward-fill, take_along_axis
+    # all measured SLOWER than the bit-packed repeat-by-counts the
+    # resampler uses — ARCHITECTURE §PF decomposition). The firing rate
+    # comes from the run's own ess_history. ----
+    from genjax_tpu.parallel.resampling import (
+        effective_sample_size,
+        resample_particles,
+    )
+
+    dec_key = jr.key(77)
+
+    def extend_body(c, i):
+        ks = jr.split(jr.fold_in(dec_key, i), K)
+
+        def ext(pkey, cc):
+            tr, w = kernel.generate(pkey, obs.get_submap(0), (cc, 0.0))
+            c_new, _y = tr.get_retval()
+            return c_new, w
+
+        cs, ws = jax.vmap(ext)(ks, c)
+        return cs + ws * 1e-30, None
+
+    t_ext = _time_scan_body(extend_body, jnp.zeros(K), 20000)
+
+    def ess_body(c, i):
+        return c + effective_sample_size(c) * 1e-30, None
+
+    t_ess = _time_scan_body(ess_body, jnp.zeros(K), 50000)
+
+    def res_body(c, i):
+        lw = jr.normal(jr.fold_in(dec_key, i), (K,))
+        return resample_particles(
+            jr.fold_in(dec_key, i), c, lw, K, "systematic"
+        ), None
+
+    t_res = _time_scan_body(res_body, jnp.zeros(K), 1000)
+    # resample firing rate from a fresh run's ess history
+    hist = pf.run(jr.key(5), 0.0, jnp.zeros(T), obs).ess_history
+    fire = float(jnp.mean((hist < thresh * K).astype(jnp.float32)))
+    t_step_meas = dt / (T * reps)
+    t_model = t_ext + t_ess + fire * t_res
+    emit("pf_resample_us", t_res * 1e6, "us per systematic resample (standalone)")
+    emit(
+        "pf_step_model_util",
+        t_model / t_step_meas,
+        f"fraction of the measured step explained by components (extend "
+        f"{t_ext*1e6:.0f}us + ESS {t_ess*1e6:.0f}us + {fire:.2f} x "
+        f"resample {t_res*1e6:.0f}us vs {t_step_meas*1e6:.0f}us "
+        f"measured); binding: the resample's per-row movement floor",
+    )
 
 
 def bench_sir():
