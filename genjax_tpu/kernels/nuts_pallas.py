@@ -33,8 +33,12 @@ slot stores/loads, hardware-PRNG draws inside nested loops, traced-bound
 one genuine compiler bug was isolated and worked around (bool rows
 carried through a ``while`` and reduced in its condition crash the
 compiler; all flags here are f32 0/1 masks with sum-based conditions).
-The full-complexity composition still trips an internal limit that
-cannot be diagnosed through the sealed compile service. Until the
+The minimal failing combination is the accept-statistic
+accumulator TOGETHER with the divergence test in the leaf body (each
+compiles alone; sharing their ``energy0 - energy`` term does not help),
+pointing at a capacity cliff in the innermost loop rather than any
+single op; it cannot be diagnosed further through the sealed compile
+service. Until the
 toolchain moves, the XLA twin (``kernels.nuts``) is the production
 path; this file preserves the VMEM-residency design — the measured
 motivation (the 70 µs/leapfrog tree-traffic bound) stands.
