@@ -126,6 +126,19 @@ def sample_posterior(
     the raveled selected choices. Sampling then records one draw per
     ``thin`` transitions. With ``mesh``, the chain batch shards over it.
 
+    ``algorithm="hmc_sweep"`` is the THROUGHPUT form of ``"hmc"``
+    (round 5): the same Markov chain, driven batch-first — the selected
+    choices of all chains ravel once into a ``(d, n_chains)`` column
+    block, warmup windows and sampling run as column sweeps with bulk
+    momenta (the ``run_chains_hmc`` pattern: the density is still the
+    GFI's own ``assess`` over each chain's frozen complement, so
+    indexed selections and per-chain constraints work), and traces are
+    rebuilt once per segment. Measured within ~3.5% of the hand-packed
+    column kernel at 64k chains vs 2.6× for the per-transition ``"hmc"``
+    path (ARCHITECTURE §GFI-abstraction tax). Divergences surface as
+    rejections (``divergence_rate`` is 0 by construction). Supports
+    ``checkpoint_dir`` resume like ``"hmc"``.
+
     ``algorithm="chees"`` runs the fused column kernel
     (``kernels.chees_hmc``): trajectory length, step size, AND mass adapt
     jointly from cross-chain statistics — the highest-ESS/sec path for
@@ -181,10 +194,12 @@ def sample_posterior(
     from .requests.hmc import HMC
     from .requests.nuts import NUTS
 
-    if checkpoint_dir is not None and algorithm not in ("nuts", "hmc"):
+    if checkpoint_dir is not None and algorithm not in (
+        "nuts", "hmc", "hmc_sweep"
+    ):
         raise ValueError(
             "checkpoint_dir/resume is supported for the trace-path "
-            "algorithms ('nuts'/'hmc'); the column kernels "
+            "algorithms ('nuts'/'hmc'/'hmc_sweep'); the column kernels "
             "(chees/pt/dense_hmc/dense_nuts) run warmup+sampling as "
             "single compiled programs with no segment boundary to "
             "checkpoint at."
@@ -219,6 +234,8 @@ def sample_posterior(
             n_rungs=n_rungs, mesh=mesh, axis=axis,
         )
 
+    if algorithm not in ("nuts", "hmc", "hmc_sweep"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     k_init, k_warm, k_run = jr.split(key, 3)
     init_keys = jr.split(k_init, n_chains)
     if mesh is not None:
@@ -299,6 +316,88 @@ def sample_posterior(
                 inv_mass = cross_chain_inv_mass(positions, chain_axis=0)
         return traces, eps, inv_mass
 
+    # ---- the "hmc_sweep" batch-first pair: same signatures as
+    # warm/sample_segment, but warmup windows and sampling run as
+    # column sweeps over the raveled selected values (the
+    # run_chains_hmc pattern), with traces rebuilt once per phase ----
+    from .requests.grad_view import split_ravel
+
+    def _z_of(tr):
+        return split_ravel(tr.get_choices().filter_eager(selection))[0]
+
+    def _ld_cols(traces):
+        def ld_one(tr, z):
+            chm = tr.get_choices()
+            _z0, rebuild = split_ravel(chm.filter_eager(selection))
+            w, _ = tr.get_gen_fn().assess(
+                rebuild(z).merge(chm.filter(~selection)), tr.get_args()
+            )
+            return w
+
+        return lambda Z: jax.vmap(ld_one, in_axes=(-1, 1))(traces, Z)
+
+    def _write_back(traces, z_final, k_upd):
+        def one(tr, z, k):
+            _z0, rebuild = split_ravel(
+                tr.get_choices().filter_eager(selection)
+            )
+            new_tr, _w, _rd, _bwd = tr.update(k, rebuild(z))
+            return new_tr
+
+        return jax.vmap(one, in_axes=(-1, 1, 0), out_axes=-1)(
+            traces, z_final, jr.split(k_upd, n_chains)
+        )
+
+    @jax.jit
+    def warm_sweep(init_keys, k_warm):
+        from ..kernels.adaptation import windowed_warmup
+        from ..kernels.hmc import _reference_hmc
+
+        traces = jax.vmap(
+            lambda k: model.generate(k, constraint, args)[0], out_axes=-1
+        )(init_keys)
+        z0 = jax.vmap(_z_of, in_axes=-1, out_axes=1)(traces)
+        ld = _ld_cols(traces)
+        n_windows = min(6, n_warmup)
+        if n_windows > 0:
+            steps = max(1, n_warmup // n_windows)
+            seed_w = jr.randint(jr.fold_in(k_warm, 3), (), 0, 2**30)
+
+            def sweep(z, idx, eps, inv_mass):
+                return _reference_hmc(
+                    ld, z, seed_w + idx, n_steps=steps, eps=eps, L=L,
+                    inv_mass=inv_mass,
+                )
+
+            z, eps, inv_mass, _accs = windowed_warmup(
+                sweep, z0, n_windows=n_windows, eps0=eps0,
+                target_accept=target_accept,
+            )
+        else:
+            z = z0
+            eps = jnp.asarray(eps0, jnp.float32)
+            inv_mass = jnp.ones((z0.shape[0],), jnp.float32)
+        traces = _write_back(traces, z, jr.fold_in(k_warm, 9))
+        return traces, eps, inv_mass
+
+    @jax.jit
+    def sample_segment_sweep(traces, seg_keys, eps, inv_mass):
+        from ..kernels.hmc import _reference_hmc
+
+        z0 = jax.vmap(_z_of, in_axes=-1, out_axes=1)(traces)
+        ld = _ld_cols(traces)
+
+        def draw_step(z, kk):
+            z, acc = _reference_hmc(
+                ld, z, jr.randint(kk, (), 0, 2**30), n_steps=thin,
+                eps=eps, L=L, inv_mass=inv_mass,
+            )
+            return z, (jnp.transpose(z), acc, jnp.asarray(0.0))
+
+        z, (draws, accs, divs) = lax.scan(draw_step, z0, seg_keys)
+        traces = _write_back(traces, z, jr.fold_in(seg_keys[-1], 17))
+        return traces, draws, accs, divs
+
     @jax.jit
     def sample_segment(traces, seg_keys, eps, inv_mass):
         # one segment of draws; per-draw keys arrive PRE-SPLIT from the
@@ -327,6 +426,10 @@ def sample_posterior(
             sample_step, traces, seg_keys
         )
         return traces, draws, accs, divs
+
+    if algorithm == "hmc_sweep":
+        warm = warm_sweep
+        sample_segment = sample_segment_sweep
 
     # ---- segmented sampling with optional checkpoint/resume ----------
     seg_size = (

@@ -305,3 +305,52 @@ class TestDenseNUTSAlgorithm:
         )
         assert float(res.eps) == pytest.approx(0.4)
         assert float(res.inv_mass[0]) == pytest.approx(1.0)
+
+
+class TestHMCSweepAlgorithm:
+    """algorithm='hmc_sweep': the batch-first form of 'hmc' (round 5)."""
+
+    def test_conjugate_posterior_moments(self):
+        import numpy as np
+
+        res = sample_posterior(
+            KEY, conjugate, OBS, (), g.S["mu"],
+            n_chains=512, n_warmup=120, n_samples=60,
+            algorithm="hmc_sweep", eps0=0.3, L=5,
+        )
+        draws = np.asarray(res["mu"]).ravel()
+        assert abs(draws.mean() - 1.0) < 0.08
+        assert abs(draws.var() - 0.5) < 0.1
+        assert 0.4 < float(res.accept_rate) <= 1.0
+        assert float(res.divergence_rate) == 0.0
+        assert float(res.rhat_of("mu")) < 1.1
+
+    def test_resume_bitwise(self):
+        import tempfile
+
+        import numpy as np
+
+        kw = dict(
+            n_chains=64, n_warmup=30, n_samples=12,
+            algorithm="hmc_sweep", eps0=0.3, L=3,
+        )
+        plain = sample_posterior(KEY, conjugate, OBS, (), g.S["mu"], **kw)
+        with tempfile.TemporaryDirectory() as d:
+            _part = sample_posterior(
+                KEY, conjugate, OBS, (), g.S["mu"], **kw,
+                checkpoint_dir=d, checkpoint_every=4, max_segments=1,
+            )
+            res = sample_posterior(
+                KEY, conjugate, OBS, (), g.S["mu"], **kw,
+                checkpoint_dir=d, checkpoint_every=4,
+            )
+        assert np.array_equal(np.asarray(plain["mu"]), np.asarray(res["mu"]))
+
+    def test_zero_warmup(self):
+        res = sample_posterior(
+            KEY, conjugate, OBS, (), g.S["mu"],
+            n_chains=64, n_warmup=0, n_samples=20,
+            algorithm="hmc_sweep", eps0=0.5, L=3,
+        )
+        assert float(res.eps) == pytest.approx(0.5)
+        assert float(res.inv_mass[0]) == pytest.approx(1.0)
