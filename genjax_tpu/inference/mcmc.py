@@ -149,27 +149,10 @@ def run_chains_hmc(
     True
     """
     from ..kernels.hmc import _reference_hmc
-    from .requests.grad_view import split_ravel
+    from .requests.grad_view import column_view
 
     k_sweep, k_upd = jr.split(key)
-    sel_chm = lambda tr: tr.get_choices().filter_eager(selection)
-
-    def z_of(tr):
-        return split_ravel(sel_chm(tr))[0]
-
-    z_cols = jax.vmap(z_of, in_axes=chain_axis, out_axes=1)(traces)
-
-    def ld_one(tr, z):
-        chm = tr.get_choices()
-        _z0, rebuild = split_ravel(chm.filter_eager(selection))
-        w, _ = tr.get_gen_fn().assess(
-            rebuild(z).merge(chm.filter(~selection)), tr.get_args()
-        )
-        return w
-
-    def ld_cols(z):
-        return jax.vmap(ld_one, in_axes=(chain_axis, 1))(traces, z)
-
+    z_cols, ld_cols, write_back = column_view(traces, selection, chain_axis)
     z_final, accept_rate = _reference_hmc(
         ld_cols,
         z_cols,
@@ -179,19 +162,7 @@ def run_chains_hmc(
         L=L,
         inv_mass=inv_mass,
     )
-
-    def write_back(tr, z, k):
-        _z0, rebuild = split_ravel(sel_chm(tr))
-        new_tr, _w, _rd, _bwd = tr.update(k, rebuild(z))
-        return new_tr
-
-    n_chains = z_cols.shape[1]
-    traces = jax.vmap(
-        write_back,
-        in_axes=(chain_axis, 1, 0),
-        out_axes=chain_axis,
-    )(traces, z_final, jr.split(k_upd, n_chains))
-    return traces, accept_rate
+    return write_back(z_final, k_upd), accept_rate
 
 
 def run_chains_nuts(
@@ -234,27 +205,10 @@ def run_chains_nuts(
     True
     """
     from ..kernels.nuts import nuts_sweep_cols
-    from .requests.grad_view import split_ravel
+    from .requests.grad_view import column_view
 
     k_sweep, k_upd = jr.split(key)
-    sel_chm = lambda tr: tr.get_choices().filter_eager(selection)
-
-    def z_of(tr):
-        return split_ravel(sel_chm(tr))[0]
-
-    z_cols = jax.vmap(z_of, in_axes=chain_axis, out_axes=1)(traces)
-
-    def ld_one(tr, z):
-        chm = tr.get_choices()
-        _z0, rebuild = split_ravel(chm.filter_eager(selection))
-        w, _ = tr.get_gen_fn().assess(
-            rebuild(z).merge(chm.filter(~selection)), tr.get_args()
-        )
-        return w
-
-    def ld_cols(z):
-        return jax.vmap(ld_one, in_axes=(chain_axis, 1))(traces, z)
-
+    z_cols, ld_cols, write_back = column_view(traces, selection, chain_axis)
     z_final, accept_stat, leaps = nuts_sweep_cols(
         ld_cols,
         z_cols,
@@ -264,19 +218,7 @@ def run_chains_nuts(
         max_depth=max_depth,
         inv_mass=inv_mass,
     )
-
-    def write_back(tr, z, k):
-        _z0, rebuild = split_ravel(sel_chm(tr))
-        new_tr, _w, _rd, _bwd = tr.update(k, rebuild(z))
-        return new_tr
-
-    n_chains = z_cols.shape[1]
-    traces = jax.vmap(
-        write_back,
-        in_axes=(chain_axis, 1, 0),
-        out_axes=chain_axis,
-    )(traces, z_final, jr.split(k_upd, n_chains))
-    return traces, accept_stat, leaps
+    return write_back(z_final, k_upd), accept_stat, leaps
 
 
 def run_chains(

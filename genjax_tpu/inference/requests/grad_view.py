@@ -84,6 +84,56 @@ def selected_logdensity(
     return z0, logdensity, rebuild
 
 
+def column_view(traces, selection: Selection, chain_axis: int = 0):
+    """The trace↔column bridge for BATCHED samplers, shared by
+    ``run_chains_hmc``/``run_chains_nuts`` and ``sample_posterior``'s
+    ``hmc_sweep`` path (one implementation, one semantics — a fix to the
+    density contract lands everywhere at once).
+
+    Given a batched trace pytree (chain axis at ``chain_axis`` on every
+    leaf), returns ``(z_cols, ld_cols, write_back)``:
+
+    - ``z_cols``: the selected choices of all chains raveled into a
+      ``(d, n_chains)`` column block;
+    - ``ld_cols(Z)``: the batched log-joint ``(d, N) -> (N,)`` — each
+      chain's GFI ``assess`` over its own frozen complement, so indexed
+      selections and per-chain constraints are honored;
+    - ``write_back(z_final, key)``: rebuild the trace batch with the
+      final positions via one vmapped ``Update`` edit.
+    """
+    import jax.random as jr
+
+    sel_chm = lambda tr: tr.get_choices().filter_eager(selection)
+
+    def z_of(tr):
+        return split_ravel(sel_chm(tr))[0]
+
+    z_cols = jax.vmap(z_of, in_axes=chain_axis, out_axes=1)(traces)
+
+    def ld_one(tr, z):
+        chm = tr.get_choices()
+        _z0, rebuild = split_ravel(chm.filter_eager(selection))
+        w, _ = tr.get_gen_fn().assess(
+            rebuild(z).merge(chm.filter(~selection)), tr.get_args()
+        )
+        return w
+
+    def ld_cols(z):
+        return jax.vmap(ld_one, in_axes=(chain_axis, 1))(traces, z)
+
+    def write_back(z_final, key):
+        def one(tr, z, k):
+            _z0, rebuild = split_ravel(sel_chm(tr))
+            new_tr, _w, _rd, _bwd = tr.update(k, rebuild(z))
+            return new_tr
+
+        return jax.vmap(
+            one, in_axes=(chain_axis, 1, 0), out_axes=chain_axis
+        )(traces, z_final, jr.split(key, z_cols.shape[1]))
+
+    return z_cols, ld_cols, write_back
+
+
 def _zero_like_float(leaf):
     return jnp.zeros_like(jnp.asarray(leaf, dtype=jnp.result_type(float)))
 

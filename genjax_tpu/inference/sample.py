@@ -318,74 +318,47 @@ def sample_posterior(
 
     # ---- the "hmc_sweep" batch-first pair: same signatures as
     # warm/sample_segment, but warmup windows and sampling run as
-    # column sweeps over the raveled selected values (the
-    # run_chains_hmc pattern), with traces rebuilt once per phase ----
-    from .requests.grad_view import split_ravel
-
-    def _z_of(tr):
-        return split_ravel(tr.get_choices().filter_eager(selection))[0]
-
-    def _ld_cols(traces):
-        def ld_one(tr, z):
-            chm = tr.get_choices()
-            _z0, rebuild = split_ravel(chm.filter_eager(selection))
-            w, _ = tr.get_gen_fn().assess(
-                rebuild(z).merge(chm.filter(~selection)), tr.get_args()
-            )
-            return w
-
-        return lambda Z: jax.vmap(ld_one, in_axes=(-1, 1))(traces, Z)
-
-    def _write_back(traces, z_final, k_upd):
-        def one(tr, z, k):
-            _z0, rebuild = split_ravel(
-                tr.get_choices().filter_eager(selection)
-            )
-            new_tr, _w, _rd, _bwd = tr.update(k, rebuild(z))
-            return new_tr
-
-        return jax.vmap(one, in_axes=(-1, 1, 0), out_axes=-1)(
-            traces, z_final, jr.split(k_upd, n_chains)
-        )
+    # column sweeps over the raveled selected values (the shared
+    # trace<->column bridge, grad_view.column_view), with traces
+    # rebuilt once per phase ----
+    from .requests.grad_view import column_view
 
     @jax.jit
     def warm_sweep(init_keys, k_warm):
-        from ..kernels.adaptation import windowed_warmup
         from ..kernels.hmc import _reference_hmc
 
         traces = jax.vmap(
             lambda k: model.generate(k, constraint, args)[0], out_axes=-1
         )(init_keys)
-        z0 = jax.vmap(_z_of, in_axes=-1, out_axes=1)(traces)
-        ld = _ld_cols(traces)
+        z, ld, write_back = column_view(traces, selection, chain_axis=-1)
+        # same window contract as the trace-path warm(): up to 6 windows
+        # totalling EXACTLY n_warmup transitions
         n_windows = min(6, n_warmup)
+        eps = jnp.asarray(eps0, jnp.float32)
+        inv_mass = jnp.ones((z.shape[0],), jnp.float32)
         if n_windows > 0:
-            steps = max(1, n_warmup // n_windows)
+            base, rem = divmod(n_warmup, n_windows)
             seed_w = jr.randint(jr.fold_in(k_warm, 3), (), 0, 2**30)
-
-            def sweep(z, idx, eps, inv_mass):
-                return _reference_hmc(
-                    ld, z, seed_w + idx, n_steps=steps, eps=eps, L=L,
-                    inv_mass=inv_mass,
+            for wi in range(n_windows):
+                steps_this_window = base + (1 if wi < rem else 0)
+                z, acc = _reference_hmc(
+                    ld, z, seed_w + wi, n_steps=steps_this_window,
+                    eps=eps, L=L, inv_mass=inv_mass,
                 )
-
-            z, eps, inv_mass, _accs = windowed_warmup(
-                sweep, z0, n_windows=n_windows, eps0=eps0,
-                target_accept=target_accept,
-            )
-        else:
-            z = z0
-            eps = jnp.asarray(eps0, jnp.float32)
-            inv_mass = jnp.ones((z0.shape[0],), jnp.float32)
-        traces = _write_back(traces, z, jr.fold_in(k_warm, 9))
+                eps = multiplicative_nudge(
+                    eps, acc, target_accept=target_accept
+                )
+                inv_mass = cross_chain_inv_mass(
+                    jnp.transpose(z), chain_axis=0
+                )
+        traces = write_back(z, jr.fold_in(k_warm, 9))
         return traces, eps, inv_mass
 
     @jax.jit
     def sample_segment_sweep(traces, seg_keys, eps, inv_mass):
         from ..kernels.hmc import _reference_hmc
 
-        z0 = jax.vmap(_z_of, in_axes=-1, out_axes=1)(traces)
-        ld = _ld_cols(traces)
+        z0, ld, write_back = column_view(traces, selection, chain_axis=-1)
 
         def draw_step(z, kk):
             z, acc = _reference_hmc(
@@ -395,7 +368,7 @@ def sample_posterior(
             return z, (jnp.transpose(z), acc, jnp.asarray(0.0))
 
         z, (draws, accs, divs) = lax.scan(draw_step, z0, seg_keys)
-        traces = _write_back(traces, z, jr.fold_in(seg_keys[-1], 17))
+        traces = write_back(z, jr.fold_in(seg_keys[-1], 17))
         return traces, draws, accs, divs
 
     @jax.jit
@@ -438,6 +411,29 @@ def sample_posterior(
         else n_samples
     )
     sample_keys = jr.split(k_run, n_samples)
+
+    if checkpoint_dir is None and max_segments is None:
+        # no segmentation requested: fuse warmup + sampling into ONE
+        # compiled program (jit-of-jit inlines), halving the remote
+        # compile count vs the segmented path — numerically identical
+        # (same ops, same key streams; the bitwise-invariance test
+        # covers it)
+        @jax.jit
+        def run_fused(init_keys, k_warm, sample_keys):
+            traces, eps, inv_mass = warm(init_keys, k_warm)
+            traces, draws, accs, divs = sample_segment(
+                traces, sample_keys, eps, inv_mass
+            )
+            return traces, draws, accs, divs, eps, inv_mass
+
+        traces, draws, accs, divs, eps, inv_mass = run_fused(
+            init_keys, k_warm, sample_keys
+        )
+        draws_parts, accs_parts, divs_parts = [draws], [accs], [divs]
+        return _finish_trace_result(
+            traces, draws_parts, accs_parts, divs_parts, selection,
+            eps, inv_mass,
+        )
     bounds = [
         (lo, min(lo + seg_size, n_samples))
         for lo in range(0, n_samples, seg_size)
@@ -445,10 +441,26 @@ def sample_posterior(
     start_seg = 0
     draws_parts, accs_parts, divs_parts = [], [], []
     traces = eps = inv_mass = None
+    # the FULL run identity rides in the checkpoint meta: a resume with
+    # different dynamics (algorithm, step sizes, thin, key, ...) is
+    # refused instead of silently mixing two samplers
+    run_identity = {
+        "n_samples": int(n_samples),
+        "seg_size": int(seg_size),
+        "n_chains": int(n_chains),
+        "n_warmup": int(n_warmup),
+        "thin": int(thin),
+        "algorithm": algorithm,
+        "eps0": float(eps0),
+        "L": int(L),
+        "max_depth": int(max_depth),
+        "target_accept": float(target_accept),
+        "key_fingerprint": _key_fingerprint(key),
+    }
     if checkpoint_dir is not None:
         restored = _restore_sampler_state(
             checkpoint_dir, model, constraint, args, init_keys,
-            n_chains=n_chains, n_samples=n_samples, seg_size=seg_size,
+            n_chains=n_chains, run_identity=run_identity,
         )
         if restored is not None:
             import numpy as np
@@ -467,7 +479,7 @@ def sample_posterior(
             _save_sampler_state(
                 checkpoint_dir, traces, eps, inv_mass,
                 draws_parts, accs_parts, divs_parts, 0,
-                n_samples=n_samples, seg_size=seg_size, n_chains=n_chains,
+                run_identity=run_identity,
             )
     ran = 0
     for si in range(start_seg, len(bounds)):
@@ -485,8 +497,20 @@ def sample_posterior(
             _save_sampler_state(
                 checkpoint_dir, traces, eps, inv_mass,
                 draws_parts, accs_parts, divs_parts, si + 1,
-                n_samples=n_samples, seg_size=seg_size, n_chains=n_chains,
+                run_identity=run_identity,
             )
+    return _finish_trace_result(
+        traces, draws_parts, accs_parts, divs_parts, selection,
+        eps, inv_mass,
+    )
+
+
+def _finish_trace_result(
+    traces, draws_parts, accs_parts, divs_parts, selection, eps, inv_mass
+) -> PosteriorSamples:
+    """Shared results packaging for the trace-path drivers: concatenate
+    segment draws, run diagnostics, and unravel per-dim values back onto
+    the selection's pytree."""
     if not draws_parts:
         raise ValueError(
             "no sampling segments ran (max_segments=0 on a fresh run?) — "
@@ -539,17 +563,15 @@ def sample_posterior(
 
 def _save_sampler_state(
     checkpoint_dir, traces, eps, inv_mass, draws_parts, accs_parts,
-    divs_parts, next_segment, *, n_samples, seg_size, n_chains,
+    divs_parts, next_segment, *, run_identity,
 ):
-    """Checkpoint the full sampler state + a small JSON meta sidecar.
-
-    The meta records the run geometry so a resume can (a) validate it is
-    resuming the SAME run and (b) rebuild the orbax restore template
-    (shapes of draws-so-far) without touching the array data."""
-    import json
-    import os
-
-    from ..io import save_pytree
+    """Checkpoint the full sampler state via the shared crash-atomic
+    segmented-state machinery (``io.save_segment_state``): versioned
+    state dir + atomically-flipped meta, so a preemption at any point
+    leaves a resumable pair. The meta records the full RUN IDENTITY
+    (algorithm, step sizes, thin, key fingerprint, geometry) so a resume
+    with different dynamics is refused, not silently mixed."""
+    from ..io import save_segment_state
 
     n_done = sum(int(p.shape[0]) for p in draws_parts)
     state = {
@@ -564,84 +586,57 @@ def _save_sampler_state(
         state["draws"] = jnp.concatenate(draws_parts, axis=0)
         state["accs"] = jnp.concatenate(accs_parts)
         state["divs"] = jnp.concatenate(divs_parts)
-    os.makedirs(checkpoint_dir, exist_ok=True)
-    save_pytree(os.path.join(checkpoint_dir, "state"), state)
     meta = {
         "next_segment": int(next_segment),
         "n_done": n_done,
-        "n_samples": int(n_samples),
-        "seg_size": int(seg_size),
-        "n_chains": int(n_chains),
         "d": int(inv_mass.shape[0]),
+        **run_identity,
     }
-    # atomic meta write: a crash mid-write must not leave a meta pointing
-    # at a state it does not describe. Multi-host: process 0 writes (the
-    # checkpoint dir is shared storage), then a barrier prevents any
-    # process racing ahead against a stale meta.
-    if jax.process_index() == 0:
-        tmp = os.path.join(checkpoint_dir, "meta.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, os.path.join(checkpoint_dir, "meta.json"))
-    if jax.process_count() > 1:
-        from jax.experimental import multihost_utils
-
-        multihost_utils.sync_global_devices(
-            f"genjax_sampler_ckpt_{next_segment}"
-        )
+    save_segment_state(checkpoint_dir, state, meta)
 
 
 def _restore_sampler_state(
     checkpoint_dir, model, constraint, args, init_keys, *, n_chains,
-    n_samples, seg_size,
+    run_identity,
 ):
-    """Resume point lookup: returns ``None`` when no (valid) checkpoint
-    exists, else ``(traces, eps, inv_mass, draws, accs, divs,
-    next_segment)``. The trace template is rebuilt from code (structure
-    is static — SURVEY §5 'nearly free via pytree serialization') by
-    shape-evaluating the init program; leaves come from the checkpoint."""
-    import json
-    import os
+    """Resume point lookup: returns ``None`` when no checkpoint exists,
+    else ``(traces, eps, inv_mass, draws, accs, divs, next_segment)``,
+    refusing checkpoints whose recorded run identity differs. The trace
+    template is rebuilt from code (structure is static — SURVEY §5
+    'nearly free via pytree serialization') by executing the init
+    program; leaves come from the checkpoint."""
+    from ..io import check_meta_matches, load_segment_state
 
-    import jax.tree_util as jtu
+    def make_template(meta):
+        check_meta_matches(checkpoint_dir, meta, run_identity)
+        # template = the EXECUTED init program (cheap: one vmapped
+        # generate): leaves carry the correct global shapes AND
+        # shardings (mesh runs restore sharded), and the treedef is
+        # exactly the run's
+        traces_tpl = jax.jit(
+            lambda ks: jax.vmap(
+                lambda k: model.generate(k, constraint, args)[0],
+                out_axes=-1,
+            )(ks)
+        )(init_keys)
+        n_done, d = meta["n_done"], meta["d"]
+        template = {
+            "traces": traces_tpl,
+            "eps": jnp.zeros((), jnp.float32),
+            "inv_mass": jnp.zeros((d,)),
+        }
+        if n_done:
+            template["draws"] = jnp.zeros((n_done, n_chains, d))
+            # accs/divs are per-draw scalars: length n_done
+            template["accs"] = jnp.zeros((n_done,), jnp.float32)
+            template["divs"] = jnp.zeros((n_done,), jnp.float32)
+        return template
 
-    from ..io import restore_pytree
-
-    meta_path = os.path.join(checkpoint_dir, "meta.json")
-    if not os.path.exists(meta_path):
+    out = load_segment_state(checkpoint_dir, make_template)
+    if out is None:
         return None
-    with open(meta_path) as f:
-        meta = json.load(f)
-    if (
-        meta.get("n_samples") != int(n_samples)
-        or meta.get("seg_size") != int(seg_size)
-        or meta.get("n_chains") != int(n_chains)
-    ):
-        raise ValueError(
-            f"checkpoint at {checkpoint_dir!r} records a different run "
-            f"geometry {meta} — refusing to resume (same arguments and "
-            "key are required for bitwise resumption)"
-        )
-    # template = the EXECUTED init program (cheap: one vmapped generate):
-    # leaves carry the correct global shapes AND shardings (mesh runs
-    # restore sharded), and the treedef is exactly the run's
-    traces_tpl = jax.jit(
-        lambda ks: jax.vmap(
-            lambda k: model.generate(k, constraint, args)[0], out_axes=-1
-        )(ks)
-    )(init_keys)
-    n_done, d = meta["n_done"], meta["d"]
-    template = {
-        "traces": traces_tpl,
-        "eps": jnp.zeros((), jnp.float32),
-        "inv_mass": jnp.zeros((d,)),
-    }
-    if n_done:
-        template["draws"] = jnp.zeros((n_done, n_chains, d))
-        # accs/divs are per-draw scalars, so their length is n_done
-        template["accs"] = jnp.zeros((n_done,), jnp.float32)
-        template["divs"] = jnp.zeros((n_done,), jnp.float32)
-    state = restore_pytree(os.path.join(checkpoint_dir, "state"), template)
+    state, meta = out
+    d = meta["d"]
     empty = jnp.zeros((0,), jnp.float32)
     return (
         state["traces"],
@@ -652,6 +647,14 @@ def _restore_sampler_state(
         state.get("divs", empty),
         meta["next_segment"],
     )
+
+
+def _key_fingerprint(key) -> int:
+    """A stable int identifying a PRNG key for resume validation."""
+    import numpy as np
+
+    data = np.asarray(jr.key_data(key)).ravel()
+    return int(np.bitwise_xor.reduce(data.astype(np.uint32)))
 
 
 def _static_value_paths(chm, prefix=()):

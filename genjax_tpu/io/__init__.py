@@ -7,6 +7,18 @@ structure-aware wrapper (treedefs are reconstructed from a template, so
 restored objects are real traces/collections, not raw arrays).
 """
 
-from .checkpoint import restore_pytree, save_pytree
+from .checkpoint import (
+    check_meta_matches,
+    load_segment_state,
+    restore_pytree,
+    save_pytree,
+    save_segment_state,
+)
 
-__all__ = ["restore_pytree", "save_pytree"]
+__all__ = [
+    "check_meta_matches",
+    "load_segment_state",
+    "restore_pytree",
+    "save_pytree",
+    "save_segment_state",
+]

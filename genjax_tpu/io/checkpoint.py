@@ -42,6 +42,86 @@ def save_pytree(path: str, tree: Any) -> None:
     _checkpointer().save(os.path.abspath(path), leaves, force=True)
 
 
+def save_segment_state(checkpoint_dir: str, state: Any, meta: dict) -> None:
+    """Crash-atomic segmented-state save shared by the resumable drivers
+    (``sample_posterior``, ``run_chains_sharded``).
+
+    The state is written to a VERSIONED directory ``state_<segment>`` and
+    the small JSON meta sidecar — which records the segment cursor, the
+    run-identity fields the resume validates, and ``state_dir`` — is
+    flipped atomically afterwards (process 0 only; multi-host callers
+    share the checkpoint directory), then older state dirs are removed.
+    A preemption at ANY point leaves meta pointing at a fully-written
+    state: before the flip the previous pair is intact; after it the new
+    one is. (A state/meta pair written in place would brick the
+    checkpoint if the crash landed between the two writes.)
+
+    ``meta`` must contain ``next_segment``; everything else is
+    caller-defined and round-trips verbatim.
+    """
+    import json
+    import shutil
+
+    import jax
+
+    seg = int(meta["next_segment"])
+    state_name = f"state_{seg}"
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    save_pytree(os.path.join(checkpoint_dir, state_name), state)
+    meta = {**meta, "state_dir": state_name}
+    meta_path = os.path.join(checkpoint_dir, "meta.json")
+    if jax.process_index() == 0:
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, meta_path)
+        # GC: everything older than the directory meta now points at
+        for name in os.listdir(checkpoint_dir):
+            if name.startswith("state_") and name != state_name:
+                shutil.rmtree(
+                    os.path.join(checkpoint_dir, name), ignore_errors=True
+                )
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"genjax_seg_ckpt_{seg}")
+
+
+def load_segment_state(checkpoint_dir: str, make_template) -> Any:
+    """Resume-point lookup for :func:`save_segment_state`: returns
+    ``None`` when no checkpoint exists, else ``(state, meta)``.
+    ``make_template(meta)`` builds the restore template (static structure
+    is rebuilt from code; leaves come from the checkpoint)."""
+    import json
+
+    meta_path = os.path.join(checkpoint_dir, "meta.json")
+    if not os.path.exists(meta_path):
+        return None
+    with open(meta_path) as f:
+        meta = json.load(f)
+    state = restore_pytree(
+        os.path.join(checkpoint_dir, meta["state_dir"]),
+        make_template(meta),
+    )
+    return state, meta
+
+
+def check_meta_matches(checkpoint_dir: str, meta: dict, expect: dict):
+    """Refuse to resume a checkpoint whose recorded run identity differs
+    from the current call's: every key of ``expect`` must match the
+    recorded meta (missing keys count as mismatches)."""
+    mismatched = {
+        k: (meta.get(k), v) for k, v in expect.items() if meta.get(k) != v
+    }
+    if mismatched:
+        raise ValueError(
+            f"checkpoint at {checkpoint_dir!r} records a different run "
+            f"({mismatched}: recorded vs requested) — refusing to resume "
+            "(the same arguments and key are required for bitwise "
+            "resumption)"
+        )
+
+
 def restore_pytree(path: str, template: Any) -> Any:
     """Restore a pytree saved by ``save_pytree`` into the structure of
     ``template`` (same treedef; leaves replaced by the stored arrays).

@@ -15,13 +15,21 @@ from __future__ import annotations
 
 import re
 
-# the result type may be a TUPLE — `(f32[8,32]{1,0}, f32[1,8]{1,0})` —
+# The result type may be a TUPLE — `(f32[8,32]{1,0}, f32[1,8]{1,0})` —
 # which contains spaces, so the type is captured non-greedily up to the
 # op name rather than as one token (a `\S+` type pattern silently missed
-# every tuple-typed collective, e.g. the tensor-parallel fused psum)
+# every tuple-typed collective, e.g. the tensor-parallel fused psum).
+# Async collectives appear as a -start/-done PAIR for ONE transfer: only
+# the -start is counted (its result tuple aliases operand+result, so its
+# payload is halved below); counting both would double ops and ~triple
+# bytes per async op.
 COLLECTIVE_RE = re.compile(
     r"^\s*%?\S+ = (.+?) (all-reduce|all-gather|collective-permute"
-    r"|reduce-scatter|all-to-all)(?:-start|-done)?\(",
+    r"|reduce-scatter|all-to-all)(-start)?\(",
+)
+_DONE_RE = re.compile(
+    r"^\s*%?\S+ = .+? (?:all-reduce|all-gather|collective-permute"
+    r"|reduce-scatter|all-to-all)-done\(",
 )
 SHAPE_RE = re.compile(r"(f32|f64|s32|u32|pred|bf16)\[([0-9,]*)\]")
 
@@ -84,12 +92,15 @@ def hlo_collectives(compiled_text: str):
         head = _COMP_HEAD_RE.match(line)
         if head:
             current_comp = head.group(1)
+        if _DONE_RE.match(line):
+            continue  # the -start of this async op was already counted
         m = COLLECTIVE_RE.match(line)
         if not m:
             continue
-        result_type, kind = m.group(1), m.group(2)
+        result_type, kind, is_start = m.group(1), m.group(2), m.group(3)
         # payload: ALL shapes in the result type (tuple results sum
-        # their elements)
+        # their elements); an async -start's tuple aliases the operand
+        # AND the result, so its payload is the result half
         nbytes = 0
         for dt, dims in SHAPE_RE.findall(result_type):
             n = 1
@@ -97,6 +108,8 @@ def hlo_collectives(compiled_text: str):
                 if d:
                     n *= int(d)
             nbytes += n * DTYPE_BYTES.get(dt, 4)
+        if is_start:
+            nbytes //= 2
         in_body = current_comp in body_names or (
             current_comp is not None
             and any(current_comp.startswith(b) for b in body_names)

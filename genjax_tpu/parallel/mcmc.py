@@ -50,8 +50,9 @@ def run_chains_sharded(
 
     **Preemption-safe resume**: with ``checkpoint_dir`` set and
     ``checkpoint_every=k``, the run executes in segments of ``k`` steps
-    and checkpoints the full chain state (traces, per-step accept means,
-    recorded history, step cursor) after each; per-chain per-step PRNG
+    and checkpoints the full chain state (traces, per-step per-chain
+    accept flags, recorded history, step cursor) after each via the
+    crash-atomic versioned machinery (``io.save_segment_state``); per-chain per-step PRNG
     keys are pre-derived from the caller key, so an interrupted run
     re-invoked with the SAME arguments resumes at the last completed
     segment and returns the BITWISE result of the uninterrupted
@@ -91,176 +92,6 @@ def run_chains_sharded(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("make_trace",))
-def _init_chains_jit(keys, make_trace):
-    """Chain init + per-step key schedule, chains-on-lanes. The key
-    discipline matches ``run_chain``'s (k_init/k_run split per chain),
-    with the whole (n_steps, n_chains) step-key table derived up front so
-    segment boundaries never change the stream."""
-    def one(k):
-        k_init, k_run = jr.split(k)
-        return make_trace(k_init), k_run
-
-    traces, run_keys = jax.vmap(one, out_axes=(-1, 0))(keys)
-    return traces, run_keys
-
-
-@functools.partial(
-    jax.jit, static_argnames=("request_static", "record", "n_steps")
-)
-def _step_keys_jit(run_keys, n_steps, request_static=None, record=None):
-    # (n_chains, n_steps) -> (n_steps, n_chains) for segment slicing
-    return jnp.swapaxes(jax.vmap(lambda k: jr.split(k, n_steps))(run_keys), 0, 1)
-
-
-@functools.partial(jax.jit, static_argnames=("record",))
-def _run_segment_jit(traces, seg_keys, request, record):
-    """One segment: scan over its step keys; chains stay on lanes."""
-    from ..inference.mcmc import mh
-
-    def step(trs, ks):
-        trs, accepted = jax.vmap(
-            lambda k, t: mh(k, t, request), in_axes=(0, -1), out_axes=(-1, 0)
-        )(ks, trs)
-        rec = (
-            jax.vmap(record, in_axes=-1)(trs) if record is not None else None
-        )
-        return trs, (jnp.mean(jnp.asarray(accepted, jnp.float32)), rec)
-
-    traces, (accs, hist) = jax.lax.scan(step, traces, seg_keys)
-    return traces, accs, hist
-
-
-def _run_chains_checkpointed(
-    keys, request, make_trace, n_steps, record, *, checkpoint_dir,
-    checkpoint_every, max_segments,
-):
-    import json
-    import os
-
-    import jax.tree_util as jtu
-
-    from ..inference.mcmc import MHChainResult
-    from ..io import restore_pytree, save_pytree
-
-    traces, run_keys = _init_chains_jit(keys, make_trace)
-    step_keys = _step_keys_jit(run_keys, n_steps)
-    bounds = [
-        (lo, min(lo + checkpoint_every, n_steps))
-        for lo in range(0, n_steps, checkpoint_every)
-    ]
-    start_seg = 0
-    accs_parts, hist_parts = [], []
-    meta_path = os.path.join(checkpoint_dir, "meta.json")
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
-        if (
-            meta.get("n_steps") != int(n_steps)
-            or meta.get("seg_size") != int(checkpoint_every)
-            or meta.get("n_chains") != int(keys.shape[0])
-        ):
-            raise ValueError(
-                f"checkpoint at {checkpoint_dir!r} records a different "
-                f"run geometry {meta} — refusing to resume"
-            )
-        steps_done = meta["steps_done"]
-        # templates: the executed init (sharding-correct) + shape-evaled
-        # history of the right length
-        hist_tpl = None
-        if record is not None and steps_done:
-            seg_shapes = jax.eval_shape(
-                _run_segment_jit, traces, step_keys[:steps_done], request,
-                record,
-            )[2]
-            hist_tpl = jtu.tree_map(
-                lambda s: jnp.zeros(s.shape, s.dtype), seg_shapes
-            )
-        template = {
-            "traces": traces,
-            "accs": jnp.zeros((steps_done,), jnp.float32),
-            "hist": hist_tpl,
-        }
-        state = restore_pytree(
-            os.path.join(checkpoint_dir, "state"), template
-        )
-        traces = state["traces"]
-        if steps_done:
-            # host numpy: restored accumulators may sit on a different
-            # device set than fresh segment outputs (mesh-replicated);
-            # numpy operands concatenate with either
-            import numpy as np
-
-            accs_parts.append(np.asarray(state["accs"]))
-            if record is not None:
-                hist_parts.append(
-                    jtu.tree_map(np.asarray, state["hist"])
-                )
-        start_seg = meta["next_segment"]
-    ran = 0
-    for si in range(start_seg, len(bounds)):
-        if max_segments is not None and ran >= max_segments:
-            break
-        lo, hi = bounds[si]
-        traces, accs_i, hist_i = _run_segment_jit(
-            traces, step_keys[lo:hi], request, record
-        )
-        accs_parts.append(accs_i)
-        if record is not None:
-            hist_parts.append(hist_i)
-        ran += 1
-        accs_all = jnp.concatenate(accs_parts)
-        state = {
-            "traces": traces,
-            "accs": accs_all,
-            "hist": (
-                jtu.tree_map(
-                    lambda *xs: jnp.concatenate(xs, axis=0), *hist_parts
-                )
-                if record is not None
-                else None
-            ),
-        }
-        os.makedirs(checkpoint_dir, exist_ok=True)
-        save_pytree(os.path.join(checkpoint_dir, "state"), state)
-        meta = {
-            "next_segment": si + 1,
-            "steps_done": int(accs_all.shape[0]),
-            "n_steps": int(n_steps),
-            "seg_size": int(checkpoint_every),
-            "n_chains": int(keys.shape[0]),
-        }
-        # meta is written by process 0 only (checkpoint_dir is shared
-        # storage in multi-host runs), atomically, then barriered so no
-        # process can read a stale meta for a newer state
-        if jax.process_index() == 0:
-            tmp = meta_path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(meta, f)
-            os.replace(tmp, meta_path)
-        if jax.process_count() > 1:
-            from jax.experimental import multihost_utils
-
-            multihost_utils.sync_global_devices(f"genjax_ckpt_meta_{si}")
-    accs = (
-        jnp.concatenate(accs_parts)
-        if accs_parts
-        else jnp.zeros((0,), jnp.float32)
-    )
-    history = None
-    if record is not None and hist_parts:
-        history = jtu.tree_map(
-            lambda *xs: jnp.concatenate(xs, axis=0), *hist_parts
-        )
-        # (steps, chains, ...) -> chains-leading, matching run_chains
-        history = jtu.tree_map(lambda v: jnp.swapaxes(v, 0, 1), history)
-    return MHChainResult(
-        jtu.tree_map(lambda v: jnp.moveaxis(v, -1, 0), traces),
-        jnp.mean(accs),
-        history,
-    )
-
-
 @functools.partial(
     jax.jit, static_argnames=("make_trace", "n_steps", "record")
 )
@@ -281,6 +112,168 @@ def _run_chains_jit(keys, request, make_trace, n_steps, record):
     # 20x on small models), restored to chains-leading on the outputs
     res = jax.vmap(one, out_axes=-1)(keys)
     return jtu.tree_map(lambda v: jnp.moveaxis(v, -1, 0), res)
+
+
+@functools.partial(jax.jit, static_argnames=("make_trace",))
+def _init_chains_jit(keys, make_trace):
+    """Chain init + per-step key schedule, chains-on-lanes. The key
+    discipline matches ``run_chain``'s (k_init/k_run split per chain),
+    with the whole (n_steps, n_chains) step-key table derived up front so
+    segment boundaries never change the stream."""
+    def one(k):
+        k_init, k_run = jr.split(k)
+        return make_trace(k_init), k_run
+
+    traces, run_keys = jax.vmap(one, out_axes=(-1, 0))(keys)
+    return traces, run_keys
+
+
+@functools.partial(jax.jit, static_argnames=("n_steps",))
+def _step_keys_jit(run_keys, n_steps):
+    # (n_chains, n_steps) -> (n_steps, n_chains) for segment slicing
+    return jnp.swapaxes(
+        jax.vmap(lambda k: jr.split(k, n_steps))(run_keys), 0, 1
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("record",))
+def _run_segment_jit(traces, seg_keys, request, record):
+    """One segment: scan over its step keys; chains stay on lanes.
+    Per-step outputs keep the CHAIN axis (the non-checkpointed path's
+    ``accept_rate`` is per-chain, and the checkpointed path must match
+    that contract)."""
+    from ..inference.mcmc import mh
+
+    def step(trs, ks):
+        trs, accepted = jax.vmap(
+            lambda k, t: mh(k, t, request), in_axes=(0, -1), out_axes=(-1, 0)
+        )(ks, trs)
+        rec = (
+            jax.vmap(record, in_axes=-1)(trs) if record is not None else None
+        )
+        return trs, (jnp.asarray(accepted, jnp.float32), rec)
+
+    traces, (accs, hist) = jax.lax.scan(step, traces, seg_keys)
+    return traces, accs, hist
+
+
+def _request_fingerprint(request) -> str:
+    """A stable string identifying an edit request for resume validation
+    (treedef + concrete leaf values)."""
+    import jax.tree_util as jtu
+
+    leaves, treedef = jtu.tree_flatten(request)
+    return f"{treedef}|{[round(float(l), 9) for l in leaves]}"
+
+
+def _run_chains_checkpointed(
+    keys, request, make_trace, n_steps, record, *, checkpoint_dir,
+    checkpoint_every, max_segments,
+):
+    import jax.tree_util as jtu
+    import numpy as np
+
+    from ..inference.mcmc import MHChainResult
+    from ..io import check_meta_matches, load_segment_state, \
+        save_segment_state
+
+    traces, run_keys = _init_chains_jit(keys, make_trace)
+    step_keys = _step_keys_jit(run_keys, n_steps)
+    n_chains = int(keys.shape[0])
+    bounds = [
+        (lo, min(lo + checkpoint_every, n_steps))
+        for lo in range(0, n_steps, checkpoint_every)
+    ]
+    run_identity = {
+        "n_steps": int(n_steps),
+        "seg_size": int(checkpoint_every),
+        "n_chains": n_chains,
+        "request": _request_fingerprint(request),
+    }
+    start_seg = 0
+    accs_parts, hist_parts = [], []
+
+    def make_template(meta):
+        check_meta_matches(checkpoint_dir, meta, run_identity)
+        steps_done = meta["steps_done"]
+        hist_tpl = None
+        if record is not None and steps_done:
+            seg_shapes = jax.eval_shape(
+                _run_segment_jit, traces, step_keys[:steps_done],
+                request, record,
+            )[2]
+            hist_tpl = jtu.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), seg_shapes
+            )
+        return {
+            "traces": traces,
+            # per-step PER-CHAIN accept flags
+            "accs": jnp.zeros((steps_done, n_chains), jnp.float32),
+            "hist": hist_tpl,
+        }
+
+    restored = load_segment_state(checkpoint_dir, make_template)
+    if restored is not None:
+        state, meta = restored
+        traces = state["traces"]
+        if meta["steps_done"]:
+            # host numpy: restored accumulators may sit on a different
+            # device set than fresh segment outputs (mesh-replicated)
+            accs_parts.append(np.asarray(state["accs"]))
+            if record is not None:
+                hist_parts.append(jtu.tree_map(np.asarray, state["hist"]))
+        start_seg = meta["next_segment"]
+    ran = 0
+    for si in range(start_seg, len(bounds)):
+        if max_segments is not None and ran >= max_segments:
+            break
+        lo, hi = bounds[si]
+        traces, accs_i, hist_i = _run_segment_jit(
+            traces, step_keys[lo:hi], request, record
+        )
+        accs_parts.append(accs_i)
+        if record is not None:
+            hist_parts.append(hist_i)
+        ran += 1
+        accs_all = jnp.concatenate(accs_parts, axis=0)
+        state = {
+            "traces": traces,
+            "accs": accs_all,
+            "hist": (
+                jtu.tree_map(
+                    lambda *xs: jnp.concatenate(xs, axis=0), *hist_parts
+                )
+                if record is not None
+                else None
+            ),
+        }
+        save_segment_state(
+            checkpoint_dir, state,
+            {
+                "next_segment": si + 1,
+                "steps_done": int(accs_all.shape[0]),
+                **run_identity,
+            },
+        )
+    if not accs_parts:
+        raise ValueError(
+            "no chain segments ran (max_segments=0 on a fresh run?) — "
+            "nothing to return; run at least one segment"
+        )
+    accs = jnp.concatenate(accs_parts, axis=0)  # (steps_done, n_chains)
+    history = None
+    if record is not None and hist_parts:
+        history = jtu.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *hist_parts
+        )
+        # (steps, chains, ...) -> chains-leading, matching run_chains
+        history = jtu.tree_map(lambda v: jnp.swapaxes(v, 0, 1), history)
+    return MHChainResult(
+        jtu.tree_map(lambda v: jnp.moveaxis(v, -1, 0), traces),
+        # per-chain accept rate, matching the non-checkpointed contract
+        jnp.mean(accs, axis=0),
+        history,
+    )
 
 
 # Step-size adaptation lives in the unified adaptation module

@@ -71,7 +71,7 @@ def test_interrupted_plus_resumed_is_bitwise_in_process():
 def test_resume_refuses_mismatched_geometry():
     with tempfile.TemporaryDirectory() as d:
         _run(checkpoint_dir=d, checkpoint_every=4, max_segments=1)
-        with pytest.raises(ValueError, match="different run geometry"):
+        with pytest.raises(ValueError, match="refusing to resume"):
             _run(checkpoint_dir=d, checkpoint_every=4, n_samples=20)
 
 
@@ -171,4 +171,66 @@ def test_run_chains_sharded_resume_bitwise_on_mesh():
         np.asarray(full.trace.get_choices()["mu"]),
         np.asarray(resumed.trace.get_choices()["mu"]),
     )
-    assert float(full.accept_rate) == float(resumed.accept_rate)
+    # accept_rate keeps the non-checkpointed contract: per-chain vector
+    assert full.accept_rate.shape == (32,)
+    assert np.array_equal(
+        np.asarray(full.accept_rate), np.asarray(resumed.accept_rate)
+    )
+    plain = run_chains_sharded(
+        jr.key(3), make_trace, g.HMC(g.S["mu"], 0.3, L=3), **common
+    )
+    assert plain.accept_rate.shape == full.accept_rate.shape
+
+
+def test_resume_refuses_different_dynamics():
+    """Run identity (not just geometry) is validated: resuming with a
+    different eps0 / algorithm / key is refused instead of silently
+    mixing two samplers."""
+    with tempfile.TemporaryDirectory() as d:
+        _run(checkpoint_dir=d, checkpoint_every=4, max_segments=1)
+        with pytest.raises(ValueError, match="refusing to resume"):
+            _run(checkpoint_dir=d, checkpoint_every=4, eps0=0.1)
+    with tempfile.TemporaryDirectory() as d:
+        _run(checkpoint_dir=d, checkpoint_every=4, max_segments=1)
+        with pytest.raises(ValueError, match="refusing to resume"):
+            sample_posterior(
+                jr.key(99), model, OBS, (), g.S["mu"],
+                **{**KW, "checkpoint_dir": d, "checkpoint_every": 4},
+            )  # different key -> different fingerprint
+
+
+def test_crash_window_leaves_resumable_checkpoint():
+    """The versioned state-dir + atomic meta flip: a crash DURING the
+    next segment's state save (simulated by a garbage state_k dir that
+    meta does not point at) must not brick the checkpoint."""
+    plain = _run(checkpoint_dir=None)
+    with tempfile.TemporaryDirectory() as d:
+        _run(checkpoint_dir=d, checkpoint_every=4, max_segments=2)
+        meta = json.load(open(os.path.join(d, "meta.json")))
+        assert meta["state_dir"] == "state_2"
+        # simulate a preemption mid-save of segment 3's state: a partial
+        # (garbage) dir exists but meta still points at state_2
+        os.makedirs(os.path.join(d, "state_3"))
+        with open(os.path.join(d, "state_3", "junk"), "w") as f:
+            f.write("partial write")
+        resumed = _run(checkpoint_dir=d, checkpoint_every=4)
+    assert np.array_equal(
+        np.asarray(plain["mu"]), np.asarray(resumed["mu"])
+    )
+
+
+def test_max_segments_zero_fresh_run_raises_sharded():
+    from genjax_tpu.parallel import make_mesh, run_chains_sharded
+
+    mesh = make_mesh()
+
+    def make_trace(k):
+        return model.generate(k, OBS, ())[0]
+
+    with tempfile.TemporaryDirectory() as d:
+        with pytest.raises(ValueError, match="no chain segments ran"):
+            run_chains_sharded(
+                jr.key(3), make_trace, g.HMC(g.S["mu"], 0.3, L=3),
+                n_steps=8, n_chains=16, mesh=mesh,
+                checkpoint_dir=d, checkpoint_every=4, max_segments=0,
+            )

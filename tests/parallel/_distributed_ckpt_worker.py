@@ -92,6 +92,6 @@ assert np.array_equal(
     gather(full.trace.get_choices()["mu"]),
     gather(resumed.trace.get_choices()["mu"]),
 )
-assert float(full.accept_rate) == float(resumed.accept_rate)
+assert np.array_equal(gather(full.accept_rate), gather(resumed.accept_rate))
 
 print(f"CKPT_RESUME_OK process={pid}", flush=True)

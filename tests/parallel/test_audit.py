@@ -36,3 +36,24 @@ def test_tuple_collective_is_counted_with_summed_payload():
     spans = {o["kind"]: o["group_span"] for o in audit["ops"]}
     assert spans["all-reduce"] == 2  # explicit groups of 2
     assert spans["all-gather"] == 4  # iota [2,4]<=[8]: groups of 4
+
+
+ASYNC_HLO = """\
+HloModule jit_g
+
+ENTRY %main (p0: f32[8,32]) -> f32[8,32] {
+  %ars = (f32[8,32]{1,0}, f32[8,32]{1,0}) all-reduce-start(%p0), replica_groups={{0,1},{2,3}}, to_apply=%sum
+  %ard = f32[8,32]{1,0} all-reduce-done(%ars)
+  ROOT %r = f32[8,32] add(%ard, %ard)
+}
+"""
+
+
+def test_async_start_done_pair_counts_once():
+    """An async collective's -start/-done pair is ONE transfer: one op,
+    payload = the result half of the -start's aliasing tuple (the old
+    parser counted 2 ops / 3072 bytes for this 1024-byte all-reduce)."""
+    audit = hlo_collectives(ASYNC_HLO)
+    assert audit["count"] == 1
+    assert audit["by_kind"] == {"all-reduce": 1}
+    assert audit["bytes"] == 8 * 32 * 4  # 1024
