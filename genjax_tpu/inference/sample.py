@@ -236,6 +236,10 @@ def sample_posterior(
 
     if algorithm not in ("nuts", "hmc", "hmc_sweep"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
+    if n_samples <= 0:
+        # fail fast: the fused path would otherwise run the FULL warmup
+        # before dying on an empty sampling phase
+        raise ValueError(f"n_samples must be >= 1, got {n_samples}")
     k_init, k_warm, k_run = jr.split(key, 3)
     init_keys = jr.split(k_init, n_chains)
     if mesh is not None:

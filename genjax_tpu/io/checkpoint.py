@@ -99,9 +99,12 @@ def load_segment_state(checkpoint_dir: str, make_template) -> Any:
         return None
     with open(meta_path) as f:
         meta = json.load(f)
+    # build the template FIRST: make_template runs the caller's identity
+    # validation, so a foreign/legacy meta is refused with a clear error
+    # before any of its fields (e.g. state_dir) are trusted
+    template = make_template(meta)
     state = restore_pytree(
-        os.path.join(checkpoint_dir, meta["state_dir"]),
-        make_template(meta),
+        os.path.join(checkpoint_dir, meta["state_dir"]), template
     )
     return state, meta
 

@@ -20,16 +20,13 @@ import re
 # op name rather than as one token (a `\S+` type pattern silently missed
 # every tuple-typed collective, e.g. the tensor-parallel fused psum).
 # Async collectives appear as a -start/-done PAIR for ONE transfer: only
-# the -start is counted (its result tuple aliases operand+result, so its
-# payload is halved below); counting both would double ops and ~triple
-# bytes per async op.
+# the -start matches this pattern (`-done(` cannot match `(-start)?\(`),
+# and its aliasing (operands..., results...) tuple is reduced to the
+# result half below. The optional ROOT prefix matters: a collective that
+# is a computation root would otherwise be silently dropped.
 COLLECTIVE_RE = re.compile(
-    r"^\s*%?\S+ = (.+?) (all-reduce|all-gather|collective-permute"
-    r"|reduce-scatter|all-to-all)(-start)?\(",
-)
-_DONE_RE = re.compile(
-    r"^\s*%?\S+ = .+? (?:all-reduce|all-gather|collective-permute"
-    r"|reduce-scatter|all-to-all)-done\(",
+    r"^\s*(?:ROOT\s+)?%?\S+ = (.+?) (all-reduce|all-gather"
+    r"|collective-permute|reduce-scatter|all-to-all)(-start)?\(",
 )
 SHAPE_RE = re.compile(r"(f32|f64|s32|u32|pred|bf16)\[([0-9,]*)\]")
 
@@ -92,24 +89,25 @@ def hlo_collectives(compiled_text: str):
         head = _COMP_HEAD_RE.match(line)
         if head:
             current_comp = head.group(1)
-        if _DONE_RE.match(line):
-            continue  # the -start of this async op was already counted
         m = COLLECTIVE_RE.match(line)
         if not m:
             continue
         result_type, kind, is_start = m.group(1), m.group(2), m.group(3)
         # payload: ALL shapes in the result type (tuple results sum
-        # their elements); an async -start's tuple aliases the operand
-        # AND the result, so its payload is the result half
-        nbytes = 0
+        # their elements); an async -start's tuple is
+        # (operands..., results...), so only the RESULT half counts —
+        # summed per shape, since e.g. all-gather-start's result is
+        # larger than its operand
+        per_shape = []
         for dt, dims in SHAPE_RE.findall(result_type):
             n = 1
             for d in dims.split(","):
                 if d:
                     n *= int(d)
-            nbytes += n * DTYPE_BYTES.get(dt, 4)
-        if is_start:
-            nbytes //= 2
+            per_shape.append(n * DTYPE_BYTES.get(dt, 4))
+        if is_start and len(per_shape) >= 2:
+            per_shape = per_shape[len(per_shape) // 2 :]
+        nbytes = sum(per_shape)
         in_body = current_comp in body_names or (
             current_comp is not None
             and any(current_comp.startswith(b) for b in body_names)

@@ -159,11 +159,17 @@ def _run_segment_jit(traces, seg_keys, request, record):
 
 def _request_fingerprint(request) -> str:
     """A stable string identifying an edit request for resume validation
-    (treedef + concrete leaf values)."""
+    (treedef + concrete leaf values; array leaves — e.g. a warmup-adapted
+    vector ``inv_mass`` — ravel into the fingerprint)."""
     import jax.tree_util as jtu
+    import numpy as np
 
     leaves, treedef = jtu.tree_flatten(request)
-    return f"{treedef}|{[round(float(l), 9) for l in leaves]}"
+    vals = [
+        np.round(np.asarray(l, np.float64).ravel(), 9).tolist()
+        for l in leaves
+    ]
+    return f"{treedef}|{vals}"
 
 
 def _run_chains_checkpointed(

@@ -234,3 +234,27 @@ def test_max_segments_zero_fresh_run_raises_sharded():
                 n_steps=8, n_chains=16, mesh=mesh,
                 checkpoint_dir=d, checkpoint_every=4, max_segments=0,
             )
+
+
+def test_sharded_resume_with_vector_inv_mass():
+    """The request fingerprint handles array leaves (a warmup-adapted
+    inv_mass vector crashed the fingerprint before round 5's fix)."""
+    from genjax_tpu.parallel import make_mesh, run_chains_sharded
+
+    mesh = make_mesh()
+
+    def make_trace(k):
+        return model.generate(k, OBS, ())[0]
+
+    req = g.HMC(g.S["mu"], 0.3, L=3, inv_mass=jnp.ones(1))
+    with tempfile.TemporaryDirectory() as d:
+        out = run_chains_sharded(
+            jr.key(3), make_trace, req, n_steps=4, n_chains=16, mesh=mesh,
+            checkpoint_dir=d, checkpoint_every=2,
+        )
+    assert out.accept_rate.shape == (16,)
+
+
+def test_n_samples_zero_fails_fast():
+    with pytest.raises(ValueError, match="n_samples must be"):
+        _run(n_samples=0)

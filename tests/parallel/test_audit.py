@@ -41,19 +41,38 @@ def test_tuple_collective_is_counted_with_summed_payload():
 ASYNC_HLO = """\
 HloModule jit_g
 
-ENTRY %main (p0: f32[8,32]) -> f32[8,32] {
+ENTRY %main (p0: f32[8,32]) -> f32[8,128] {
   %ars = (f32[8,32]{1,0}, f32[8,32]{1,0}) all-reduce-start(%p0), replica_groups={{0,1},{2,3}}, to_apply=%sum
   %ard = f32[8,32]{1,0} all-reduce-done(%ars)
-  ROOT %r = f32[8,32] add(%ard, %ard)
+  %ags = (f32[8,32]{1,0}, f32[8,128]{1,0}) all-gather-start(%ard), replica_groups={{0,1,2,3}}, dimensions={1}
+  ROOT %agd = f32[8,128]{1,0} all-gather-done(%ags)
 }
 """
 
 
 def test_async_start_done_pair_counts_once():
     """An async collective's -start/-done pair is ONE transfer: one op,
-    payload = the result half of the -start's aliasing tuple (the old
-    parser counted 2 ops / 3072 bytes for this 1024-byte all-reduce)."""
+    payload = the RESULT half of the -start's aliasing tuple — summed
+    per shape, since all-gather-start's result is larger than its
+    operand (the old parser counted 2 ops / ~3x bytes per async op)."""
     audit = hlo_collectives(ASYNC_HLO)
+    assert audit["count"] == 2
+    assert audit["by_kind"] == {"all-reduce": 1, "all-gather": 1}
+    # all-reduce result 8*32*4 + all-gather result 8*128*4
+    assert audit["bytes"] == 8 * 32 * 4 + 8 * 128 * 4
+
+
+ROOT_HLO = """\
+HloModule jit_h
+
+ENTRY %main (p0: f32[8,32]) -> f32[8,32] {
+  ROOT %ar = f32[8,32]{1,0} all-reduce(%p0), replica_groups={{0,1}}, to_apply=%sum
+}
+"""
+
+
+def test_root_collective_is_counted():
+    """A collective that is a computation ROOT must not be dropped."""
+    audit = hlo_collectives(ROOT_HLO)
     assert audit["count"] == 1
-    assert audit["by_kind"] == {"all-reduce": 1}
-    assert audit["bytes"] == 8 * 32 * 4  # 1024
+    assert audit["bytes"] == 8 * 32 * 4
